@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Benchmark the headline queries; prints ONE JSON line.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32).
+
+Queries execute to completion via the noop sink (full pipeline runs,
+no driver-collect overhead), matching how the reference's throughput
+numbers were framed (engine time, not result transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gpu_olap_engine_spark.config import EngineConfig
+from gpu_olap_engine_spark.queries import load_all
+from gpu_olap_engine_spark.session import get_spark
+
+HEADLINE = [
+    "q01_filter_project_topk",
+    "q02_groupby_aggregates",
+    "q03_join_agg_topk",
+    "q05_star_join_having",
+    "q08_join_full",
+    "q11_count_distinct",
+    "q12_date_extract_agg",
+    "q13_arith_in_agg",
+    "q14_sort_multi_direction",
+    "q20_window_rank",
+    "q31_json_extract",
+    "q32_tumbling_window",
+    "q33_sessionize",
+    "q34_asof_join",
+    "dedup_exact_key",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_bruteforce_topk",
+    "sim_bucketed_ann",
+    "text_token_stats",
+    "text_quality_score",
+    "text_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(EngineConfig(), master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all()
+
+    # JVM/codegen warmup on the smallest fixture
+    registry["q03_join_agg_topk"].fn(spark, "/root/testdata/sf0.001").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = registry[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Engine configuration, mirroring the reference's ``EngineConfig``.
+
+Reference: ``gpu-olap-core/src/lib.rs:19-43`` — fields
+``max_gpu_memory`` (8 GB), ``num_streams`` (8), ``use_unified_memory``
+(true), ``batch_size`` (1 M rows), ``enable_cache`` (true).
+
+Each field is accepted for API fidelity and mapped to the Spark conf
+that plays the same role (or ignored-with-log where Spark's runtime
+already owns the concern) — see ``EngineConfig.spark_confs``.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+
+log = logging.getLogger(__name__)
+
+_DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+@dataclass
+class EngineConfig:
+    """Reference-parity engine knobs mapped onto Spark confs.
+
+    max_gpu_memory   -> informational only: executor memory is fixed at
+                        session launch; Spark spills to disk when an
+                        operator exceeds it (unified-memory analog).
+    num_streams      -> concurrency hint; scales shuffle partitions
+                        (the reference used N CUDA streams to overlap
+                        transfer/compute; Spark overlaps via tasks).
+    use_unified_memory -> ignored: Spark joins/aggs/sorts always spill.
+    batch_size       -> Arrow interchange batch size
+                        (spark.sql.execution.arrow.maxRecordsPerBatch),
+                        the unit of Python<->JVM columnar flow, which is
+                        what the reference's batch paging governed.
+    enable_cache     -> when True, small tables (< cache_row_threshold
+                        rows, the reference's <10M-row RAM cache,
+                        catalog.rs:49-59) are ``.cache()``d on load.
+    """
+
+    max_gpu_memory: int = 8 * 1024**3
+    num_streams: int = 8
+    use_unified_memory: bool = True
+    batch_size: int = 1_000_000
+    enable_cache: bool = True
+    # Spark-native extras (not in the reference):
+    shuffle_partitions: int = _DEFAULT_SHUFFLE_PARTITIONS
+    cache_row_threshold: int = 10_000_000
+    extra_confs: dict[str, str] = field(default_factory=dict)
+
+    def spark_confs(self) -> dict[str, str]:
+        """Spark confs implementing this config (see class docstring)."""
+        confs = {
+            "spark.sql.shuffle.partitions": str(self.shuffle_partitions),
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.coalescePartitions.enabled": "true",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.execution.arrow.pyspark.enabled": "true",
+            "spark.sql.execution.arrow.maxRecordsPerBatch": str(self.batch_size),
+            "spark.sql.session.timeZone": "UTC",
+            # Classic (non-ANSI) SQL semantics: x/0 -> NULL, lenient
+            # casts. A deliberate engine choice: 100 TB pipelines want
+            # NULL-tolerant expressions, not row-level runtime errors
+            # (and the reference's /0 -> 0, executor.rs:434, is upgraded
+            # to NULL — documented in SURVEY.md §1.2).
+            "spark.sql.ansi.enabled": "false",
+            # Parquet vectorized reader on; filter/column pushdown on
+            # (Spark defaults, pinned here because the whole design
+            # depends on scans being pruned at 100 TB).
+            "spark.sql.parquet.filterPushdown": "true",
+        }
+        if not self.use_unified_memory:
+            log.info("use_unified_memory=False ignored: Spark always spills")
+        confs.update(self.extra_confs)
+        return confs

@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (array<float>).
+
+The reference cannot even represent list types
+(arrow-interop/src/schema_utils.rs:29-33 rejects them); this module is
+part of the beyond-reference LLM-pipeline mandate.
+
+Numeric determinism: each product term is scaled to an integer
+(floor(x*y * 1e12) as BIGINT) and summed exactly — integer addition is
+order-independent, and every step (float->double cast, IEEE multiply,
+floor) is bit-identical on Spark and DuckDB, so cosine values match
+the oracle exactly. The 1e-12 term quantization is far below any
+meaningful similarity resolution.
+
+Scale design: brute-force top-k is the exact baseline (a broadcast
+nested-loop against the query set — fine when the query set is small
+and the corpus streams). The bucketed variant prunes the corpus by a
+deterministic coarse quantizer (sign bits of leading dimensions), the
+IVF idea: candidates shrink ~2^bits-fold before scoring; at 100 TB the
+bucket column becomes a partition key so a probe touches one
+partition. A pyspark.ml random-hyperplane LSH variant lives in
+queries/similarity.py as the library path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SCALE = 1e12  # term quantization: floor(x*y*SCALE) summed as int64
+
+
+def _fold_scaled(products: Column) -> Column:
+    """Exact order-independent sum: quantize each double term to an
+    int64 (floor at 1e-12) and add exactly; emit as double (sums stay
+    < 2^53, so the cast is exact)."""
+    terms = F.transform(products, lambda x: F.floor(x * F.lit(SCALE)).cast("long"))
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x).cast("double")
+
+
+def scaled_dot(a: Column, b: Column) -> Column:
+    """Quantized dot product of two float arrays, in SCALE units."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return _fold_scaled(prods)
+
+
+def scaled_norm_sq(a: Column) -> Column:
+    """Quantized squared L2 norm, in SCALE units."""
+    prods = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
+    return _fold_scaled(prods)
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity; deterministic cross-engine (exact integer
+    sums, IEEE sqrt/divide; the SCALE factors cancel)."""
+    return scaled_dot(a, b) / (F.sqrt(scaled_norm_sq(a)) * F.sqrt(scaled_norm_sq(b)))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    queries is expected to be small -> broadcast; the corpus streams
+    through a nested-loop scoring pass, then per-query top-k via
+    window rank (TakeOrdered shape). Ties broken by neighbor id.
+    Returns (query_id, neighbor_id, cosine, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def sign_bucket(vec: Column, bits: int = 3) -> Column:
+    """Deterministic coarse quantizer: sign bits of the first `bits`
+    dimensions -> bucket id 0..2^bits-1."""
+    b = F.lit(0)
+    for i in range(bits):
+        b = b + F.when(vec.getItem(i) > 0, F.lit(2 ** (bits - 1 - i))).otherwise(0)
+    return b.cast("long")
+
+
+def bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bits: int = 3,
+) -> DataFrame:
+    """IVF-style ANN: score only corpus vectors in the query's bucket.
+
+    Approximate (recall measured against brute force in tests); the
+    candidate set shrinks ~2^bits-fold. At scale, write the corpus
+    partitioned by `bucket` so each probe prunes to one partition.
+    Returns (query_id, neighbor_id, cosine, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold.
+
+    Exact all-pairs at test scale; production would pre-bucket (see
+    bucketed_topk) or LSH first. Returns (id_a, id_b, cosine).
+    """
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_similarity(F.col("va"), F.col("vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

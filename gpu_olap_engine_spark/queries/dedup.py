@@ -1,0 +1,183 @@
+"""Dedup queries over ``documents`` + their DuckDB oracle twins.
+
+The oracle SQL is generated from the SAME constants
+(operators.dedup.MINHASH_A/B/P) and the same hash chain
+(md5 -> 60-bit int -> affine perms), so signatures match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpu_olap_engine_spark.operators import dedup as D
+from gpu_olap_engine_spark.queries import register
+from gpu_olap_engine_spark.queries.tables import T
+
+# -- shared oracle fragments ------------------------------------------
+
+# distinct 3-word shingles per doc (twin of operators.dedup.shingles)
+_SH = r"""
+words AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+    FROM words, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+)
+"""
+
+_HASH = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+_JACCARD_TAIL = """
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, COUNT(*) AS n_inter
+    FROM sh sa JOIN sh sb
+      ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+    GROUP BY 1, 2
+)
+"""
+
+
+def _sig_sql() -> str:
+    mins = ",\n           ".join(
+        f"MIN(({a} * hv + {b}) % {D.MINHASH_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(zip(D.MINHASH_A, D.MINHASH_B))
+    )
+    return f"""
+h AS (
+    SELECT doc_id, {_HASH.format(x='shingle')} % {D.MINHASH_P} AS hv FROM sh
+),
+sig AS (
+    SELECT doc_id,
+           {mins}
+    FROM h GROUP BY doc_id
+)
+"""
+
+
+def _banded_sql() -> str:
+    selects = []
+    for b in range(D.LSH_BANDS):
+        cols = ", ".join(f"mh_{b * D.LSH_ROWS + r}" for r in range(D.LSH_ROWS))
+        selects.append(
+            f"SELECT doc_id, {b} AS band_idx, concat_ws('-', {cols}) AS band_key FROM sig"
+        )
+    return "banded AS (\n    " + "\n    UNION ALL ".join(selects) + "\n)"
+
+
+@register(
+    "dedup_exact_key",
+    oracle=r"""
+    WITH keyed AS (
+        SELECT doc_id,
+               array_to_string(
+                   list_slice(string_split_regex(lower(trim(text)), '\s+'), 1, 3),
+                   ' ') AS key3
+        FROM documents
+    )
+    SELECT key3, CAST(MIN(doc_id) AS BIGINT) AS keeper_id, COUNT(*) AS n_docs
+    FROM keyed GROUP BY key3
+    """,
+)
+def dedup_exact_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy on a derived key (3-word prefix):
+    emits one keeper per group (min id, deterministic) + group size.
+    One shuffle on the key; at 100 TB the key should be a hash of the
+    full normalized text (same plan shape)."""
+    docs = T(spark, sf_dir, "documents")
+    key3 = F.concat_ws(" ", F.slice(D.tokenize(F.col("text")), 1, 3))
+    return (
+        docs.select("doc_id", key3.alias("key3"))
+        .groupBy("key3")
+        .agg(F.min("doc_id").cast("long").alias("keeper_id"), F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SH},
+    {_sig_sql()},
+    {_banded_sql()},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    {_JACCARD_TAIL}
+    SELECT c.id_a, c.id_b,
+           CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) AS jaccard
+    FROM cand c
+    JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+    JOIN sizes na ON c.id_a = na.doc_id
+    JOIN sizes nb ON c.id_b = nb.doc_id
+    WHERE CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection (shingle -> 12-perm signature ->
+    4x3 banding -> candidate equi-join -> exact-Jaccard verify >= 0.5).
+    Sub-quadratic: candidates come from a hash join on band keys.
+    The fixtures plant ~25 near-dup pairs (jaccard ~0.99) that this
+    must find; the oracle recomputes the identical pipeline in SQL."""
+    return D.minhash_dedup_pairs(
+        T(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.5
+    ).select(F.col("id_a").cast("long"), F.col("id_b").cast("long"), "jaccard")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SH},
+    {_JACCARD_TAIL}
+    SELECT i.id_a, i.id_b,
+           CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes na ON i.id_a = na.doc_id
+    JOIN sizes nb ON i.id_b = nb.doc_id
+    WHERE CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 3-gram Jaccard >= 0.2 via the shingle inverted
+    index — the exact baseline that validates the LSH path's recall."""
+    return D.ngram_jaccard_pairs(
+        T(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.2
+    ).select(F.col("id_a").cast("long"), F.col("id_b").cast("long"), "jaccard")
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+        FROM documents
+    ),
+    hw AS (
+        SELECT doc_id, {_HASH.format(x='word')} % {2**D.SIMHASH_BITS} AS h FROM words
+    ),
+    per_bit AS (
+        SELECT doc_id, b.bit,
+               SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM hw, unnest(generate_series(0, {D.SIMHASH_BITS - 1})) AS b(bit)
+        GROUP BY doc_id, b.bit
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+               AS simhash
+    FROM per_bit GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (token-multiset sign-sum). Near-dups
+    then cluster by hamming distance on this value; the signature
+    computation is the oracle-checked part."""
+    return (
+        D.simhash(T(spark, sf_dir, "documents"), "doc_id", "text")
+        .select(F.col("id").alias("doc_id"), "simhash")
+    )

@@ -1,0 +1,184 @@
+"""Event/time-series operators over the ``events`` fixture.
+
+The reference is batch-only ("streaming" there means out-of-core
+paging, README.md:12,340-352); these are the batch twins of the
+Structured Streaming surface in ``gpu_olap_engine_spark.streaming`` —
+same window/session/dedup semantics, oracle-checkable via DuckDB.
+
+Timestamps: events.ts is parquet timestamp[ns]; both engines are
+normalized to epoch MICROseconds (BIGINT) before any arithmetic, so
+bucket math is pure integer ops and cross-engine deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gpu_olap_engine_spark.queries import register
+from gpu_olap_engine_spark.queries.tables import T, dsum, o_dsum
+
+# epoch-us helpers: Spark side casts ntz->tz under the session zone,
+# which is pinned UTC; DuckDB reads the same parquet values naively.
+_US = "epoch_us(CAST(ts AS TIMESTAMP))"
+
+
+def _with_us(df: DataFrame) -> DataFrame:
+    return df.withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
+
+
+@register(
+    "q31_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the ``props`` column (semi-structured
+    payloads — entirely outside the reference's int64-only kernel type
+    system, arrow-interop/src/column_buffer.rs:24-47)."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.get_json_object("props", "$.k").cast("long"))
+        .cast("long")
+        .alias("sum_k"),
+    )
+
+
+@register(
+    "q32_tumbling_window",
+    oracle=f"""
+    SELECT CAST(({_US} - ({_US} % 600000000)) / 1000000 AS BIGINT) AS bucket_start,
+           event_type,
+           COUNT(*) AS cnt,
+           {o_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute event-time window (batch twin of
+    streaming.windowed_counts). Implemented with F.window; the bucket
+    key is emitted as epoch seconds so the oracle's integer bucket
+    arithmetic matches exactly."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "10 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("cnt"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").cast("long").alias("bucket_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q33_sessionize",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, {_US} AS us,
+               LAG({_US}) OVER (PARTITION BY user_id ORDER BY {_US}, event_id)
+                   AS prev_us
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, us,
+               CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM seq
+    ), sessions AS (
+        SELECT user_id,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id
+    """,
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap — the batch twin
+    of a session window (F.session_window in streaming). Gap detection
+    via LAG + running SUM: one shuffle on user_id, then a per-partition
+    sort; scales to arbitrarily many users."""
+    ev = _with_us(T(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_session").over(run))
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "q34_asof_join",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT event_id, user_id, {_US} AS us,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_probe
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ), carried AS (
+        SELECT event_id, user_id, is_probe,
+               LAST_VALUE(CASE WHEN is_probe = 0 THEN event_id END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY us, is_probe, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS matched_view_id
+        FROM tagged
+    )
+    SELECT event_id AS purchase_id, user_id, matched_view_id
+    FROM carried WHERE is_probe = 1
+    """,
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each 'purchase' matched to the user's latest
+    'view' at-or-before it. Absent from the reference (only simple
+    equi-joins, physical_plan.rs:235-248).
+
+    Implemented union-style — tag both streams, single sort per user
+    partition, carry the last build-side id forward — which is O(n log n)
+    per partition with ONE shuffle, instead of the naive
+    range-self-join that explodes quadratically at 100 TB. Ties
+    (view.ts == purchase.ts) sort build-first, i.e. <= semantics."""
+    ev = _with_us(
+        T(spark, sf_dir, "events").filter(F.col("event_type").isin("view", "purchase"))
+    )
+    tagged = ev.withColumn(
+        "is_probe", F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "is_probe", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn(
+        "matched_view_id",
+        F.last(
+            F.when(F.col("is_probe") == 0, F.col("event_id")), ignorenulls=True
+        ).over(w),
+    )
+    return carried.filter(F.col("is_probe") == 1).select(
+        F.col("event_id").alias("purchase_id"), "user_id", "matched_view_id"
+    )

@@ -1,0 +1,830 @@
+"""Relational query surface: reference parity + Spark-free extensions.
+
+Covers SURVEY.md §2.1-2.8: scan/filter/project, the full aggregate set,
+the join-type matrix (incl. types the reference declares but cannot run
+— full/semi/anti, README.md:410), sorts with honored direction and
+LIMIT (reference drops both: parser.rs:94-105, physical_plan.rs:190-193),
+set ops, rollup/cube, window functions, subqueries and CTEs (reference
+limitation README.md:409).
+
+Scale notes per query are in docstrings: dimension joins broadcast,
+fact-fact joins shuffle on keys, aggregations are partial+final
+(map-side combine) — all verified against .explain in tests/test_plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gpu_olap_engine_spark.queries import register
+from gpu_olap_engine_spark.queries.tables import T, davg, dsum, o_davg, o_dsum
+
+# ---------------------------------------------------------------------
+# Scan / filter / project / limit
+# ---------------------------------------------------------------------
+
+
+@register(
+    "q01_filter_project_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem WHERE l_quantity > 30
+    ORDER BY l_orderkey, l_linenumber LIMIT 10
+    """,
+)
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan+filter+project+top-k (reference: GpuFilter executor.rs:443-507,
+    comparisons executor.rs:457-464; LIMIT honored unlike
+    physical_plan.rs:190-193). Filter + both projections push into the
+    parquet scan; sort+limit fuses to TakeOrderedAndProject."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(10)
+    )
+
+
+@register(
+    "q02_groupby_aggregates",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS cnt,
+           {o_dsum('l_extendedprice')} AS sum_price,
+           {o_davg('l_quantity')} AS avg_qty,
+           MIN(l_discount) AS min_disc,
+           MAX(l_tax) AS max_tax
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full aggregate set SUM/COUNT/AVG/MIN/MAX (reference AggregateExpr,
+    physical_plan.rs:78-84; identities aggregate_kernel.rs:17-33).
+    HashAggregate partial->final == the kernel's warp-local->global
+    two-phase design (aggregate_kernel.rs:3-8)."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            dsum("l_extendedprice", "sum_price"),
+            davg("l_quantity", "avg_qty"),
+            F.min("l_discount").alias("min_disc"),
+            F.max("l_tax").alias("max_tax"),
+        )
+    )
+
+
+@register(
+    "q03_join_agg_topk",
+    oracle=f"""
+    SELECT c_name, COUNT(*) AS order_cnt,
+           {o_dsum('o_totalprice')} AS total_spent
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_name
+    ORDER BY total_spent DESC, c_name LIMIT 10
+    """,
+)
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference README's canonical query shape (README.md:272-282):
+    join + group + sort desc + limit. Customer is a dimension ->
+    broadcast (the reference's <=1M-row BroadcastHashJoin heuristic,
+    join_kernel.rs:71-77); at 100 TB the fact side never shuffles for
+    this join."""
+    orders = T(spark, sf_dir, "orders")
+    customer = T(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_name")
+        .agg(F.count("*").alias("order_cnt"), dsum("o_totalprice", "total_spent"))
+        .orderBy(F.desc("total_spent"), "c_name")
+        .limit(10)
+    )
+
+
+@register(
+    "q04_filter_above_join",
+    oracle="""
+    SELECT COUNT(*) AS cnt
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 1000
+    """,
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression probe for the reference optimizer bug that silently
+    DROPS a predicate above a join (optimizer.rs:44-53). Catalyst
+    instead pushes it below the join into the scan."""
+    orders = T(spark, sf_dir, "orders")
+    customer = T(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .filter(F.col("o_totalprice") > 1000)
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "q05_star_join_having",
+    oracle=f"""
+    SELECT r_name, p_type, COUNT(*) AS cnt,
+           {o_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      JOIN part     ON l_partkey  = p_partkey
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+    GROUP BY r_name, p_type
+    HAVING {o_dsum('l_extendedprice * (1 - l_discount)')} > 1000000
+    ORDER BY revenue DESC, r_name, p_type
+    """,
+)
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join + date-range filter + HAVING (reference
+    example python_usage.py:226-245; HAVING absent from its parser,
+    parser.rs:33-127). All five dimension joins broadcast, so the only
+    shuffle at scale is the final aggregation; the date filter pushes
+    into the orders scan."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    p = T(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("r_name", "p_type")
+        .agg(F.count("*").alias("cnt"), dsum(revenue, "revenue"))
+        .filter(F.col("revenue") > 1000000)
+        .orderBy(F.desc("revenue"), "r_name", "p_type")
+    )
+
+
+# ---------------------------------------------------------------------
+# Join-type matrix (JoinType enum logical_plan.rs:52-58; the reference
+# can only run inner/left/right — README.md:410 — we do the full set)
+# ---------------------------------------------------------------------
+
+_RICH = "c_acctbal > 8000"
+
+
+def _rich_customers(spark, sf_dir):
+    return T(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 8000)
+
+
+@register(
+    "q06_join_left",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, c_name, c_acctbal
+    FROM (SELECT * FROM orders WHERE o_orderkey % 10 = 0) o
+    LEFT JOIN (SELECT * FROM customer WHERE {_RICH}) c ON o_custkey = c_custkey
+    """,
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with genuinely unmatched probe rows; NULLs on
+    the build side follow SQL semantics, not the reference's sentinel
+    fill (arrow-interop/src/lib.rs:15-17, README.md:411)."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    c = _rich_customers(spark, sf_dir)
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey", "o_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "q07_join_right",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, c_name, c_acctbal
+    FROM (SELECT * FROM orders WHERE o_orderkey % 10 = 0) o
+    RIGHT JOIN (SELECT * FROM customer WHERE {_RICH}) c ON o_custkey = c_custkey
+    """,
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join (declared logical_plan.rs:55)."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    c = _rich_customers(spark, sf_dir)
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "o_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "q08_join_full",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, c_custkey, c_name
+    FROM (SELECT * FROM orders WHERE o_orderkey % 10 = 0) o
+    FULL JOIN (SELECT * FROM customer WHERE {_RICH}) c ON o_custkey = c_custkey
+    """,
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — declared by the reference (logical_plan.rs:56)
+    but admitted unsupported (README.md:410). Shuffle join (full outer
+    cannot broadcast); at scale both sides hash-partition on the key."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    c = _rich_customers(spark, sf_dir)
+    return o.join(c, o.o_custkey == c.c_custkey, "full").select(
+        "o_orderkey", "o_custkey", "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q09_join_semi",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE {_RICH})
+    """,
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (absent from the reference, README.md:410).
+    Broadcast semi: probe side streams, never materializes matches."""
+    o = T(spark, sf_dir, "orders")
+    c = _rich_customers(spark, sf_dir)
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "q10_join_anti",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE {_RICH})
+    """,
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (absent from the reference, README.md:410).
+    NOT IN here is null-safe because c_custkey is non-null."""
+    o = T(spark, sf_dir, "orders")
+    c = _rich_customers(spark, sf_dir)
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+# ---------------------------------------------------------------------
+# Aggregation extensions
+# ---------------------------------------------------------------------
+
+
+@register(
+    "q11_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS uniq_cust,
+           COUNT(*) AS cnt
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — appears in reference examples only
+    (python_usage.py:230-231), never implemented. Spark expands it to
+    a two-stage aggregate; for 100 TB cardinality estimation the
+    engine also exposes approx_count_distinct (HLL) — see
+    functions module."""
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("uniq_cust"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+@register(
+    "q12_date_extract_agg",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           COUNT(*) AS cnt,
+           {o_dsum('o_totalprice')} AS total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_part-style extraction GROUP BY (reference example
+    python_usage.py:277-284 — the only scalar function its SQL uses)."""
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+        )
+        .agg(F.count("*").alias("cnt"), dsum("o_totalprice", "total"))
+    )
+
+
+def _o_qsum(expr: str) -> str:
+    """Quantized-sum oracle fragment: floor each computed-double term
+    to 1e-4, sum exactly as integers, emit double. Computed products
+    can land on decimal-rounding tie boundaries, so they take this
+    integer path instead of the decimal cast (see tables.py)."""
+    return (
+        f"CAST(CAST(SUM(CAST(floor(({expr}) * 10000) AS BIGINT)) AS BIGINT)"
+        " AS DOUBLE) / 10000"
+    )
+
+
+def _qsum(col, alias: str):
+    """Spark twin of _o_qsum."""
+    return (
+        F.sum(F.floor(col * 10000).cast("long")).cast("double") / 10000
+    ).alias(alias)
+
+
+@register(
+    "q13_arith_in_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           {_o_qsum('l_extendedprice * (1 - l_discount)')} AS disc_revenue,
+           {_o_qsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS charged
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic inside aggregates (reference examples
+    python_usage.py:101,232; elementwise ops executor.rs:411-441).
+    Per-row double products are IEEE-deterministic; the sums quantize
+    terms to 1e-4 and add exact integers (order-independent)."""
+    li = T(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag").agg(
+        _qsum(disc, "disc_revenue"),
+        _qsum(disc * (1 + F.col("l_tax")), "charged"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Sort / limit
+# ---------------------------------------------------------------------
+
+
+@register(
+    "q14_sort_multi_direction",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-direction multi-key sort. The reference parses ORDER BY
+    but discards direction (parser.rs:94-105) and drops LIMIT
+    (physical_plan.rs:190-193); both honored here. Sort+limit fuses to
+    TakeOrderedAndProject — no global sort at scale."""
+    return (
+        T(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .orderBy(
+            F.asc("o_orderpriority"), F.desc("o_totalprice"), F.asc("o_orderkey")
+        )
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------
+# Set operations (absent from reference: parser.rs:24-31 single SELECT)
+# ---------------------------------------------------------------------
+
+
+@register(
+    "q15_union_all",
+    oracle="""
+    SELECT c_custkey AS entity_key, c_name AS entity_name FROM customer
+    WHERE c_acctbal > 9000
+    UNION ALL
+    SELECT s_suppkey AS entity_key, s_name AS entity_name FROM supplier
+    """,
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (set ops rejected by the reference parser,
+    parser.rs:24-31). Union is shuffle-free in Spark."""
+    c = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("entity_key"), F.col("c_name").alias("entity_name"))
+    )
+    s = T(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_key"), F.col("s_name").alias("entity_name")
+    )
+    return c.unionByName(s)
+
+
+@register(
+    "q16_intersect",
+    oracle="""
+    SELECT c_nationkey AS nkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nkey FROM supplier
+    """,
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics on both engines)."""
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nkey"))
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nkey"))
+    return c.intersect(s)
+
+
+@register(
+    "q17_except",
+    oracle="""
+    SELECT c_custkey AS ckey FROM customer
+    EXCEPT
+    SELECT o_custkey AS ckey FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers with no high-value order."""
+    c = T(spark, sf_dir, "customer").select(F.col("c_custkey").alias("ckey"))
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("ckey"))
+    )
+    return c.exceptAll(o).distinct()
+
+
+# ---------------------------------------------------------------------
+# Grouping sets / rollup / cube (absent from reference, free in Spark)
+# ---------------------------------------------------------------------
+
+
+@register(
+    "q18_rollup",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+           {o_dsum('o_totalprice')} AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP — hierarchy subtotals in one pass."""
+    return (
+        T(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"), dsum("o_totalprice", "total"))
+    )
+
+
+@register(
+    "q19_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+           {o_davg('l_discount')} AS avg_disc
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE — all grouping-set combinations."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"), davg("l_discount", "avg_disc"))
+    )
+
+
+# ---------------------------------------------------------------------
+# Window functions (reference limitation README.md:409)
+# ---------------------------------------------------------------------
+
+
+@register(
+    "q20_window_rank",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS BIGINT) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group via ROW_NUMBER (window functions are an explicit
+    reference gap, README.md:409). One shuffle on the partition key."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        T(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q21_window_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend,
+           CAST(LAG(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS BIGINT) AS prev_orderkey
+    FROM orders WHERE o_custkey < 100
+    """,
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate + LAG over an ordered per-customer frame
+    (analytic window surface, absent from the reference)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .over(frame)
+            .cast("double")
+            .alias("running_spend"),
+            F.lag("o_orderkey").over(w).cast("long").alias("prev_orderkey"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# Scalar expressions / strings / CASE (reference has none in kernels,
+# README.md:412; strings were lossy FNV-1a hashes,
+# record_batch_convert.rs:112-130 — ours are real strings)
+# ---------------------------------------------------------------------
+
+
+@register(
+    "q22_case_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           CASE WHEN p_size < 10 THEN 'small'
+                WHEN p_size < 30 THEN 'medium'
+                ELSE 'large' END AS size_class,
+           UPPER(SUBSTRING(p_name, 1, 8)) AS name_prefix,
+           REPLACE(p_brand, 'Brand#', 'B') AS brand_code,
+           CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+           CASE WHEN p_type LIKE 'ECO%' THEN 1 ELSE 0 END AS is_economy
+    FROM part
+    """,
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN + string functions (upper/substring/replace/length/
+    LIKE) — all impossible on the reference's hashed strings."""
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.when(F.col("p_size") < 10, "small")
+        .when(F.col("p_size") < 30, "medium")
+        .otherwise("large")
+        .alias("size_class"),
+        F.upper(F.substring("p_name", 1, 8)).alias("name_prefix"),
+        F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit("B")).alias("brand_code"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.when(F.col("p_type").like("ECO%"), 1).otherwise(0).cast("long").alias("is_economy"),
+    )
+
+
+@register(
+    "q23_scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_discount - 0.05) AS disc_dev,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+           l_orderkey % 7 AS key_mod,
+           l_quantity * l_quantity AS qty_sq,
+           SQRT(l_extendedprice) AS price_sqrt
+    FROM lineitem WHERE l_orderkey < 200
+    """,
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar math surface (the reference's whole expression language is
+    +,-,*,/ on int64, executor.rs:411-441). abs/floor/ceil/mod are
+    exact; sqrt is IEEE correctly-rounded — all cross-engine stable."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+    )
+
+
+@register(
+    "q24_null_semantics",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS cnt_all,
+           COUNT(CASE WHEN o_totalprice >= 1000 THEN o_totalprice END) AS cnt_big,
+           {o_dsum('CASE WHEN o_totalprice >= 1000 THEN o_totalprice END')} AS sum_big,
+           CASE WHEN COUNT(CASE WHEN o_totalprice >= 1000 THEN o_totalprice END) = 0
+                THEN NULL
+                ELSE {o_dsum('CASE WHEN o_totalprice >= 1000 THEN o_totalprice END')}
+                     / COUNT(CASE WHEN o_totalprice >= 1000 THEN o_totalprice END)
+           END AS avg_big
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL three-valued logic: COUNT skips NULLs, SUM of all-NULL is
+    NULL. Deliberate upgrade over the reference's sentinel scheme
+    (arrow-interop/src/lib.rs:15-17, 'No NULL handling in joins'
+    README.md:411) — divergence documented in SURVEY.md §1.2."""
+    o = T(spark, sf_dir, "orders")
+    big = F.when(F.col("o_totalprice") >= 1000, F.col("o_totalprice"))
+    sum_big = F.sum(big.cast("decimal(18,4)")).cast("double")
+    cnt_big = F.count(big)
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("cnt_all"),
+        cnt_big.alias("cnt_big"),
+        sum_big.alias("sum_big"),
+        F.when(cnt_big == 0, F.lit(None)).otherwise(sum_big / cnt_big).alias("avg_big"),
+    )
+
+
+@register(
+    "q25_div_by_zero_null",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linenumber = 3 THEN NULL
+                ELSE l_extendedprice / (l_linenumber - 3) END AS ratio
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x/0 -> NULL (ANSI): the reference returns 0 (executor.rs:434) and
+    raw DuckDB float division returns inf — the oracle encodes the ANSI
+    expectation explicitly, which is what Spark's `/` produces."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") / (F.col("l_linenumber") - 3)).alias("ratio"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Subqueries / CTE / DISTINCT (reference limitation README.md:409)
+# ---------------------------------------------------------------------
+
+
+@register(
+    "q26_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT — hash-aggregate based dedup on narrow columns."""
+    return T(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@register(
+    "q27_in_subquery",
+    oracle="""
+    SELECT COUNT(*) AS cnt FROM orders
+    WHERE o_custkey IN (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    """,
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (reference: 'no subqueries' README.md:409). Catalyst
+    rewrites to a left-semi join; run through spark.sql to exercise the
+    SQL entry point (lib.rs:52-68 analog)."""
+    T(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    T(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS cnt FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+        """
+    )
+
+
+@register(
+    "q28_scalar_subquery",
+    oracle=f"""
+    SELECT COUNT(*) AS cnt FROM orders
+    WHERE o_totalprice > (
+        SELECT {o_dsum('o_totalprice')} / COUNT(*) FROM orders
+    )
+    """,
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above the mean price. The mean is the
+    deterministic decimal-exact double on both engines, so the
+    boundary comparison cannot flake."""
+    T(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS cnt FROM orders
+        WHERE o_totalprice > (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+            FROM orders
+        )
+        """
+    )
+
+
+@register(
+    "q29_cte",
+    oracle=f"""
+    WITH cust_totals AS (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               {o_dsum('o_totalprice')} AS spent
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(n_orders) AS BIGINT) AS total_orders,
+           {o_dsum('spent')} AS segment_spend
+    FROM cust_totals JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE + two-level aggregation (reference: 'no CTEs' README.md:409)."""
+    T(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    T(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH cust_totals AS (
+            SELECT o_custkey, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spent
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT c_mktsegment,
+               COUNT(*) AS n_customers,
+               CAST(SUM(n_orders) AS BIGINT) AS total_orders,
+               CAST(SUM(CAST(spent AS DECIMAL(18,4))) AS DOUBLE) AS segment_spend
+        FROM cust_totals JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+# ---------------------------------------------------------------------
+# Range join (beyond reference: nested-loop joins listed as unbuilt
+# contribution idea, README.md:421)
+# ---------------------------------------------------------------------
+
+# p_retailprice spans ~[900, 1000) in the fixtures
+_BANDS = [
+    ("budget", 0.0, 925.0),
+    ("standard", 925.0, 950.0),
+    ("premium", 950.0, 975.0),
+    ("luxury", 975.0, 10_000_000.0),
+]
+
+
+@register(
+    "q30_range_join",
+    oracle=f"""
+    SELECT band_name, COUNT(*) AS cnt, {o_dsum('p_retailprice')} AS band_value
+    FROM part
+    JOIN (VALUES {", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _BANDS)})
+         AS bands(band_name, lo, hi)
+      ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band_name
+    """,
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join against a tiny in-memory band dimension:
+    broadcast nested-loop in Spark — the join class the reference lists
+    only as a roadmap idea (README.md:421). The bands side is O(1) so
+    the fact side streams without a shuffle."""
+    p = T(spark, sf_dir, "part")
+    bands = spark.createDataFrame(_BANDS, "band_name string, lo double, hi double")
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band_name")
+        .agg(F.count("*").alias("cnt"), dsum("p_retailprice", "band_value"))
+    )

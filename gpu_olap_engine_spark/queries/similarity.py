@@ -1,0 +1,149 @@
+"""Similarity-search queries over ``embeddings`` + DuckDB oracles.
+
+Oracle determinism: both engines sum identical DECIMAL(38,18) terms
+(exact, order-independent), then do IEEE sqrt/divide — see
+operators/similarity.py. The oracle unnests by index; Spark folds the
+array. Same terms, same result bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpu_olap_engine_spark.operators import similarity as S
+from gpu_olap_engine_spark.queries import register
+from gpu_olap_engine_spark.queries.tables import T
+
+# Integer-quantized cosine terms for pair (av, bv), unnested by index
+# i (DuckDB lists are 1-based): floor(x*y*1e12) as BIGINT, summed
+# exactly — the twin of operators.similarity._fold_scaled.
+_TERMS = """
+terms AS (
+    SELECT {keys},
+           CAST(floor(CAST(av[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE) * 1e12) AS BIGINT) AS txy,
+           CAST(floor(CAST(av[i] AS DOUBLE) * CAST(av[i] AS DOUBLE) * 1e12) AS BIGINT) AS txx,
+           CAST(floor(CAST(bv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE) * 1e12) AS BIGINT) AS tyy
+    FROM pairs, unnest(generate_series(1, len(av))) AS t(i)
+),
+scored AS (
+    SELECT {keys},
+           CAST(SUM(txy) AS DOUBLE)
+           / (sqrt(CAST(SUM(txx) AS DOUBLE)) * sqrt(CAST(SUM(tyy) AS DOUBLE)))
+               AS cosine
+    FROM terms GROUP BY {keys}
+)
+"""
+
+
+@register(
+    "sim_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS av FROM embeddings
+               WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS bv FROM embeddings),
+    pairs AS (SELECT query_id, neighbor_id, av, bv FROM q JOIN c
+              ON neighbor_id != query_id),
+    {_TERMS.format(keys="query_id, neighbor_id")},
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+               ) AS BIGINT) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 10
+    """,
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for query vectors vec_id<5:
+    broadcast the query set, stream the corpus, per-query window top-k.
+    The exact-recall baseline for the ANN variants below."""
+    emb = T(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10
+    ).withColumnRenamed("rank", "rnk")
+
+
+@register(
+    "sim_bucketed_ann",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, embedding,
+               CAST((CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END)
+                  + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+                  + (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS av, bucket FROM b
+          WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS bv, bucket FROM b),
+    pairs AS (SELECT query_id, neighbor_id, av, bv FROM q JOIN c USING (bucket)
+              WHERE neighbor_id != query_id),
+    {_TERMS.format(keys="query_id, neighbor_id")},
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+               ) AS BIGINT) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def sim_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: sign-bit coarse quantizer (3 leading dims -> 8
+    buckets) prunes the corpus ~8x before exact scoring; top-5 within
+    the query's bucket. At 100 TB the corpus is written partitioned by
+    bucket so a probe is a single-partition scan."""
+    emb = T(spark, sf_dir, "embeddings")
+    return S.bucketed_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, bits=3
+    ).withColumnRenamed("rank", "rnk")
+
+
+@register(
+    "sim_near_dup_pairs",
+    oracle=f"""
+    WITH a AS (SELECT vec_id AS id_a, embedding AS av FROM embeddings),
+    b2 AS (SELECT vec_id AS id_b, embedding AS bv FROM embeddings),
+    pairs AS (SELECT id_a, id_b, av, bv FROM a JOIN b2 ON id_a < id_b),
+    {_TERMS.format(keys="id_a, id_b")}
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.45
+    """,
+)
+def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (>= 0.45): the
+    embedding-space analog of MinHash dedup. Exact all-pairs here;
+    the production path pre-buckets (sim_bucketed_ann) to stay
+    sub-quadratic."""
+    return S.near_dup_pairs(T(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+@register("sim_random_hyperplane_lsh", oracle=None)
+def sim_random_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library ANN path: pyspark.ml BucketedRandomProjectionLSH
+    (seeded -> reproducible within Spark, but hyperplanes are
+    JVM-random so there is no cross-engine oracle; the driver records
+    a rows-only check). Returns approx self-join pairs within
+    euclidean distance 8.0."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=42
+    )
+    model = lsh.fit(emb)
+    pairs = model.approxSimilarityJoin(emb, emb, 8.0, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("id_a"),
+            F.col("datasetB.vec_id").alias("id_b"),
+            F.col("dist"),
+        )
+    )

@@ -1,0 +1,76 @@
+"""Shared helpers for query implementations.
+
+Cross-engine determinism rules (Spark result must value-hash equal to
+the DuckDB oracle's):
+
+* Floating-point SUM/AVG depend on accumulation order, which differs
+  between engines (and between runs under AQE). We therefore aggregate
+  doubles through exact DECIMAL arithmetic and cast the final value
+  back to DOUBLE — bit-identical on both engines. A double is never
+  exactly halfway between two DECIMAL(,4) values, so the initial cast
+  rounds identically everywhere.
+* Computed integers are cast to BIGINT on both sides (Spark ``year()``
+  is 32-bit, DuckDB's is 64-bit).
+* Timestamps in output are converted to epoch seconds (BIGINT) where
+  practical to dodge datetime unit mismatches.
+* Every ORDER BY ... LIMIT has a unique tiebreaker column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table. Plain parquet scan: Catalyst pushes
+    filters and prunes columns into it (verified in tests/test_plans).
+
+    events.ts is parquet TIMESTAMP(NANOS), which Spark rejects outright
+    (PARQUET_TYPE_ILLEGAL); it is read as an int64 of nanoseconds
+    (nanosAsLong) and truncated to a microsecond TimestampType — the
+    same truncation DuckDB applies casting TIMESTAMP_NS -> TIMESTAMP.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dsum(c: str | Column, alias: str, scale: int = 4) -> Column:
+    """Exact SUM over doubles: decimal-accumulate, emit double.
+
+    Oracle twin: CAST(SUM(CAST(x AS DECIMAL(18,scale))) AS DOUBLE).
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+
+
+def davg(c: str | Column, alias: str, scale: int = 4) -> Column:
+    """Exact AVG: decimal sum cast to double, divided by count.
+
+    Oracle twin: CAST(SUM(CAST(x AS DECIMAL(18,scale))) AS DOUBLE)
+                 / COUNT(x).
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return (
+        F.sum(col.cast(f"decimal(18,{scale})")).cast("double") / F.count(col)
+    ).alias(alias)
+
+
+def o_dsum(expr: str, scale: int = 4) -> str:
+    """DuckDB-side twin of dsum (SQL fragment, unaliased)."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+def o_davg(expr: str, scale: int = 4) -> str:
+    """DuckDB-side twin of davg (SQL fragment, unaliased)."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) / COUNT({expr})"

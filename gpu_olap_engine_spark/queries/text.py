@@ -1,0 +1,157 @@
+"""Text-analysis queries over ``documents`` + DuckDB oracles.
+
+All heuristics are deterministic integer/ratio arithmetic, replicated
+verbatim in the oracle SQL (same marker lists, same formula constants
+— imported from operators.text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpu_olap_engine_spark.operators import text as X
+from gpu_olap_engine_spark.queries import register
+from gpu_olap_engine_spark.queries.tables import T
+
+_WORDS = r"string_split_regex(lower(trim(text)), '\s+')"
+_HASH = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+def _in_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, n_chars, {_WORDS} AS words FROM documents)
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(words, t -> length(t))) AS BIGINT)
+               AS n_token_chars,
+           CAST(list_sum(list_transform(words,
+                t -> CAST(ceil(length(regexp_replace(t, '[^\\p{{L}}\\p{{N}}]', '', 'g')) / 4)
+                     AS BIGINT))) AS BIGINT) AS n_subwords,
+           CAST(list_sum(list_transform(words, t -> length(t))) AS DOUBLE)
+               / len(words) AS avg_token_len,
+           n_chars
+    FROM w
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, token chars, BPE-ish subword
+    estimate (ceil(alnum_len/4) per word), average token length.
+    Pure codegen expressions — no Python in the hot path."""
+    docs = T(spark, sf_dir, "documents")
+    toks = X.tokenize(F.col("text"))
+    tok_chars = F.aggregate(
+        F.transform(toks, F.length),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x.cast("long"),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        tok_chars.alias("n_token_chars"),
+        X.bpe_ish_token_count(F.col("text")).alias("n_subwords"),
+        (tok_chars.cast("double") / F.size(toks)).alias("avg_token_len"),
+        "n_chars",
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, text, {_WORDS} AS words FROM documents),
+    feat AS (
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(words,
+                    t -> t IN ({_in_list(X.STOPWORDS)}))) AS BIGINT) AS n_stopwords,
+               CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT)
+                   AS n_punct,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM w
+    )
+    SELECT doc_id, n_tokens, n_stopwords, n_punct,
+           CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+           0.5 * (CAST(n_stopwords AS DOUBLE) / n_tokens)
+           + 0.3 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100)
+           + 0.2 * (1 - CAST(n_punct AS DOUBLE) / n_chars) AS quality_score
+    FROM feat
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality features (stopword/punct/length ratios) and a
+    composite score — the standard cheap pre-filter in training-data
+    pipelines."""
+    return X.quality_features(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _langid_oracle() -> str:
+    scores = ",\n               ".join(
+        f"CAST(len(list_filter(words, t -> t IN ({_in_list(m)}))) AS BIGINT) AS s_{lang}"
+        for lang, m in X.LANG_MARKERS.items()
+    )
+    langs = list(X.LANG_MARKERS)
+    whens = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = []
+        for j, other in enumerate(langs):
+            if other == lang:
+                continue
+            op = ">=" if j > i else ">"
+            conds.append(f"s_{lang} {op} s_{other}")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{langs[-1]}' END"
+    return f"""
+    WITH w AS (SELECT doc_id, lang, {_WORDS} AS words FROM documents),
+    scored AS (
+        SELECT doc_id, lang,
+               {scores}
+        FROM w
+    )
+    SELECT doc_id, lang AS labeled_lang, {case} AS predicted_lang
+    FROM scored
+    """
+
+
+@register("text_langid", oracle=_langid_oracle())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (n-gram heuristic): argmax of per-lang
+    stopword hits, ties broken in a fixed lang order. Emitted next to
+    the fixture's label column for accuracy eyeballing."""
+    docs = T(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        X.predict_lang(F.col("text")).alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    pos AS (
+        SELECT doc_id, i, words[i] AS word
+        FROM w, unnest(generate_series(1, len(words))) AS t(i)
+    ),
+    terms AS (
+        SELECT doc_id,
+               (({_HASH.format(x='word')} % {X.FP_P}) * ((i - 1) % 64 + 1))
+                   % {X.FP_P} AS term
+        FROM pos
+    )
+    SELECT doc_id, CAST(SUM(term) % {X.FP_P} AS BIGINT) AS fingerprint
+    FROM terms GROUP BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-sensitive rolling-hash document fingerprint (31-bit):
+    order-independent exact integer sum, so it distributes — see
+    operators.text.fingerprint."""
+    docs = T(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.fingerprint(F.col("text")).alias("fingerprint"))

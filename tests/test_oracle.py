@@ -1,0 +1,75 @@
+"""Differential oracle harness: every registered query runs on Spark
+AND DuckDB over the sf0.01 fixtures; results must match exactly
+(row count, column names, values — order-insensitive).
+
+This mirrors the driver's CORRECTNESS gate, so failures here predict
+failures there. Value comparison is EXACT (rtol=0): the queries are
+engineered for bit-identical floats (decimal-exact aggregation,
+IEEE-deterministic scalar ops — see queries/tables.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from gpu_olap_engine_spark.queries import load_all
+from tests.conftest import SF_ORACLE
+
+REGISTRY = load_all()
+ORACLE_CASES = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
+ROWS_ONLY_CASES = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name and rows by value so comparison is
+    order-insensitive (the driver hashes the same way)."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), na_position="first").reset_index(
+            drop=True
+        )
+    return df
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: column names differ: {sorted(spark_pdf.columns)} vs "
+        f"{sorted(duck_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} vs {len(duck_pdf)}"
+    )
+    s, d = normalize(spark_pdf), normalize(duck_pdf)
+    for col in s.columns:
+        sv, dv = s[col].tolist(), d[col].tolist()
+        for i, (a, b) in enumerate(zip(sv, dv)):
+            a_null = a is None or (isinstance(a, float) and math.isnan(a))
+            b_null = b is None or (isinstance(b, float) and math.isnan(b))
+            if a_null or b_null:
+                assert a_null and b_null, f"{name}.{col}[{i}]: {a!r} != {b!r}"
+                continue
+            if isinstance(a, float) or isinstance(b, float):
+                assert float(a) == float(b), (
+                    f"{name}.{col}[{i}]: {a!r} != {b!r} (delta={float(a) - float(b)})"
+                )
+            else:
+                assert str(a) == str(b), f"{name}.{col}[{i}]: {a!r} != {b!r}"
+
+
+@pytest.mark.parametrize("name", ORACLE_CASES)
+def test_oracle_match(spark, duck, name):
+    q = REGISTRY[name]
+    spark_pdf = q.fn(spark, SF_ORACLE).toPandas()
+    duck_pdf = duck.sql(q.oracle).df()
+    assert_frames_match(spark_pdf, duck_pdf, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_CASES)
+def test_rows_only_runs(spark, name):
+    q = REGISTRY[name]
+    df = q.fn(spark, SF_ORACLE)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
