@@ -50,6 +50,7 @@ def load_all() -> dict[str, Query]:
         from gpu_olap_engine_spark.queries import (  # noqa: F401
             dedup,
             events,
+            multimodal,
             relational,
             similarity,
             text,

@@ -1,0 +1,107 @@
+"""Multimodal queries: binary payload + metadata pipeline over assets
+synthesized deterministically from ``documents`` (see
+operators/multimodal.py). Everything except the codec UDF stage is
+plain SQL, so inventory / resize / frame-sample are oracle-checked;
+the mapInPandas decode+featurize stage is rows-only (Python UDF, not
+SQL-expressible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpu_olap_engine_spark.operators import multimodal as M
+from gpu_olap_engine_spark.queries import register
+from gpu_olap_engine_spark.queries.tables import T
+
+# doc_id % 3 -> modality, payload = utf-8 text bytes (synth_assets twin)
+_ASSETS = """
+assets AS (
+    SELECT doc_id AS asset_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           octet_length(encode(text)) AS n_bytes,
+           n_chars % 1920 + 1 AS width,
+           n_chars % 1080 + 1 AS height,
+           n_chars * 10 AS duration_ms
+    FROM documents
+)
+"""
+
+
+@register(
+    "mm_inventory",
+    oracle=f"""
+    WITH {_ASSETS}
+    SELECT modality, COUNT(*) AS n_assets,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(MAX(width) AS BIGINT) AS max_width
+    FROM assets GROUP BY modality
+    """,
+)
+def mm_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset inventory over binary columns: modality counts, payload
+    bytes, metadata extrema — the catalog pass of a multimodal
+    pipeline (binary columns are representable-for-free in Spark; the
+    reference rejects them, schema_utils.rs:29-33)."""
+    assets = M.synth_assets(T(spark, sf_dir, "documents"))
+    return assets.groupBy("modality").agg(
+        F.count("*").alias("n_assets"),
+        F.sum(F.length("data")).cast("long").alias("total_bytes"),
+        F.max("width").cast("long").alias("max_width"),
+    )
+
+
+@register(
+    "mm_resize_plan",
+    oracle=f"""
+    WITH {_ASSETS}
+    SELECT asset_id,
+           CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(greatest(floor(width * least(224.0 / width, 224.0 / height, 1.0)), 1)
+                AS BIGINT) AS target_w,
+           CAST(greatest(floor(height * least(224.0 / width, 224.0 / height, 1.0)), 1)
+                AS BIGINT) AS target_h
+    FROM assets WHERE modality = 'image'
+    """,
+)
+def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning (metadata arithmetic,
+    JVM-side; the pixel transform itself is the stubbed codec UDF)."""
+    assets = M.synth_assets(T(spark, sf_dir, "documents"))
+    return M.resize_images(assets).select(
+        "asset_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "target_w",
+        "target_h",
+    )
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH {_ASSETS}
+    SELECT asset_id, CAST(unnest(generate_series(0, duration_ms - 1, 1000)) AS BIGINT)
+               AS frame_ts_ms
+    FROM assets WHERE modality = 'video'
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: one row per 1000 ms sample point
+    (explode of a sequence — narrow, shuffle-free)."""
+    assets = M.synth_assets(T(spark, sf_dir, "documents"))
+    return M.sample_frames(assets, every_ms=1000).select(
+        "asset_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+    )
+
+
+@register("mm_decode_features", oracle=None)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode + featurize (codec stubbed —
+    deterministic fake decode; see operators.multimodal._decode_stub).
+    Python stage -> rows-only check."""
+    assets = M.synth_assets(T(spark, sf_dir, "documents"))
+    return M.decode_and_featurize(assets)

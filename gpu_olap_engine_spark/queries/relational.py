@@ -110,18 +110,20 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT COUNT(*) AS cnt
     FROM orders JOIN customer ON o_custkey = c_custkey
-    WHERE o_totalprice > 1000
+    WHERE o_totalprice > 300000
     """,
 )
 def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regression probe for the reference optimizer bug that silently
     DROPS a predicate above a join (optimizer.rs:44-53). Catalyst
-    instead pushes it below the join into the scan."""
+    instead pushes it below the join into the scan. The threshold is
+    selective (~40% of orders) so a dropped predicate changes the
+    count."""
     orders = T(spark, sf_dir, "orders")
     customer = T(spark, sf_dir, "customer")
     return (
         orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .filter(F.col("o_totalprice") > 1000)
+        .filter(F.col("o_totalprice") > 300000)
         .agg(F.count("*").alias("cnt"))
     )
 

@@ -1,0 +1,77 @@
+"""Source/sink surface.
+
+The reference reads Parquet only and has NO writers (its parser
+rejects non-SELECT, gpu-olap-core/src/parser.rs:18-21; results go to
+driver RAM as Arrow). This module rounds out the I/O surface:
+parquet/csv/json readers, and writers with the partitioning knobs
+that matter at 100 TB (partitionBy for pruning, maxRecordsPerFile
+against giant files, bucketing for shuffle-free joins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+READ_FORMATS = ("parquet", "csv", "json")
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: StructType | None = None,
+    **options: str,
+) -> DataFrame:
+    """Format-dispatched reader. CSV defaults to header+inferSchema
+    unless a schema is given (at scale ALWAYS pass a schema: inference
+    is an extra full scan)."""
+    if fmt not in READ_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {READ_FORMATS}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt == "csv":
+        options.setdefault("header", "true")
+        options.setdefault("inferSchema", "true")
+    return reader.options(**options).format(fmt).load(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    **options: str,
+) -> None:
+    """Writer with scale knobs: ``partition_by`` gives directory-level
+    partition pruning to every downstream reader; ``max_records_per_file``
+    bounds file size so a single task never produces a multi-GB file."""
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    writer = df.write.mode(mode).format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.options(**options).save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: co-locates both sides of a recurring
+    equi-join so it runs WITHOUT a shuffle — the persistent analog of
+    the reference's radix partitioning (join_kernels.cuh:45-76), done
+    once at write time instead of per query."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

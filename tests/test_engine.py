@@ -1,0 +1,98 @@
+"""Engine facade: catalog behavior, entry points, config mapping
+(reference API parity — lib.rs:52-78, catalog.rs:32-116,
+README.md:288-315)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from gpu_olap_engine_spark.config import EngineConfig
+from gpu_olap_engine_spark.engine import OlapEngine
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    eng = OlapEngine(EngineConfig(shuffle_partitions=8), spark=spark)
+    eng.load_table("orders", f"{SF_SMALL}/orders.parquet")
+    eng.load_table("customer", f"{SF_SMALL}/customer.parquet")
+    return eng
+
+
+def test_load_table_metadata(engine):
+    meta = engine._catalog["orders"]
+    assert meta.row_count == 1500
+    assert meta.cached  # under the 10M-row cache threshold
+    assert "o_orderkey" in [f.name for f in meta.schema.fields]
+
+
+def test_execute_query_canonical(engine):
+    """The reference README's canonical query (README.md:272-282)."""
+    pdf = engine.execute_query(
+        """
+        SELECT c_name, COUNT(*) AS cnt, SUM(o_totalprice) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_name ORDER BY total DESC LIMIT 5
+        """
+    ).to_pandas()
+    assert len(pdf) == 5
+    assert list(pdf.columns) == ["c_name", "cnt", "total"]
+    assert pdf["total"].is_monotonic_decreasing
+
+
+def test_catalog_introspection(engine):
+    assert set(engine.list_tables()) >= {"orders", "customer"}
+    assert engine.get_table_schema("orders").fieldNames()[0] == "o_orderkey"
+    with pytest.raises(KeyError):
+        engine.get_table_schema("nonexistent")  # catalog.rs:123-127 analog
+
+
+def test_drop_table(engine):
+    engine.load_table("region_tmp", f"{SF_SMALL}/region.parquet")
+    assert "region_tmp" in engine.list_tables()
+    engine.drop_table("region_tmp")
+    assert "region_tmp" not in engine.list_tables()
+
+
+def test_query_pandas_roundtrip(engine):
+    """README.md:288-293: pandas in, SQL over view `df`, pandas out."""
+    pdf = pd.DataFrame({"id": [1, 2, 3, 4], "cat": list("ABAB"), "v": [1.0, 2.0, 3.0, 4.0]})
+    out = engine.query_pandas(
+        pdf, "SELECT cat, SUM(v) AS sv FROM df GROUP BY cat ORDER BY cat"
+    )
+    assert out["sv"].tolist() == [4.0, 6.0]
+    # the temp view is cleaned up afterwards
+    assert "df" not in [t.name for t in engine.spark.catalog.listTables()]
+
+
+def test_query_arrow_roundtrip(engine):
+    import pyarrow as pa
+
+    t = pa.table({"x": [1, 2, 3], "g": ["a", "a", "b"]})
+    out = engine.query_arrow(t, "SELECT g, COUNT(*) AS c FROM df GROUP BY g ORDER BY g")
+    assert out.to_pydict() == {"g": ["a", "b"], "c": [2, 1]}
+
+
+def test_result_write_parquet_roundtrip(engine, tmp_path):
+    path = str(tmp_path / "out.parquet")
+    engine.execute_query("SELECT * FROM orders WHERE o_totalprice > 400000").write_parquet(path)
+    back = engine.spark.read.parquet(path)
+    assert back.count() == engine.execute_query(
+        "SELECT COUNT(*) AS c FROM orders WHERE o_totalprice > 400000"
+    ).collect()[0]["c"]
+
+
+def test_config_disables_cache(spark):
+    eng = OlapEngine(EngineConfig(enable_cache=False), spark=spark)
+    meta = eng.load_table("nation_nc", f"{SF_SMALL}/nation.parquet")
+    assert not meta.cached
+    eng.drop_table("nation_nc")
+
+
+def test_config_spark_confs():
+    confs = EngineConfig(batch_size=5000, shuffle_partitions=16).spark_confs()
+    assert confs["spark.sql.execution.arrow.maxRecordsPerBatch"] == "5000"
+    assert confs["spark.sql.shuffle.partitions"] == "16"
+    assert confs["spark.sql.adaptive.enabled"] == "true"
+    assert confs["spark.sql.ansi.enabled"] == "false"

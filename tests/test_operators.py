@@ -1,0 +1,198 @@
+"""Operator-level semantics: dedup recall, similarity correctness vs
+numpy, text heuristics on known inputs, multimodal plumbing, sources."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gpu_olap_engine_spark.operators import dedup as D
+from gpu_olap_engine_spark.operators import multimodal as M
+from gpu_olap_engine_spark.operators import similarity as S
+from gpu_olap_engine_spark.operators import text as X
+from gpu_olap_engine_spark.sources import read_table, write_table
+from tests.conftest import SF_ORACLE, SF_SMALL
+
+# ---------------------------------------------------------------- dedup
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """LSH must find every pair the exact O(n^2)-style baseline finds
+    at jaccard >= 0.5 (planted near-dups are ~0.99, far above the
+    banding threshold, so recall must be 100%)."""
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert exact, "fixtures should contain planted near-dup pairs"
+    assert lsh == exact
+
+
+def test_simhash_near_for_planted_dups(spark):
+    """Planted near-dup pairs must have small simhash hamming
+    distance; random pairs average ~16 bits on 32."""
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    pairs = D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
+    sh = D.simhash(docs, "doc_id", "text")
+    a = sh.withColumnRenamed("id", "id_a").withColumnRenamed("simhash", "sh_a")
+    b = sh.withColumnRenamed("id", "id_b").withColumnRenamed("simhash", "sh_b")
+    joined = pairs.join(a, "id_a").join(b, "id_b").collect()
+    assert joined
+    for r in joined:
+        hamming = bin(r["sh_a"] ^ r["sh_b"]).count("1")
+        assert hamming <= 6, f"near-dup pair {r['id_a']},{r['id_b']} hamming={hamming}"
+
+
+def test_exact_dedup_drops_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "y")], "id int, v string"
+    )
+    assert D.exact_dedup(df, ["id", "v"]).count() == 2
+
+
+# ------------------------------------------------------------ similarity
+
+
+def test_cosine_matches_numpy(spark):
+    """Engine cosine vs independent numpy recomputation (1e-9: the
+    1e-12 term quantization bounds the divergence)."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    rows = S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 2), k=3).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    for r in rows:
+        a, b = vecs[r["query_id"]], vecs[r["neighbor_id"]]
+        expected = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert math.isclose(r["cosine"], expected, rel_tol=0, abs_tol=1e-9)
+
+
+def test_bucketed_ann_recall(spark):
+    """Same-bucket top-5 must overlap the exact top-5 substantially
+    in expectation; assert a conservative floor (>= 20% across the
+    query set) plus structural sanity."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(emb, queries, k=5).collect()
+    approx = S.bucketed_topk(emb, queries, k=5, bits=3).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert approx_set, "bucketed search returned nothing"
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.2, f"recall {recall:.2f}"
+
+
+def test_sign_bucket_range(spark):
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    buckets = emb.select(S.sign_bucket(F.col("embedding"), 3).alias("b")).distinct()
+    vals = {r["b"] for r in buckets.collect()}
+    assert vals <= set(range(8)) and len(vals) > 1
+
+
+# ------------------------------------------------------------------ text
+
+
+def test_langid_on_known_sentences(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is warm"),
+            (2, "el gato que vive en la casa y los perros"),
+            (3, "le chat et les chiens dans la maison des amis"),
+            (4, "der hund und die katze das ist nicht ein problem"),
+        ],
+        "id int, text string",
+    )
+    got = {
+        r["id"]: r["lang"]
+        for r in df.select("id", X.predict_lang(F.col("text")).alias("lang")).collect()
+    }
+    assert got == {1: "en", 2: "es", 3: "fr", 4: "de"}
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "  hello   world  foo ")], "id int, text string")
+    n = df.select(X.token_count(F.col("text")).alias("n")).collect()[0]["n"]
+    assert n == 3
+
+
+def test_fingerprint_is_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "id int, text string",
+    )
+    fps = [
+        r["fp"]
+        for r in df.select(X.fingerprint(F.col("text")).alias("fp")).collect()
+    ]
+    assert fps[0] == fps[2] and fps[0] != fps[1]
+
+
+def test_quality_score_bounds(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    rows = X.quality_features(docs, "doc_id", "text").collect()
+    assert all(0.0 <= r["quality_score"] <= 1.0 for r in rows)
+
+
+# ------------------------------------------------------------ multimodal
+
+
+def test_multimodal_decode_features_shape(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    out = M.decode_and_featurize(M.synth_assets(docs)).collect()
+    assert len(out) == docs.count()
+    for r in out[:10]:
+        assert len(r["feature"]) == M.FEATURE_DIM
+        assert math.isclose(sum(r["feature"]), 1.0, abs_tol=1e-6)
+        assert r["n_bytes"] > 0
+
+
+def test_multimodal_decode_strict_raises(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(1)
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        M.decode_and_featurize(M.synth_assets(docs), strict=True).collect()
+
+
+def test_decode_is_deterministic():
+    payload = b"some asset bytes"
+    assert M._decode_stub(payload, "image") == M._decode_stub(payload, "image")
+    f = M._bytes_feature(payload)
+    assert len(f) == M.FEATURE_DIM and math.isclose(sum(f), 1.0, abs_tol=1e-9)
+
+
+# --------------------------------------------------------------- sources
+
+
+def test_write_read_roundtrip_formats(spark, tmp_path):
+    df = spark.read.parquet(f"{SF_SMALL}/nation.parquet")
+    for fmt in ("parquet", "csv", "json"):
+        path = str(tmp_path / fmt)
+        write_table(df, path, fmt=fmt)
+        back = read_table(spark, path, fmt=fmt)
+        assert back.count() == df.count()
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    df = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    path = str(tmp_path / "orders_by_status")
+    write_table(df, path, partition_by=["o_orderstatus"])
+    back = read_table(spark, path).filter(F.col("o_orderstatus") == "F")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain()
+    assert "PartitionFilters" in buf.getvalue()
+    assert back.count() == df.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_read_table_rejects_unknown_format(spark):
+    with pytest.raises(ValueError, match="unsupported format"):
+        read_table(spark, "/tmp/x", fmt="avro")

@@ -1,0 +1,86 @@
+"""Streaming pipelines: run file-source streams to completion
+(availableNow) and assert parity with the batch twins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gpu_olap_engine_spark.queries import load_all
+from gpu_olap_engine_spark.streaming import (
+    dedup_stream,
+    read_events_stream,
+    session_counts,
+    windowed_counts,
+)
+from tests.conftest import SF_SMALL
+
+
+def run_to_memory(df, name: str, mode: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_windowed_counts_matches_batch(spark):
+    stream = read_events_stream(spark, SF_SMALL)
+    run_to_memory(windowed_counts(stream), "wc", "complete")
+    got = {
+        (r["bucket_start"], r["event_type"]): (r["cnt"], r["sum_value"])
+        for r in spark.table("wc").collect()
+    }
+    batch = load_all()["q32_tumbling_window"].fn(spark, SF_SMALL).collect()
+    want = {
+        (r["bucket_start"], r["event_type"]): r["cnt"] for r in batch
+    }
+    assert set(got) == set(want)
+    for k, (cnt, _) in got.items():
+        assert cnt == want[k]
+
+
+def test_session_counts_total_events(spark):
+    stream = read_events_stream(spark, SF_SMALL)
+    run_to_memory(session_counts(stream), "sess", "complete")
+    rows = spark.table("sess").collect()
+    # every event lands in exactly one session
+    n_events = spark.read.parquet(f"{SF_SMALL}/events.parquet").count()
+    assert sum(r["n_events"] for r in rows) == n_events
+    # session count per user matches the batch sessionizer (q33)
+    batch = {
+        r["user_id"]: r["n_sessions"]
+        for r in load_all()["q33_sessionize"].fn(spark, SF_SMALL).collect()
+    }
+    stream_counts: dict[int, int] = {}
+    for r in rows:
+        stream_counts[r["user_id"]] = stream_counts.get(r["user_id"], 0) + 1
+    assert stream_counts == batch
+
+
+def test_dedup_stream_drops_duplicates(spark):
+    stream = read_events_stream(spark, SF_SMALL)
+    run_to_memory(dedup_stream(stream), "dd", "append")
+    out = spark.table("dd")
+    total = spark.read.parquet(f"{SF_SMALL}/events.parquet").count()
+    distinct_ids = out.select("event_id").distinct().count()
+    assert out.count() == distinct_ids  # no dup ids in output
+    assert distinct_ids <= total
+
+
+def test_sliding_window_covers_each_event_twice(spark):
+    stream = read_events_stream(spark, SF_SMALL)
+    run_to_memory(
+        windowed_counts(stream, window="20 minutes", slide="10 minutes"),
+        "sw",
+        "complete",
+    )
+    total = spark.read.parquet(f"{SF_SMALL}/events.parquet").count()
+    emitted = (
+        spark.table("sw").agg(F.sum("cnt").alias("s")).collect()[0]["s"]
+    )
+    assert emitted == 2 * total  # every event belongs to exactly 2 windows
