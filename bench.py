@@ -37,6 +37,9 @@ HEADLINE = [
     "q32_tumbling_window",
     "q33_sessionize",
     "q34_asof_join",
+    "q35_pivot",
+    "q37_pandas_udf_scalar",
+    "q39_apply_in_pandas",
     "dedup_exact_key",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -45,6 +48,8 @@ HEADLINE = [
     "text_token_stats",
     "text_quality_score",
     "text_fingerprint",
+    "mm_inventory",
+    "mm_decode_features",
 ]
 
 

@@ -70,10 +70,12 @@ def brute_force_topk(
     window rank (TakeOrdered shape). Ties broken by neighbor id.
     Returns (query_id, neighbor_id, cosine, rank).
     """
+    from gpu_olap_engine_spark.queries.tables import spread
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     scored = (
@@ -115,12 +117,14 @@ def bucketed_topk(
     partitioned by `bucket` so each probe prunes to one partition.
     Returns (query_id, neighbor_id, cosine, rank).
     """
+    from gpu_olap_engine_spark.queries.tables import spread
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         sign_bucket(F.col(vec_col), bits).alias("bucket"),
     )
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         sign_bucket(F.col(vec_col), bits).alias("bucket"),
@@ -152,7 +156,9 @@ def near_dup_pairs(
     Exact all-pairs at test scale; production would pre-bucket (see
     bucketed_topk) or LSH first. Returns (id_a, id_b, cosine).
     """
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    from gpu_olap_engine_spark.queries.tables import spread
+
+    a = spread(corpus).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))

@@ -54,6 +54,7 @@ def load_all() -> dict[str, Query]:
             relational,
             similarity,
             text,
+            udfs,
         )
 
         _LOADED = True

@@ -103,5 +103,8 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode + featurize (codec stubbed —
     deterministic fake decode; see operators.multimodal._decode_stub).
     Python stage -> rows-only check."""
+    # no spread: Python-worker spin-up per partition dominates at this
+    # payload size; real deployments inherit parallelism from input
+    # splits.
     assets = M.synth_assets(T(spark, sf_dir, "documents"))
     return M.decode_and_featurize(assets)

@@ -45,6 +45,19 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism.
+
+    Small-file inputs (one parquet file == one partition) serialize
+    CPU-heavy derivations like shingling or vector scoring onto a
+    single core; a cheap shuffle of the narrow input rows unlocks full
+    parallelism. At 100 TB inputs arrive in thousands of splits and
+    this becomes a no-op choice — callers use it only ahead of
+    compute-bound, per-row-expensive stages.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def dsum(c: str | Column, alias: str, scale: int = 4) -> Column:
     """Exact SUM over doubles: decimal-accumulate, emit double.
 

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from gpu_olap_engine_spark.operators import text as X
 from gpu_olap_engine_spark.queries import register
-from gpu_olap_engine_spark.queries.tables import T
+from gpu_olap_engine_spark.queries.tables import T, spread
 
 _WORDS = r"string_split_regex(lower(trim(text)), '\s+')"
 _HASH = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
@@ -43,7 +43,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens, token chars, BPE-ish subword
     estimate (ceil(alnum_len/4) per word), average token length.
     Pure codegen expressions — no Python in the hot path."""
-    docs = T(spark, sf_dir, "documents")
+    docs = spread(T(spark, sf_dir, "documents"))
     toks = X.tokenize(F.col("text"))
     tok_chars = F.aggregate(
         F.transform(toks, F.length),
@@ -87,7 +87,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality features (stopword/punct/length ratios) and a
     composite score — the standard cheap pre-filter in training-data
     pipelines."""
-    return X.quality_features(T(spark, sf_dir, "documents"), "doc_id", "text")
+    return X.quality_features(spread(T(spark, sf_dir, "documents")), "doc_id", "text")
 
 
 def _langid_oracle() -> str:
@@ -123,7 +123,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID (n-gram heuristic): argmax of per-lang
     stopword hits, ties broken in a fixed lang order. Emitted next to
     the fixture's label column for accuracy eyeballing."""
-    docs = T(spark, sf_dir, "documents")
+    docs = spread(T(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -153,5 +153,5 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Position-sensitive rolling-hash document fingerprint (31-bit):
     order-independent exact integer sum, so it distributes — see
     operators.text.fingerprint."""
-    docs = T(spark, sf_dir, "documents")
+    docs = spread(T(spark, sf_dir, "documents"))
     return docs.select("doc_id", X.fingerprint(F.col("text")).alias("fingerprint"))

@@ -1,0 +1,219 @@
+"""UDF/UDAF surface (SURVEY.md §2.10) + pivot/grouping-sets.
+
+The reference's only extension point is registering a custom CUDA
+kernel (README.md:354-378). The Spark-idiomatic equivalents:
+
+* scalar ``pandas_udf``        — vectorized per-row compute (Arrow)
+* GROUPED_AGG ``pandas_udf``   — custom aggregate (UDAF)
+* ``applyInPandas``            — grouped-map (per-group pandas logic)
+
+Each demo is engineered deterministic (IEEE elementwise math or
+integer quantization), so even the Python paths are oracle-checked —
+not just rows-only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from gpu_olap_engine_spark.queries import register
+from gpu_olap_engine_spark.queries.tables import T
+
+# ------------------------------------------------------------- pivot
+
+
+@register(
+    "q35_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long->wide) with explicit value list — one aggregation
+    pass, no per-value scans. Missing combinations coalesce to 0 to
+    match FILTER-count semantics."""
+    pivoted = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))  # count(*) is rejected inside a pivot agg
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in ("F", "O", "P")],
+    )
+
+
+@register(
+    "q36_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of rollup/cube —
+    absent from the reference's single-GROUP-BY parser)."""
+    T(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+# --------------------------------------------------- pandas UDF (scalar)
+# (UDFs are built lazily: pandas_udf needs a live SparkSession to
+# resolve its return type, and the registry imports session-free.)
+
+
+def _charge_udf():
+    @pandas_udf("double")
+    def charge(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        # numpy elementwise doubles: same IEEE ops, same order as the
+        # SQL expression — bit-identical to the oracle.
+        return price * (1 - disc) * (1 + tax)
+
+    return charge
+
+
+@register(
+    "q37_pandas_udf_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+    FROM lineitem WHERE l_orderkey < 200
+    """,
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas_udf (Arrow-batched — the 10-100x-
+    faster path vs row-at-a-time Python UDFs). Demo is IEEE-identical
+    to the pure-SQL expression, proving the Arrow round-trip is
+    lossless."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        _charge_udf()("l_extendedprice", "l_discount", "l_tax").alias("charge"),
+    )
+
+
+# ----------------------------------------------- pandas UDF (grouped agg)
+
+
+def _qsum10k_udf():
+    @pandas_udf("long")
+    def qsum10k(v: pd.Series) -> int:
+        # floor(x*10000) as int64, summed exactly: the UDAF twin of
+        # the engine's quantized-sum rule (relational._qsum).
+        return int(np.floor(v.to_numpy() * 10000).astype("int64").sum())
+
+    return qsum10k
+
+
+@register(
+    "q38_pandas_udaf",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(floor(l_extendedprice * 10000) AS BIGINT)) AS BIGINT)
+               AS price_q
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate as a GROUPED_AGG pandas_udf (UDAF surface):
+    partial batches stream through Arrow per group."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(_qsum10k_udf()("l_extendedprice").alias("price_q"))
+    )
+
+
+# --------------------------------------------------------- applyInPandas
+
+
+def _order_gaps(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(["o_orderdate", "o_orderkey"])
+    n = len(pdf)
+    total_gap = (
+        int((pdf["o_orderdate"].iloc[-1] - pdf["o_orderdate"].iloc[0]).days)
+        if n > 1
+        else 0
+    )
+    return pd.DataFrame(
+        {
+            "o_custkey": [pdf["o_custkey"].iloc[0]],
+            "n_orders": [n],
+            "total_gap_days": [total_gap],
+            "mean_gap_days": [total_gap // (n - 1) if n > 1 else None],
+        }
+    )
+
+
+@register(
+    "q39_apply_in_pandas",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(date_diff('day', MIN(o_orderdate), MAX(o_orderdate)) AS BIGINT)
+               AS total_gap_days,
+           CASE WHEN COUNT(*) > 1 THEN
+               CAST(date_diff('day', MIN(o_orderdate), MAX(o_orderdate))
+                    // (COUNT(*) - 1) AS BIGINT)
+           END AS mean_gap_days
+    FROM orders WHERE o_custkey < 200 GROUP BY o_custkey
+    """,
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-customer inter-order gap stats
+    computed in pandas (sorted diffs telescope to max-min, so the SQL
+    oracle is exact). The grouped-map is the general custom-operator
+    escape hatch — one shuffle on the grouping key, then arbitrary
+    per-group Python over Arrow batches."""
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    return orders.select("o_custkey", "o_orderkey", "o_orderdate").groupBy(
+        "o_custkey"
+    ).applyInPandas(
+        _order_gaps,
+        "o_custkey long, n_orders long, total_gap_days long, mean_gap_days long",
+    )
+
+
+# ------------------------------------------------------------- sketches
+
+
+@register("q40_approx_distinct", oracle=None)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct sketch (approx_count_distinct): the
+    100 TB path where exact COUNT(DISTINCT) (q11) would shuffle every
+    distinct value. Sketch values are engine-specific -> rows-only
+    check; accuracy vs exact is asserted in tests/test_operators."""
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_uniq"))
+    )
+
+
+@register("q41_approx_quantiles", oracle=None)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate percentiles — single-pass,
+    mergeable (map-side combinable), unlike exact sorting percentiles.
+    Engine-specific values -> rows-only."""
+    return T(spark, sf_dir, "lineitem").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
+            "price_quantiles"
+        )
+    )

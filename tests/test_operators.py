@@ -89,6 +89,17 @@ def test_bucketed_ann_recall(spark):
     assert recall >= 0.2, f"recall {recall:.2f}"
 
 
+def test_hll_within_rsd_of_exact(spark):
+    """approx_count_distinct(rsd=0.02) must land within ~3 sigma of the
+    exact distinct count (q40's rows-only entry, accuracy-checked here)."""
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    exact = orders.select("o_custkey").distinct().count()
+    approx = orders.agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("a")
+    ).collect()[0]["a"]
+    assert abs(approx - exact) / exact < 0.06
+
+
 def test_sign_bucket_range(spark):
     emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
     buckets = emb.select(S.sign_bucket(F.col("embedding"), 3).alias("b")).distinct()

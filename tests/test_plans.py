@@ -8,20 +8,12 @@ sort+limit fused to TakeOrdered, aggregates partial+final.
 
 from __future__ import annotations
 
-import contextlib
-import io
-
+from gpu_olap_engine_spark.plans import plan_string as plan_of
+from gpu_olap_engine_spark.plans import scan_pushdown_report, shuffle_count
 from gpu_olap_engine_spark.queries import load_all
 from tests.conftest import SF_ORACLE
 
 REGISTRY = load_all()
-
-
-def plan_of(df, mode: str = "formatted") -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain(mode)
-    return buf.getvalue()
 
 
 def test_filter_and_projection_pushed_to_scan(spark):
@@ -73,3 +65,15 @@ def test_lsh_candidates_join_is_equi_not_cartesian(spark):
 def test_whole_stage_codegen_covers_scan_filter(spark):
     plan = plan_of(REGISTRY["q01_filter_project_topk"].fn(spark, SF_ORACLE), "simple")
     assert "*(1)" in plan  # codegen stage markers present
+
+
+def test_pushdown_report_helper(spark):
+    report = scan_pushdown_report(REGISTRY["q01_filter_project_topk"].fn(spark, SF_ORACLE))
+    assert any("GreaterThan(l_quantity" in line for line in report["pushed_filters"])
+    assert report["read_schemas"]
+
+
+def test_single_agg_query_has_one_shuffle(spark):
+    """q02 is scan -> partial agg -> exchange -> final agg: exactly one
+    exchange. A second one would mean the partial/final split broke."""
+    assert shuffle_count(REGISTRY["q02_groupby_aggregates"].fn(spark, SF_ORACLE)) == 1
