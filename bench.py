@@ -71,6 +71,43 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Micro-benchmarks matching the reference's two published shapes
+    # (BASELINE.md: int-key inner join, group-by aggregate) plus
+    # filter+scan, on generated data so the scale is meaningful:
+    #   micro_groupby_agg  : 100M rows -> 1M groups (count+sum)
+    #   micro_join_int     : 10M x 10M inner equi-join on int64
+    #   micro_filter_scan  : 100M rows, modulo predicate
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    def micro(label, df):
+        # min of two runs: single-shot timings on a shared box are
+        # noisy at this scale; min is the standard throughput estimate
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[label] = round(min(runs), 3)
+
+    r = spark.range(100_000_000, numPartitions=64)
+    micro(
+        "micro_groupby_agg_100m",
+        r.groupBy((F.col("id") % 100_000).alias("k")).agg(
+            F.count("*").alias("c"), F.sum("id").alias("s")
+        ),
+    )
+    a = spark.range(10_000_000, numPartitions=32).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(10_000_000, numPartitions=32).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    micro("micro_join_int_10m_x_10m", a.join(b, "k").select(F.count("*").alias("c")))
+    micro(
+        "micro_filter_scan_100m",
+        r.filter((F.col("id") % 7) == 0).agg(F.count("*").alias("c")),
+    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -52,6 +52,10 @@ class EngineConfig:
     def spark_confs(self) -> dict[str, str]:
         """Spark confs implementing this config (see class docstring)."""
         confs = {
+            # local-mode executors live in the driver JVM; the 1g
+            # default heap cannot hold shuffle state for 100M-row
+            # operators (static conf: applies at session build only)
+            "spark.driver.memory": "24g",
             "spark.sql.shuffle.partitions": str(self.shuffle_partitions),
             "spark.sql.adaptive.enabled": "true",
             "spark.sql.adaptive.coalescePartitions.enabled": "true",

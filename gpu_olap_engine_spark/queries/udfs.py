@@ -194,6 +194,42 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------- sketches
 
 
+# ------------------------------------------------------------------ UDTF
+
+
+@register(
+    "q42_udtf_split_words",
+    oracle=r"""
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+               FROM documents WHERE doc_id < 50)
+    SELECT doc_id, words[i] AS word, CAST(i - 1 AS BIGINT) AS pos
+    FROM w, unnest(generate_series(1, len(words))) AS t(i)
+    """,
+)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function, Spark 3.5+): one input row ->
+    many output rows, used LATERAL-style. Deterministic tokenizer ->
+    oracle-checked even though it's a Python path."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, pos: long")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split()):
+                yield w, i
+
+    spark.udtf.register("split_words", SplitWords)
+    T(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).createOrReplaceTempView(
+        "docs_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.word, s.pos
+        FROM docs_udtf d, LATERAL split_words(d.text) s
+        """
+    )
+
+
 @register("q40_approx_distinct", oracle=None)
 def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct sketch (approx_count_distinct): the

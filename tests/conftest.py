@@ -13,7 +13,13 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(EngineConfig(shuffle_partitions=8), master="local[4]")
+    s = get_spark(
+        EngineConfig(
+            shuffle_partitions=8,
+            extra_confs={"spark.sql.warehouse.dir": "/tmp/spark-warehouse"},
+        ),
+        master="local[4]",
+    )
     yield s
     s.stop()
 
