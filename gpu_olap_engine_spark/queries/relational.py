@@ -790,6 +790,35 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q43_tpch_q6_shape",
+    oracle=f"""
+    SELECT {_o_qsum('l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS cnt
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: highly selective multi-predicate scan + global
+    aggregate — the canonical 'did the filters reach the scan' query.
+    All three predicates push into parquet; no shuffle at all (partial
+    aggregates reduce straight to one row)."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        _qsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count("*").alias("cnt"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Range join (beyond reference: nested-loop joins listed as unbuilt
 # contribution idea, README.md:421)

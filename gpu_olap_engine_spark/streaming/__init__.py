@@ -11,6 +11,7 @@ oracle-checked, and tests assert stream==batch parity.
 from gpu_olap_engine_spark.streaming.pipelines import (
     dedup_stream,
     read_events_stream,
+    running_user_totals,
     session_counts,
     windowed_counts,
 )
@@ -20,4 +21,5 @@ __all__ = [
     "windowed_counts",
     "session_counts",
     "dedup_stream",
+    "running_user_totals",
 ]

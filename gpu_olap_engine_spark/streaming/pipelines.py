@@ -91,6 +91,44 @@ def session_counts(
     )
 
 
+def running_user_totals(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + value total, emitted on every update.
+
+    This is the engine's arbitrary-state extension point (the
+    streaming analog of the reference's custom-kernel registration,
+    README.md:354-378): state lives in the state store, partitioned by
+    key, recoverable from checkpoints — not in Python memory.
+    """
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            "user_id long, n_events long, total_value double",
+            "n long, total double",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """Stateful exact dedup on event_id within the watermark horizon
     (dropDuplicatesWithinWatermark): the streaming analog of exact

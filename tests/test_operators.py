@@ -107,6 +107,49 @@ def test_sign_bucket_range(spark):
     assert vals <= set(range(8)) and len(vals) > 1
 
 
+# ----------------------------------------------------------------- joins
+
+
+def test_salted_join_equals_plain_join(spark):
+    from gpu_olap_engine_spark.operators.joins import salted_join
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    customer = spark.read.parquet(f"{SF_SMALL}/customer.parquet").withColumnRenamed(
+        "c_custkey", "custkey"
+    )
+    plain = orders.join(customer, "custkey").select("o_orderkey", "c_name")
+    salted = salted_join(orders, customer, "custkey", salt=4).select(
+        "o_orderkey", "c_name"
+    )
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_aggregate_equals_plain(spark):
+    from gpu_olap_engine_spark.operators.joins import salted_aggregate
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    plain = {
+        r["o_orderpriority"]: r["c"]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    two_phase = {
+        r["o_orderpriority"]: r["c"]
+        for r in salted_aggregate(
+            orders,
+            "o_orderpriority",
+            aggs=[F.sum("pc").alias("c")],
+            partial_aggs=[F.count("*").alias("pc")],
+            salt=4,
+        ).collect()
+    }
+    assert two_phase == plain
+
+
 # ------------------------------------------------------------------ text
 
 

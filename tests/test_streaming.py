@@ -10,6 +10,7 @@ from gpu_olap_engine_spark.queries import load_all
 from gpu_olap_engine_spark.streaming import (
     dedup_stream,
     read_events_stream,
+    running_user_totals,
     session_counts,
     windowed_counts,
 )
@@ -70,6 +71,28 @@ def test_dedup_stream_drops_duplicates(spark):
     distinct_ids = out.select("event_id").distinct().count()
     assert out.count() == distinct_ids  # no dup ids in output
     assert distinct_ids <= total
+
+
+def test_stateful_running_totals_matches_batch(spark):
+    """applyInPandasWithState totals after the full stream equal the
+    plain batch aggregation."""
+    stream = read_events_stream(spark, SF_SMALL)
+    run_to_memory(running_user_totals(stream), "rt", "update")
+    # single availableNow batch -> one update row per user
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in spark.table("rt").collect()
+    }
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    want = {
+        r["user_id"]: (r["n"], round(r["t"], 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == {k: v[0] for k, v in want.items()}
+    for k in want:
+        assert abs(got[k][1] - want[k][1]) < 1e-6
 
 
 def test_sliding_window_covers_each_event_twice(spark):
