@@ -52,6 +52,7 @@ def load_all() -> dict[str, Query]:
             events,
             multimodal,
             relational,
+            scalar_suites,
             similarity,
             text,
             udfs,
