@@ -148,7 +148,8 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS matched_view_id
         FROM tagged
     )
-    SELECT event_id AS purchase_id, user_id, matched_view_id
+    SELECT event_id AS purchase_id, user_id,
+           CAST(matched_view_id AS DOUBLE) AS matched_view_id
     FROM carried WHERE is_probe = 1
     """,
 )
@@ -180,5 +181,8 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).over(w),
     )
     return carried.filter(F.col("is_probe") == 1).select(
-        F.col("event_id").alias("purchase_id"), "user_id", "matched_view_id"
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        # nullable int -> double for unambiguous pandas conversion
+        F.col("matched_view_id").cast("double").alias("matched_view_id"),
     )

@@ -208,7 +208,8 @@ def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q07_join_right",
     oracle=f"""
-    SELECT o_orderkey, o_custkey, c_name, c_acctbal
+    SELECT CAST(o_orderkey AS DOUBLE) AS o_orderkey,
+           CAST(o_custkey AS DOUBLE) AS o_custkey, c_name, c_acctbal
     FROM (SELECT * FROM orders WHERE o_orderkey % 10 = 0) o
     RIGHT JOIN (SELECT * FROM customer WHERE {_RICH}) c ON o_custkey = c_custkey
     """,
@@ -218,14 +219,21 @@ def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
     c = _rich_customers(spark, sf_dir)
     return o.join(c, o.o_custkey == c.c_custkey, "right").select(
-        "o_orderkey", "o_custkey", "c_name", "c_acctbal"
+        # nullable ints -> double: pandas conversion of int-with-NULL
+        # differs between engines/paths; doubles are unambiguous
+        F.col("o_orderkey").cast("double").alias("o_orderkey"),
+        F.col("o_custkey").cast("double").alias("o_custkey"),
+        "c_name",
+        "c_acctbal",
     )
 
 
 @register(
     "q08_join_full",
     oracle=f"""
-    SELECT o_orderkey, o_custkey, c_custkey, c_name
+    SELECT CAST(o_orderkey AS DOUBLE) AS o_orderkey,
+           CAST(o_custkey AS DOUBLE) AS o_custkey,
+           CAST(c_custkey AS DOUBLE) AS c_custkey, c_name
     FROM (SELECT * FROM orders WHERE o_orderkey % 10 = 0) o
     FULL JOIN (SELECT * FROM customer WHERE {_RICH}) c ON o_custkey = c_custkey
     """,
@@ -237,7 +245,10 @@ def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
     c = _rich_customers(spark, sf_dir)
     return o.join(c, o.o_custkey == c.c_custkey, "full").select(
-        "o_orderkey", "o_custkey", "c_custkey", "c_name"
+        F.col("o_orderkey").cast("double").alias("o_orderkey"),
+        F.col("o_custkey").cast("double").alias("o_custkey"),
+        F.col("c_custkey").cast("double").alias("c_custkey"),
+        "c_name",
     )
 
 
@@ -544,7 +555,7 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
            ) AS DOUBLE) AS running_spend,
            CAST(LAG(o_orderkey) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-           ) AS BIGINT) AS prev_orderkey
+           ) AS DOUBLE) AS prev_orderkey
     FROM orders WHERE o_custkey < 100
     """,
 )
@@ -563,7 +574,7 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             .over(frame)
             .cast("double")
             .alias("running_spend"),
-            F.lag("o_orderkey").over(w).cast("long").alias("prev_orderkey"),
+            F.lag("o_orderkey").over(w).cast("double").alias("prev_orderkey"),
         )
     )
 

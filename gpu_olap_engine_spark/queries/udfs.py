@@ -157,7 +157,7 @@ def _order_gaps(pdf: pd.DataFrame) -> pd.DataFrame:
             "o_custkey": [pdf["o_custkey"].iloc[0]],
             "n_orders": [n],
             "total_gap_days": [total_gap],
-            "mean_gap_days": [total_gap // (n - 1) if n > 1 else None],
+            "mean_gap_days": [float(total_gap // (n - 1)) if n > 1 else None],
         }
     )
 
@@ -171,7 +171,7 @@ def _order_gaps(pdf: pd.DataFrame) -> pd.DataFrame:
                AS total_gap_days,
            CASE WHEN COUNT(*) > 1 THEN
                CAST(date_diff('day', MIN(o_orderdate), MAX(o_orderdate))
-                    // (COUNT(*) - 1) AS BIGINT)
+                    // (COUNT(*) - 1) AS DOUBLE)
            END AS mean_gap_days
     FROM orders WHERE o_custkey < 200 GROUP BY o_custkey
     """,
@@ -187,7 +187,7 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey"
     ).applyInPandas(
         _order_gaps,
-        "o_custkey long, n_orders long, total_gap_days long, mean_gap_days long",
+        "o_custkey long, n_orders long, total_gap_days long, mean_gap_days double",
     )
 
 
