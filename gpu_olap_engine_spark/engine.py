@@ -179,6 +179,20 @@ class OlapEngine:
         finally:
             self.spark.catalog.dropTempView(view_name)
 
+    def register_function(self, name: str, f: Any, return_type: Any = None) -> None:
+        """Register a custom scalar function usable from SQL — the
+        Spark-idiomatic analog of the reference's custom-CUDA-kernel
+        registration (`compiler.register_kernel`, README.md:354-378).
+
+        Pass a pandas_udf for the vectorized (Arrow) path, or a plain
+        callable + return_type for a row UDF (slow path; avoid in
+        production queries).
+        """
+        if return_type is not None:
+            self.spark.udf.register(name, f, return_type)
+        else:
+            self.spark.udf.register(name, f)
+
     def query_arrow(self, table: Any, sql: str, view_name: str = "df") -> Any:
         """Arrow-table in, Arrow-table out (record_batch interchange,
         arrow-interop/src/record_batch_convert.rs:22-33 analog)."""

@@ -134,6 +134,102 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q50_hypertable_rollup",
+    oracle=f"""
+    SELECT CAST(({_US} - ({_US} % 3600000000)) / 1000000 AS BIGINT) AS hour_start,
+           event_type,
+           COUNT(*) AS cnt,
+           CAST(CAST(SUM(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS DOUBLE)
+               / 10000 AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascading rollup: minute-level partials
+    aggregated once, then hour-level totals computed FROM the minute
+    partials (counts and integer-quantized value sums compose
+    exactly). At 100 TB the minute layer is a materialized continuous
+    aggregate; coarser granularities reuse it instead of rescanning
+    raw events — the oracle computes hours directly from raw rows and
+    must match bit-for-bit."""
+    ev = _with_us(T(spark, sf_dir, "events"))
+    minute = (
+        ev.groupBy(
+            (F.col("us") - F.col("us") % 60_000_000).alias("minute_us"),
+            "event_type",
+        ).agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.floor(F.col("value") * 10000).cast("long")).alias("qv"),
+        )
+    )
+    return (
+        minute.groupBy(
+            ((F.col("minute_us") - F.col("minute_us") % 3_600_000_000) / 1_000_000)
+            .cast("long")
+            .alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.sum("cnt").cast("long").alias("cnt"),
+            (F.sum("qv").cast("double") / 10000).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "q51_gapfill",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT CAST(min({_US} - ({_US} % 3600000000)) / 1000000 AS BIGINT) AS lo,
+               CAST(max({_US} - ({_US} % 3600000000)) / 1000000 AS BIGINT) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, 3600)) AS hour_start FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (
+        SELECT CAST(({_US} - ({_US} % 3600000000)) / 1000000 AS BIGINT)
+                   AS hour_start,
+               event_type, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    )
+    SELECT s.hour_start, t.event_type,
+           CAST(coalesce(a.c, 0) AS BIGINT) AS cnt
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN actual a
+      ON a.hour_start = s.hour_start AND a.event_type = t.event_type
+    """,
+)
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill: a dense (hour x event_type) spine built
+    from sequence(), left-joined against actual counts, empty buckets
+    filled with 0 — the densification step before windowed ML
+    features. The spine generation is O(range), never a scan."""
+    ev = _with_us(T(spark, sf_dir, "events"))
+    hour = ((F.col("us") - F.col("us") % 3_600_000_000) / 1_000_000).cast("long")
+    actual = ev.groupBy(hour.alias("hour_start"), "event_type").agg(
+        F.count("*").alias("c")
+    )
+    bounds = ev.agg(
+        F.min(hour).alias("lo"), F.max(hour).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("hour_start")
+    )
+    types = ev.select("event_type").distinct()
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(F.broadcast(actual), ["hour_start", "event_type"], "left")
+        .select(
+            "hour_start",
+            "event_type",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("cnt"),
+        )
+    )
+
+
+@register(
     "q34_asof_join",
     oracle=f"""
     WITH tagged AS (

@@ -83,6 +83,35 @@ def test_result_write_parquet_roundtrip(engine, tmp_path):
     ).collect()[0]["c"]
 
 
+def test_register_function_pandas_udf(engine):
+    """Custom-kernel registration analog (README.md:354-378): a
+    vectorized function becomes callable from SQL."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def double_it(v: pd.Series) -> pd.Series:
+        return v * 2.0
+
+    engine.register_function("double_it", double_it)
+    row = engine.execute_query(
+        "SELECT double_it(o_totalprice) AS d, o_totalprice FROM orders LIMIT 1"
+    ).collect()[0]
+    assert row["d"] == row["o_totalprice"] * 2.0
+
+
+def test_ddl_through_engine(engine):
+    """The reference parser rejects non-SELECT (parser.rs:18-21); this
+    engine supports DDL through the same SQL entry point."""
+    engine.execute_query(
+        "CREATE OR REPLACE TEMP VIEW big_orders AS "
+        "SELECT * FROM orders WHERE o_totalprice > 400000"
+    )
+    n = engine.execute_query("SELECT COUNT(*) AS c FROM big_orders").collect()[0]["c"]
+    assert n > 0
+    engine.spark.catalog.dropTempView("big_orders")
+
+
 def test_config_disables_cache(spark):
     eng = OlapEngine(EngineConfig(enable_cache=False), spark=spark)
     meta = eng.load_table("nation_nc", f"{SF_SMALL}/nation.parquet")
