@@ -51,6 +51,7 @@ def load_all() -> dict[str, Query]:
             dedup,
             events,
             multimodal,
+            pipeline,
             relational,
             scalar_suites,
             similarity,

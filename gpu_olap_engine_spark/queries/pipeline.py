@@ -1,0 +1,190 @@
+"""Training-data curation operators: deterministic sampling, dataset
+splits, sequence packing, and the composed end-to-end pipeline.
+
+Sampling and splitting use content hashes, not RNG: hash-based
+selection is reproducible across runs, engines and re-partitioning —
+the property a 100 TB training-data pipeline actually needs (and what
+makes these oracle-checkable at all; seeded RNG differs per engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gpu_olap_engine_spark.operators import dedup as D
+from gpu_olap_engine_spark.operators.dedup import base_hash, tokenize
+from gpu_olap_engine_spark.queries import register
+from gpu_olap_engine_spark.queries.dedup import _banded_sql, _JACCARD_TAIL, _SH, _sig_sql
+from gpu_olap_engine_spark.queries.tables import T, spread
+
+# doc selector hash: stable per content, uniform in [0, 100)
+_H100 = "(('0x' || substr(md5(text), 1, 15))::BIGINT) % 100"
+
+
+@register(
+    "q52_stratified_sample",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, lang,
+               (('0x' || substr(md5(text), 1, 15))::BIGINT) AS hv
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY hv, doc_id
+               ) AS BIGINT) AS rn
+        FROM h
+    )
+    SELECT doc_id, lang, rn FROM ranked WHERE rn <= 20
+    """,
+)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: top-20 documents per language
+    by content hash — a reproducible per-stratum quota that never
+    changes under re-partitioning (unlike rand()-based sampleBy)."""
+    docs = T(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("hv", "doc_id")
+    return (
+        docs.select("doc_id", "lang", base_hash(F.col("text")).alias("hv"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang", "rn")
+    )
+
+
+@register(
+    "q53_dataset_split",
+    oracle=f"""
+    SELECT lang,
+           CASE WHEN {_H100} < 80 THEN 'train'
+                WHEN {_H100} < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-range train/val/test split (80/10/10): membership is a
+    pure function of content, so the split is stable across runs and
+    resharding — no leakage when the corpus is re-processed."""
+    docs = T(spark, sf_dir, "documents")
+    h100 = base_hash(F.col("text")) % 100
+    split = (
+        F.when(h100 < 80, "train").when(h100 < 90, "val").otherwise("test")
+    )
+    return docs.groupBy("lang", split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@register(
+    "q54_sequence_packing",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT lang, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS start_offset
+        FROM toks
+    )
+    SELECT lang, CAST(start_offset // 4096 AS BIGINT) AS context_bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY 1, 2
+    """,
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing plan: documents streamed in stable order per
+    language, assigned to 4096-token context bins by cumulative
+    offset. Parallel per language (the 100 TB version partitions by
+    shard); exact integer window math."""
+    docs = spread(T(spark, sf_dir, "documents"))
+    n_tok = F.size(tokenize(F.col("text"))).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select("doc_id", "lang", n_tok.alias("n_tokens"))
+    packed = toks.withColumn(
+        "start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return packed.groupBy(
+        "lang",
+        F.floor(F.col("start_offset") / 4096).cast("long").alias("context_bin"),
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+    )
+
+
+@register(
+    "q55_training_pipeline",
+    oracle=f"""
+    WITH {_SH},
+    {_sig_sql()},
+    {_banded_sql()},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    {_JACCARD_TAIL},
+    dup_losers AS (
+        SELECT DISTINCT c.id_b AS doc_id
+        FROM cand c
+        JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+        JOIN sizes na ON c.id_a = na.doc_id
+        JOIN sizes nb ON c.id_b = nb.doc_id
+        WHERE CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) >= 0.5
+    ),
+    scored AS (
+        SELECT doc_id, lang, text,
+               CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM scored
+    WHERE n_tokens >= 20
+      AND doc_id NOT IN (SELECT doc_id FROM dup_losers)
+      AND {_H100} < 50
+    GROUP BY lang
+    """,
+)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline: length filter -> MinHash-LSH
+    dedup (keep the lower doc_id of each near-dup pair) -> 50%
+    deterministic hash sample -> per-language corpus stats. Each stage
+    is an operator proven above; this query proves they compose into
+    one lazy plan (single job, no intermediate materialization)."""
+    docs = T(spark, sf_dir, "documents")
+    n_tok = F.size(tokenize(F.col("text"))).cast("long")
+    losers = (
+        D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = (
+        docs.withColumn("n_tokens", n_tok)
+        .filter(F.col("n_tokens") >= 20)
+        .join(losers, "doc_id", "left_anti")
+        .filter(base_hash(F.col("text")) % 100 < 50)
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
