@@ -152,6 +152,60 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SH.strip().rstrip()},
+    {_sig_sql()},
+    {_banded_sql()},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    {_JACCARD_TAIL},
+    dup_pairs AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+        JOIN sizes na ON c.id_a = na.doc_id
+        JOIN sizes nb ON c.id_b = nb.doc_id
+        WHERE CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM dup_pairs
+        UNION SELECT id_b, id_a FROM dup_pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach AS (
+        SELECT id, id AS root FROM nodes
+        UNION
+        SELECT e.b AS id, r.root FROM reach r JOIN edges e ON e.a = r.id
+    )
+    SELECT id AS doc_id, CAST(MIN(root) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components (iterative
+    label propagation, operators/graph.py) over the MinHash-LSH pair
+    graph. Cluster id = minimum reachable doc_id, a schedule-
+    independent fixpoint — the oracle computes the same thing with a
+    recursive CTE. This is the iterative-algorithm class a single SQL
+    query cannot express; the driver-side loop only steers
+    convergence, every step is distributed."""
+    from gpu_olap_engine_spark.operators.graph import connected_components
+
+    pairs = D.minhash_dedup_pairs(
+        T(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5
+    )
+    return connected_components(pairs).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+@register(
     "dedup_simhash",
     oracle=f"""
     WITH words AS (

@@ -107,6 +107,23 @@ def test_sign_bucket_range(spark):
     assert vals <= set(range(8)) and len(vals) > 1
 
 
+# ----------------------------------------------------------------- graph
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Chain 1-2-3 plus island pair (10,11): two clusters labeled by
+    their minimum member, convergence past direct neighbors."""
+    from gpu_olap_engine_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["cluster_id"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
 # ----------------------------------------------------------------- joins
 
 
