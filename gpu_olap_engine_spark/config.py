@@ -47,6 +47,10 @@ class EngineConfig:
     # Spark-native extras (not in the reference):
     shuffle_partitions: int = _DEFAULT_SHUFFLE_PARTITIONS
     cache_row_threshold: int = 10_000_000
+    # Broadcast-join size threshold (bytes). The reference broadcasts
+    # builds <= 1M rows (join_kernel.rs:71-77); Spark thresholds by
+    # bytes — 10 MB default is roughly that row count at 8B/row.
+    broadcast_threshold: int = 10 * 1024**2
     extra_confs: dict[str, str] = field(default_factory=dict)
 
     def spark_confs(self) -> dict[str, str]:
@@ -73,6 +77,7 @@ class EngineConfig:
             # (Spark defaults, pinned here because the whole design
             # depends on scans being pruned at 100 TB).
             "spark.sql.parquet.filterPushdown": "true",
+            "spark.sql.autoBroadcastJoinThreshold": str(self.broadcast_threshold),
         }
         if not self.use_unified_memory:
             log.info("use_unified_memory=False ignored: Spark always spills")

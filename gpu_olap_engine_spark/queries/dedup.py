@@ -31,7 +31,22 @@ sh AS (
 
 _HASH = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
 
+# candidate-driven verify (used after LSH banding): intersections only
+# for `cand` pairs — mirrors the Spark side's candidate-driven
+# jaccard_verify and keeps the oracle sub-quadratic too
 _JACCARD_TAIL = """
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+    GROUP BY 1, 2
+)
+"""
+
+# all-pairs variant for the exact (non-LSH) baseline query only
+_JACCARD_ALL_PAIRS = """
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
     SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, COUNT(*) AS n_inter
@@ -134,7 +149,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {_SH},
-    {_JACCARD_TAIL}
+    {_JACCARD_ALL_PAIRS}
     SELECT i.id_a, i.id_b,
            CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) AS jaccard
     FROM inter i

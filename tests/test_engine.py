@@ -125,3 +125,4 @@ def test_config_spark_confs():
     assert confs["spark.sql.shuffle.partitions"] == "16"
     assert confs["spark.sql.adaptive.enabled"] == "true"
     assert confs["spark.sql.ansi.enabled"] == "false"
+    assert confs["spark.sql.autoBroadcastJoinThreshold"] == str(10 * 1024**2)
