@@ -48,6 +48,7 @@ def load_all() -> dict[str, Query]:
     global _LOADED
     if not _LOADED:
         from gpu_olap_engine_spark.queries import (  # noqa: F401
+            analytics,
             dedup,
             events,
             multimodal,

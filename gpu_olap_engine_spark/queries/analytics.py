@@ -1,0 +1,242 @@
+"""Analytics completions: sliding windows (batch), full window-function
+surface, histograms, moment-based statistics, correlated subqueries,
+LATERAL VIEW.
+
+Determinism notes: ranking functions get unique order keys;
+percent_rank/cume_dist are exact rational divisions; stddev/corr are
+computed FROM decimal-exact moment sums (the built-in accumulators are
+order-dependent doubles and cannot be oracle-checked — the moment
+formulation gives the same statistics deterministically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gpu_olap_engine_spark.queries import register
+from gpu_olap_engine_spark.queries.tables import T
+
+_US = "epoch_us(CAST(ts AS TIMESTAMP))"
+
+
+@register(
+    "q56_sliding_window",
+    oracle=f"""
+    WITH shifted AS (
+        SELECT event_type, value,
+               ({_US} - ({_US} % 600000000)) / 1000000 AS b0
+        FROM events
+    ),
+    assigned AS (
+        SELECT event_type, CAST(b0 AS BIGINT) AS win_start FROM shifted
+        UNION ALL
+        SELECT event_type, CAST(b0 - 600 AS BIGINT) FROM shifted
+    )
+    SELECT win_start, event_type, COUNT(*) AS cnt
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window, batch form: 20-minute windows sliding every 10
+    minutes — each event belongs to exactly two windows (its 10-min
+    bucket and the one before). F.window(slide) does the explosion
+    internally; the oracle unions the two bucket assignments."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "20 minutes", "10 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").cast("long").alias("win_start"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+@register(
+    "q57_window_analytics",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
+        WHERE o_orderkey < 2000
+    )
+    SELECT o_orderpriority, o_orderkey,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           CAST(FIRST_VALUE(o_orderkey) OVER w AS BIGINT) AS top_order,
+           CAST(NTH_VALUE(o_orderkey, 2) OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS second_order
+    FROM base
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining ranking/analytic window functions: dense_rank, ntile,
+    percent_rank, cume_dist, first_value, nth_value — all over a
+    unique order key so both engines agree exactly (percent_rank and
+    cume_dist are exact rationals). nth_value is nullable-int ->
+    emitted as double (pandas-conversion rule)."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.first("o_orderkey").over(frame).cast("long").alias("top_order"),
+            F.nth_value("o_orderkey", 2).over(frame).cast("double").alias(
+                "second_order"
+            ),
+        )
+    )
+
+
+@register(
+    "q58_histogram",
+    oracle="""
+    SELECT CAST(least(floor((o_totalprice - 0) / 25000), 19) AS BIGINT) AS bucket,
+           COUNT(*) AS cnt,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (20 x 25k buckets, top-clamped): the
+    single-pass distribution profile. floor of an exact double
+    division — deterministic on both engines."""
+    o = T(spark, sf_dir, "orders")
+    bucket = F.least(F.floor((F.col("o_totalprice") - 0) / 25000), F.lit(19))
+    return o.groupBy(bucket.cast("long").alias("bucket")).agg(
+        F.count("*").alias("cnt"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+@register(
+    "q59_stats_moments",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(CAST(floor(l_quantity * l_quantity * 100) AS BIGINT))
+                    AS BIGINT) AS DOUBLE) / 100 AS sxx,
+               CAST(CAST(SUM(CAST(floor(l_quantity * l_extendedprice * 100)
+                    AS BIGINT)) AS BIGINT) AS DOUBLE) / 100 AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           sx / n AS mean_qty,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+           (sxy - sx * sy / n) / (n - 1) AS covar_qty_price
+    FROM m
+    """,
+)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics via exact moment sums: mean, sample stddev, sample
+    covariance derived from (n, Σx, Σy, Σx², Σxy). The built-in
+    stddev/covar accumulate doubles in partition order and cannot
+    match across engines; the moment formulation is the deterministic
+    equivalent (and the distributed-friendly one — moments combine).
+    Raw-column sums go through decimals; computed-product sums through
+    integer quantization (1e-2 terms), per the engine's determinism
+    rules (tables.py)."""
+    li = T(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(18,4)")  # noqa: E731
+    qty, price = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(dec(qty)).cast("double").alias("sx"),
+        F.sum(dec(price)).cast("double").alias("sy"),
+        (F.sum(F.floor(qty * qty * 100).cast("long")).cast("double") / 100).alias(
+            "sxx"
+        ),
+        (F.sum(F.floor(qty * price * 100).cast("long")).cast("double") / 100).alias(
+            "sxy"
+        ),
+    )
+    n = F.col("n")
+    return m.select(
+        "l_returnflag",
+        "n",
+        (F.col("sx") / n).alias("mean_qty"),
+        F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)).alias(
+            "stddev_qty"
+        ),
+        ((F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)).alias(
+            "covar_qty_price"
+        ),
+    )
+
+
+@register(
+    "q60_correlated_exists",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 490000
+    )
+    """,
+)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery — Catalyst decorrelates it into a
+    semi-join (RewriteCorrelatedScalarSubquery family; the reference
+    has no subqueries at all, README.md:409)."""
+    T(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    T(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 490000
+        )
+        """
+    )
+
+
+@register(
+    "q61_lateral_view",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+        FROM documents WHERE doc_id < 20
+    )
+    SELECT doc_id, unnest(words) AS word FROM w
+    """,
+)
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW explode — the HiveQL-compatible SQL spelling of
+    array explosion (SQL-dialect surface; the DataFrame spelling is
+    exercised throughout)."""
+    T(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).createOrReplaceTempView(
+        "docs_lv"
+    )
+    return spark.sql(
+        r"""
+        SELECT doc_id, word
+        FROM docs_lv
+        LATERAL VIEW explode(split(lower(trim(text)), '\\s+')) t AS word
+        """
+    )
