@@ -92,6 +92,7 @@ class OlapEngine:
             self.spark = spark
             apply_runtime_confs(self.spark, self.config)
         self._catalog: dict[str, TableMetadata] = {}
+        self._query_cache: dict[str, DataFrame] = {}
 
     # -- catalog ------------------------------------------------------
 
@@ -178,6 +179,58 @@ class OlapEngine:
             return pl.from_arrow(self.spark.sql(sql).toArrow())
         finally:
             self.spark.catalog.dropTempView(view_name)
+
+    def execute_query_cached(self, sql: str) -> QueryResult:
+        """execute_query with a result cache keyed by SQL text — the
+        working implementation of the reference's ``enable_cache``
+        flag, which exists but is never consulted there
+        (lib.rs:29-30,41). The DataFrame is persisted on first use;
+        repeated identical queries reuse the materialized result."""
+        if not self.config.enable_cache:
+            return self.execute_query(sql)
+        if sql not in self._query_cache:
+            self._query_cache[sql] = self.spark.sql(sql).persist()
+        return QueryResult(self._query_cache[sql])
+
+    def clear_query_cache(self) -> None:
+        for df in self._query_cache.values():
+            df.unpersist()
+        self._query_cache.clear()
+
+    def profile_table(self, name: str) -> DataFrame:
+        """Per-column profile: nulls, distinct count, min/max (as
+        strings) — the data-quality pass run before ingesting a shard
+        into a training corpus. One job; every column profiled in a
+        single aggregate pass (no per-column scans)."""
+        from pyspark.sql import functions as F
+
+        df = self.spark.table(name)
+        aggs = []
+        for f in df.schema.fields:
+            c = f.name
+            aggs += [
+                F.count(F.col(c)).alias(f"{c}__non_null"),
+                F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
+                F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+                F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+            ]
+        wide = df.agg(F.count(F.lit(1)).alias("__rows"), *aggs).collect()[0]
+        rows = [
+            (
+                f.name,
+                f.dataType.simpleString(),
+                wide["__rows"] - wide[f"{f.name}__non_null"],
+                wide[f"{f.name}__distinct"],
+                wide[f"{f.name}__min"],
+                wide[f"{f.name}__max"],
+            )
+            for f in df.schema.fields
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "column string, dtype string, n_null long, n_distinct long, "
+            "min_value string, max_value string",
+        )
 
     def register_function(self, name: str, f: Any, return_type: Any = None) -> None:
         """Register a custom scalar function usable from SQL — the

@@ -10,6 +10,7 @@ oracle-checked, and tests assert stream==batch parity.
 
 from gpu_olap_engine_spark.streaming.pipelines import (
     dedup_stream,
+    enrich_with_dimension,
     read_events_stream,
     running_user_totals,
     session_counts,
@@ -22,4 +23,5 @@ __all__ = [
     "session_counts",
     "dedup_stream",
     "running_user_totals",
+    "enrich_with_dimension",
 ]

@@ -91,6 +91,16 @@ def session_counts(
     )
 
 
+def enrich_with_dimension(events: DataFrame, dim: DataFrame, on: list) -> DataFrame:
+    """Stream-static join: enrich a stream against a static dimension
+    (broadcast per micro-batch, re-resolved if the dimension is a
+    view over mutable storage). The standard lookup pattern — no
+    state, no watermark needed."""
+    from pyspark.sql import functions as F
+
+    return events.join(F.broadcast(dim), on, "left")
+
+
 def running_user_totals(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running event count + value total, emitted on every update.

@@ -83,6 +83,28 @@ def test_result_write_parquet_roundtrip(engine, tmp_path):
     ).collect()[0]["c"]
 
 
+def test_query_result_cache(engine):
+    """Working implementation of the reference's unused enable_cache
+    flag (lib.rs:29-30,41): identical SQL reuses the persisted result."""
+    sql = "SELECT COUNT(*) AS c FROM orders WHERE o_totalprice > 100000"
+    r1 = engine.execute_query_cached(sql)
+    assert r1.df.storageLevel.useMemory  # persisted
+    r2 = engine.execute_query_cached(sql)
+    assert r2.df is r1.df  # same materialized plan object
+    assert r1.collect()[0]["c"] == r2.collect()[0]["c"]
+    engine.clear_query_cache()
+    assert engine._query_cache == {}
+
+
+def test_profile_table(engine):
+    prof = {r["column"]: r for r in engine.profile_table("orders").collect()}
+    assert prof["o_orderkey"]["n_null"] == 0
+    assert prof["o_orderkey"]["n_distinct"] == 1500
+    assert prof["o_orderstatus"]["n_distinct"] == 3
+    assert prof["o_totalprice"]["dtype"] == "double"
+    assert float(prof["o_totalprice"]["min_value"]) > 0
+
+
 def test_register_function_pandas_udf(engine):
     """Custom-kernel registration analog (README.md:354-378): a
     vectorized function becomes callable from SQL."""

@@ -95,6 +95,29 @@ def test_stateful_running_totals_matches_batch(spark):
         assert abs(got[k][1] - want[k][1]) < 1e-6
 
 
+def test_stream_static_join_enriches(spark):
+    """Stream-static join: events enriched against a static user
+    dimension; every event matched (user ids derive from custkeys)."""
+    from gpu_olap_engine_spark.streaming import enrich_with_dimension
+
+    stream = read_events_stream(spark, SF_SMALL)
+    dim = (
+        spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    run_to_memory(
+        enrich_with_dimension(stream, dim, ["user_id"]).select(
+            "event_id", "user_id", "c_mktsegment"
+        ),
+        "enriched",
+        "append",
+    )
+    out = spark.table("enriched")
+    total = spark.read.parquet(f"{SF_SMALL}/events.parquet").count()
+    assert out.count() == total
+    assert out.filter(F.col("c_mktsegment").isNull()).count() == 0
+
+
 def test_sliding_window_covers_each_event_twice(spark):
     stream = read_events_stream(spark, SF_SMALL)
     run_to_memory(
