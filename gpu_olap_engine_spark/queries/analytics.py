@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from gpu_olap_engine_spark.queries import register
-from gpu_olap_engine_spark.queries.tables import T
+from gpu_olap_engine_spark.queries.tables import T, _view
 
 _US = "epoch_us(CAST(ts AS TIMESTAMP))"
 
@@ -203,13 +203,13 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS subquery — Catalyst decorrelates it into a
     semi-join (RewriteCorrelatedScalarSubquery family; the reference
     has no subqueries at all, README.md:409)."""
-    T(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    T(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    o = _view(T(spark, sf_dir, "orders"), "q60_orders")
+    c = _view(T(spark, sf_dir, "customer"), "q60_customer")
     return spark.sql(
-        """
-        SELECT c_custkey, c_name FROM customer c
+        f"""
+        SELECT c_custkey, c_name FROM {c} c
         WHERE EXISTS (
-            SELECT 1 FROM orders o
+            SELECT 1 FROM {o} o
             WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 490000
         )
         """
@@ -230,13 +230,13 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LATERAL VIEW explode — the HiveQL-compatible SQL spelling of
     array explosion (SQL-dialect surface; the DataFrame spelling is
     exercised throughout)."""
-    T(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).createOrReplaceTempView(
-        "docs_lv"
+    d = _view(
+        T(spark, sf_dir, "documents").filter(F.col("doc_id") < 20), "q61_docs"
     )
     return spark.sql(
-        r"""
+        f"""
         SELECT doc_id, word
-        FROM docs_lv
-        LATERAL VIEW explode(split(lower(trim(text)), '\\s+')) t AS word
+        FROM {d}
+        LATERAL VIEW explode(split(lower(trim(text)), '\\\\s+')) t AS word
         """
     )

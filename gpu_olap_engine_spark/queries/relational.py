@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from gpu_olap_engine_spark.queries import register
-from gpu_olap_engine_spark.queries.tables import T, davg, dsum, o_davg, o_dsum
+from gpu_olap_engine_spark.queries.tables import T, _view, davg, dsum, o_davg, o_dsum
 
 # ---------------------------------------------------------------------
 # Scan / filter / project / limit
@@ -727,13 +727,13 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN-subquery (reference: 'no subqueries' README.md:409). Catalyst
     rewrites to a left-semi join; run through spark.sql to exercise the
     SQL entry point (lib.rs:52-68 analog)."""
-    T(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    T(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    o = _view(T(spark, sf_dir, "orders"), "q27_orders")
+    c = _view(T(spark, sf_dir, "customer"), "q27_customer")
     return spark.sql(
-        """
-        SELECT COUNT(*) AS cnt FROM orders
+        f"""
+        SELECT COUNT(*) AS cnt FROM {o}
         WHERE o_custkey IN (
-            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            SELECT c_custkey FROM {c} WHERE c_mktsegment = 'BUILDING'
         )
         """
     )
@@ -752,13 +752,13 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery: orders above the mean price. The mean is the
     deterministic decimal-exact double on both engines, so the
     boundary comparison cannot flake."""
-    T(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    o = _view(T(spark, sf_dir, "orders"), "q28_orders")
     return spark.sql(
-        """
-        SELECT COUNT(*) AS cnt FROM orders
+        f"""
+        SELECT COUNT(*) AS cnt FROM {o}
         WHERE o_totalprice > (
             SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
-            FROM orders
+            FROM {o}
         )
         """
     )
@@ -782,20 +782,20 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CTE + two-level aggregation (reference: 'no CTEs' README.md:409)."""
-    T(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    T(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    o = _view(T(spark, sf_dir, "orders"), "q29_orders")
+    c = _view(T(spark, sf_dir, "customer"), "q29_customer")
     return spark.sql(
-        """
+        f"""
         WITH cust_totals AS (
             SELECT o_custkey, COUNT(*) AS n_orders,
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spent
-            FROM orders GROUP BY o_custkey
+            FROM {o} GROUP BY o_custkey
         )
         SELECT c_mktsegment,
                COUNT(*) AS n_customers,
                CAST(SUM(n_orders) AS BIGINT) AS total_orders,
                CAST(SUM(CAST(spent AS DECIMAL(18,4))) AS DOUBLE) AS segment_spend
-        FROM cust_totals JOIN customer ON o_custkey = c_custkey
+        FROM cust_totals JOIN {c} ON o_custkey = c_custkey
         GROUP BY c_mktsegment
         """
     )

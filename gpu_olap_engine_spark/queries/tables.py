@@ -45,6 +45,22 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_VIEW_SEQ = 0
+
+
+def _view(df: DataFrame, prefix: str) -> str:
+    """Register df as a uniquely-named temp view and return the name.
+
+    SQL-string queries need views; unique names make query callables
+    safe under concurrent execution in one shared session (the
+    driver's prerogative)."""
+    global _VIEW_SEQ
+    _VIEW_SEQ += 1
+    name = f"_goe_{prefix}_{_VIEW_SEQ}"
+    df.createOrReplaceTempView(name)
+    return name
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition to the session's default parallelism.
 

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from gpu_olap_engine_spark.queries import register
-from gpu_olap_engine_spark.queries.tables import T
+from gpu_olap_engine_spark.queries.tables import T, _view
 
 # ------------------------------------------------------------- pivot
 
@@ -63,11 +63,11 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (the general form of rollup/cube —
     absent from the reference's single-GROUP-BY parser)."""
-    T(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    o = _view(T(spark, sf_dir, "orders"), "q36_orders")
     return spark.sql(
-        """
+        f"""
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
-        FROM orders
+        FROM {o}
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         """
     )
@@ -219,13 +219,13 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield w, i
 
     spark.udtf.register("split_words", SplitWords)
-    T(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).createOrReplaceTempView(
-        "docs_udtf"
+    d = _view(
+        T(spark, sf_dir, "documents").filter(F.col("doc_id") < 50), "q42_docs"
     )
     return spark.sql(
-        """
+        f"""
         SELECT d.doc_id, s.word, s.pos
-        FROM docs_udtf d, LATERAL split_words(d.text) s
+        FROM {d} d, LATERAL split_words(d.text) s
         """
     )
 
