@@ -59,6 +59,57 @@ def write_table(
     writer.options(**options).save(path)
 
 
+def upsert_parquet(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: list[str],
+) -> None:
+    """Upsert (merge-by-key) into a parquet dataset without a table
+    format: existing rows whose key appears in `updates` are replaced,
+    new keys appended. Implemented as anti-join + union into a staging
+    directory, then an atomic-ish swap — plain parquet cannot rewrite
+    in place (the read is lazy over the same files being overwritten).
+    At 100 TB prefer a real table format (Delta/Iceberg MERGE); this
+    is the dependency-free fallback with the same semantics.
+    """
+    import os
+    import shutil
+
+    existing = spark.read.parquet(path)
+    kept = existing.join(updates.select(*key).distinct(), key, "left_anti")
+    merged = kept.unionByName(updates)
+    staging = path.rstrip("/") + "__staging"
+    merged.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path)
+    os.rename(staging, path)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+) -> int:
+    """Compact a small-file parquet dataset to `target_files` files.
+
+    Streaming sinks and incremental ingest accrete tiny files; scan
+    cost at 100 TB is dominated by file-open overhead once files drop
+    below ~100 MB. Rewrites through a staging dir + swap (same
+    in-place constraint as upsert_parquet). Returns the new file count.
+    """
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + "__staging"
+    df.repartition(target_files).write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    return sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith(".")
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

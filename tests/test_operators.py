@@ -264,6 +264,33 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert back.count() == df.filter(F.col("o_orderstatus") == "F").count()
 
 
+def test_upsert_parquet(spark, tmp_path):
+    from gpu_olap_engine_spark.sources import upsert_parquet
+
+    path = str(tmp_path / "ds")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    ).write.parquet(path)
+    updates = spark.createDataFrame([(2, "B2"), (4, "d")], "id long, v string")
+    upsert_parquet(spark, path, updates, ["id"])
+    got = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 4: "d"}
+
+
+def test_compact(spark, tmp_path):
+    import os
+
+    from gpu_olap_engine_spark.sources import compact
+
+    path = str(tmp_path / "many")
+    spark.range(1000).repartition(20).write.parquet(path)
+    before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert before >= 20
+    after = compact(spark, path, 2)
+    assert after <= 2
+    assert spark.read.parquet(path).count() == 1000
+
+
 def test_read_table_rejects_unknown_format(spark):
     with pytest.raises(ValueError, match="unsupported format"):
         read_table(spark, "/tmp/x", fmt="avro")
