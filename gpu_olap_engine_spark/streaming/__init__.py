@@ -11,6 +11,7 @@ oracle-checked, and tests assert stream==batch parity.
 from gpu_olap_engine_spark.streaming.pipelines import (
     dedup_stream,
     enrich_with_dimension,
+    purchases_with_recent_views,
     read_events_stream,
     running_user_totals,
     session_counts,
@@ -24,4 +25,5 @@ __all__ = [
     "dedup_stream",
     "running_user_totals",
     "enrich_with_dimension",
+    "purchases_with_recent_views",
 ]

@@ -139,6 +139,47 @@ def running_user_totals(events: DataFrame, watermark: str = "30 minutes") -> Dat
     )
 
 
+def purchases_with_recent_views(
+    events: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's views within the preceding hour.
+
+    Both sides are watermarked so the view-side state store is bounded
+    (views older than watermark+horizon are evicted) — the
+    production-safe form of the batch as-of/interval join (q34). One
+    input stream, two filtered branches, joined on user + time range.
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", horizon)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", horizon)
+    )
+    return purchases.join(
+        views,
+        F.expr(
+            f"""
+            p_user = v_user
+            AND view_ts <= purchase_ts
+            AND view_ts >= purchase_ts - INTERVAL {horizon}
+            """
+        ),
+    ).select("purchase_id", F.col("p_user").alias("user_id"), "view_id")
+
+
 def dedup_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """Stateful exact dedup on event_id within the watermark horizon
     (dropDuplicatesWithinWatermark): the streaming analog of exact

@@ -95,6 +95,44 @@ def test_stateful_running_totals_matches_batch(spark):
         assert abs(got[k][1] - want[k][1]) < 1e-6
 
 
+def test_stream_stream_interval_join_matches_batch(spark):
+    """Watermarked stream-stream join result == the equivalent batch
+    interval join over the full dataset (availableNow processes
+    everything, so no rows are lost to the watermark)."""
+    from gpu_olap_engine_spark.streaming import purchases_with_recent_views
+
+    stream = read_events_stream(spark, SF_SMALL)
+    run_to_memory(purchases_with_recent_views(stream), "ssj", "append")
+    got = {
+        (r["purchase_id"], r["view_id"]) for r in spark.table("ssj").collect()
+    }
+    ev = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = {
+        (r["purchase_id"], r["view_id"])
+        for r in p.join(
+            v,
+            F.expr(
+                "p_user = v_user AND view_ts <= purchase_ts "
+                "AND view_ts >= purchase_ts - INTERVAL 1 HOUR"
+            ),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_stream_static_join_enriches(spark):
     """Stream-static join: events enriched against a static user
     dimension; every event matched (user ids derive from custkeys)."""
