@@ -145,6 +145,126 @@ def bucketed_topk(
     )
 
 
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid by squared L2 (expression-only,
+    JVM-side). Ties resolve to the lowest index."""
+    best_idx = F.lit(0)
+    best_dist = None
+    for i, c in enumerate(centroids):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(vec, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        if best_dist is None:
+            best_dist = d
+        else:
+            cond = d < best_dist
+            best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
+            best_dist = F.when(cond, d).otherwise(best_dist)
+    return best_idx.cast("long")
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means: init = the k lowest-id vectors;
+    fixed iteration count; centroid means computed from exact integer
+    sums (floor(x*1e6) per element), so every run — regardless of
+    partitioning or evaluation order — produces identical centroids.
+    Each iteration: one assignment+aggregation job; centroids (k x dim
+    doubles) round-trip through the driver, the standard Spark ML
+    shape."""
+    dim = len(corpus.select(vec_col).first()[0])
+    init = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = [[float(x) for x in r[0]] for r in init]
+    q = 1_000_000
+    for _ in range(iters):
+        assigned = corpus.select(
+            F.col(vec_col).alias("v"),
+            _nearest_centroid(F.col(vec_col), centroids).alias("c"),
+        )
+        sums = assigned.groupBy("c").agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum(
+                    F.floor(F.element_at("v", i + 1).cast("double") * q).cast("long")
+                ).alias(f"s{i}")
+                for i in range(dim)
+            ],
+        )
+        rows = {r["c"]: r for r in sums.collect()}
+        centroids = [
+            [rows[c][f"s{i}"] / q / rows[c]["n"] for i in range(dim)]
+            if c in rows
+            else centroids[c]  # empty cluster keeps its centroid
+            for c in range(len(centroids))
+        ]
+    return centroids
+
+
+def kmeans_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_clusters: int = 8,
+    iters: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-ANN with a learned coarse quantizer: k-means clusters the
+    corpus; each query probes its `nprobe` nearest clusters and scores
+    only those members. Real IVF recall (vs the sign-bucket
+    quantizer's fixed planes) at the same sub-linear scan cost; at
+    scale the corpus is written partitioned by cluster id.
+    Returns (query_id, neighbor_id, cosine, rnk)."""
+    cents = kmeans_centroids(corpus, id_col, vec_col, n_clusters, iters)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _nearest_centroid(F.col(vec_col), cents).alias("cluster"),
+    )
+    # query probes: distances to every centroid, keep nprobe smallest
+    q_rows = queries.select(id_col, vec_col).collect()
+    import math
+
+    probe_pairs = []
+    for r in q_rows:
+        qv = [float(x) for x in r[vec_col]]
+        dists = sorted(
+            (
+                (sum((a - b) ** 2 for a, b in zip(qv, cent)), ci)
+                for ci, cent in enumerate(cents)
+            )
+        )
+        for _, ci in dists[:nprobe]:
+            probe_pairs.append((int(r[id_col]), qv, ci))
+    spark = corpus.sparkSession
+    q = spark.createDataFrame(
+        probe_pairs, f"query_id long, q_vec array<double>, cluster long"
+    )
+    scored = (
+        c.join(F.broadcast(q), "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def near_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",

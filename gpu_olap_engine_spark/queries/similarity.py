@@ -121,6 +121,19 @@ def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.near_dup_pairs(T(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
+@register("sim_ivf_kmeans", oracle=None)
+def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-quantizer IVF ANN: deterministic k-means (integer-
+    quantized centroid updates, fixed init and iteration count) +
+    nprobe=2 cluster probing. Iterative algorithm -> rows-only check;
+    recall and run-to-run determinism are asserted in
+    tests/test_operators."""
+    emb = T(spark, sf_dir, "embeddings")
+    return S.kmeans_ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, n_clusters=8, iters=3, nprobe=2
+    )
+
+
 @register("sim_random_hyperplane_lsh", oracle=None)
 def sim_random_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Library ANN path: pyspark.ml BucketedRandomProjectionLSH

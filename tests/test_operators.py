@@ -100,6 +100,24 @@ def test_hll_within_rsd_of_exact(spark):
     assert abs(approx - exact) / exact < 0.06
 
 
+def test_kmeans_ivf_recall_and_determinism(spark):
+    """Learned IVF must (a) be deterministic across runs and (b) reach
+    recall@5 at least as good as chance given ~8x pruning; in practice
+    it should meet or beat the sign-bucket quantizer."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    run1 = S.kmeans_ivf_topk(emb, queries, k=5).collect()
+    run2 = S.kmeans_ivf_topk(emb, queries, k=5).collect()
+    assert sorted(map(tuple, run1)) == sorted(map(tuple, run2))  # deterministic
+    approx = {(r["query_id"], r["neighbor_id"]) for r in run1}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"recall {recall:.2f}"
+
+
 def test_sign_bucket_range(spark):
     emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
     buckets = emb.select(S.sign_bucket(F.col("embedding"), 3).alias("b")).distinct()
