@@ -103,6 +103,20 @@ def main() -> None:
         F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
     )
     micro("micro_join_int_10m_x_10m", a.join(b, "k").select(F.count("*").alias("c")))
+    # skewed join: half the probe rows share ONE key; AQE skew-join
+    # splits the hot partition at runtime (the case the reference's
+    # hash-scatter radix partitioner cannot handle)
+    sk = spark.range(20_000_000, numPartitions=32).select(
+        F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(1_000_000, numPartitions=8).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("d")
+    )
+    micro(
+        "micro_join_skewed_50pct",
+        sk.join(dim.hint("merge"), "k").select(F.count("*").alias("c")),
+    )
     micro(
         "micro_filter_scan_100m",
         r.filter((F.col("id") % 7) == 0).agg(F.count("*").alias("c")),
