@@ -51,6 +51,7 @@ def load_all() -> dict[str, Query]:
             analytics,
             dedup,
             events,
+            extras,
             multimodal,
             pipeline,
             relational,

@@ -1,0 +1,232 @@
+"""Surface completions, round-1 tail: derived-table joins, edit
+distance, exact percentiles, FILTER clause, ordered group-concat,
+UNION DISTINCT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpu_olap_engine_spark.queries import register
+from gpu_olap_engine_spark.queries.tables import T, dsum, o_dsum
+
+
+@register(
+    "q62_derived_table_join",
+    oracle=f"""
+    SELECT big.o_custkey, COUNT(*) AS n_big_orders,
+           {o_dsum('big.o_totalprice')} AS big_total
+    FROM (SELECT * FROM orders WHERE o_totalprice > 400000) big
+    JOIN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000) rich
+      ON big.o_custkey = rich.c_custkey
+    GROUP BY big.o_custkey
+    """,
+)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join of two derived tables (subselects in FROM) — the reference
+    example's self-join-on-subselect shape (python_usage.py:314-316)."""
+    big = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    rich = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey")
+    )
+    return (
+        big.join(rich, big.o_custkey == rich.c_custkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_big_orders"),
+            dsum("o_totalprice", "big_total"),
+        )
+    )
+
+
+@register(
+    "q63_edit_distance",
+    oracle="""
+    SELECT c_custkey,
+           CAST(levenshtein(c_name, 'Customer#000000001') AS BIGINT) AS dist_to_first,
+           CAST(levenshtein(lower(c_mktsegment), 'building') AS BIGINT) AS dist_seg
+    FROM customer WHERE c_custkey < 100
+    """,
+)
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance — the fuzzy string matcher for entity
+    resolution (exact integer DP, deterministic on both engines)."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    return c.select(
+        "c_custkey",
+        F.levenshtein(F.col("c_name"), F.lit("Customer#000000001"))
+        .cast("long")
+        .alias("dist_to_first"),
+        F.levenshtein(F.lower("c_mktsegment"), F.lit("building"))
+        .cast("long")
+        .alias("dist_seg"),
+    )
+
+
+@register(
+    "q64_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation over the sorted group —
+    both engines implement the same continuous-quantile definition).
+    The exact counterpart of q41's sketch path; at 100 TB prefer the
+    sketch, but the exact form must exist for parity."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+            F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+        )
+    )
+
+
+@register(
+    "q65_filter_clause",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS finished,
+           COUNT(*) FILTER (WHERE o_totalprice > 300000) AS big,
+           {o_dsum('o_totalprice')} AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate FILTER clause (ANSI conditional aggregation syntax;
+    the CASE-WHEN spelling is exercised in q24)."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("finished"),
+        F.count(F.when(F.col("o_totalprice") > 300000, 1)).alias("big"),
+        dsum("o_totalprice", "total"),
+    )
+
+
+@register(
+    "q66_group_concat",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+               AS priorities
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered distinct group-concat: collect_set -> sort_array ->
+    concat_ws — emitted as a string so the list representation never
+    reaches the comparator."""
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("o_orderpriority"))).alias(
+                "priorities"
+            )
+        )
+    )
+
+
+@register(
+    "q68_redact_patterns",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(c_name, '[0-9]+', '<NUM>', 'g') AS name_redacted,
+           CAST(length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g'))
+                AS BIGINT) AS n_digits
+    FROM customer WHERE c_custkey < 100
+    """,
+)
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern redaction (PII-scrub shape): replace digit runs with a
+    placeholder and count removed characters — the regexp scrubbing
+    pass of a training-data pipeline (DuckDB needs the 'g' flag;
+    Spark replaces all matches by default)."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    return c.select(
+        "c_custkey",
+        F.regexp_replace("c_name", "[0-9]+", "<NUM>").alias("name_redacted"),
+        (
+            F.length("c_name") - F.length(F.regexp_replace("c_name", "[0-9]", ""))
+        )
+        .cast("long")
+        .alias("n_digits"),
+    )
+
+
+@register(
+    "q69_repetition_runs",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, i, words[i] AS word
+        FROM w, unnest(generate_series(1, len(words))) AS t(i)
+    ),
+    islands AS (
+        SELECT doc_id, word,
+               i - ROW_NUMBER() OVER (
+                   PARTITION BY doc_id, word ORDER BY i
+               ) AS grp
+        FROM pos
+    ),
+    runs AS (
+        SELECT doc_id, COUNT(*) AS run_len
+        FROM islands GROUP BY doc_id, word, grp
+    )
+    SELECT doc_id, CAST(MAX(run_len) AS BIGINT) AS max_run
+    FROM runs GROUP BY doc_id
+    """,
+)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detection (training-data quality): longest run of
+    identical consecutive words per document, via the gaps-and-islands
+    transform (position minus per-word rank is constant within a run).
+    Degenerate repeated-token documents are a standard pre-training
+    filter target."""
+    from pyspark.sql.window import Window
+
+    from gpu_olap_engine_spark.operators.dedup import tokenize
+    from gpu_olap_engine_spark.queries.tables import spread
+
+    docs = spread(T(spark, sf_dir, "documents"))
+    pos = docs.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("i0", "word")
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "word")
+    w = Window.partitionBy("doc_id", "word").orderBy("i")
+    islands = pos.withColumn("grp", F.col("i") - F.row_number().over(w))
+    runs = islands.groupBy("doc_id", "word", "grp").agg(
+        F.count("*").alias("run_len")
+    )
+    return runs.groupBy("doc_id").agg(
+        F.max("run_len").cast("long").alias("max_run")
+    )
+
+
+@register(
+    "q67_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nkey FROM customer WHERE c_acctbal > 9000
+    UNION
+    SELECT s_nationkey AS nkey FROM supplier
+    """,
+)
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION DISTINCT (q15 covers UNION ALL) — dedup across branches."""
+    c = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("nkey"))
+    )
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nkey"))
+    return c.unionByName(s).distinct()
