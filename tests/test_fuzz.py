@@ -1,0 +1,128 @@
+"""Differential fuzzing: hypothesis-generated queries run on Spark AND
+DuckDB; results must agree. Complements the fixed oracle suite by
+exploring the predicate/aggregation space instead of hand-picked
+points.
+
+Generated shapes stay inside the engine's determinism rules (counts
+and decimal-exact sums only), so any mismatch is a real semantic
+divergence, not float noise.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    df = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").cache()
+    df.count()
+    return df
+
+
+@given(
+    lo=st.floats(min_value=0, max_value=500_000, allow_nan=False),
+    status=st.sampled_from(["F", "O", "P"]),
+)
+@settings(**SETTINGS)
+def test_fuzz_filter_count(spark, duck, orders, lo, status):
+    """count(filter) must agree for arbitrary thresholds + equality."""
+    got = orders.filter(
+        (F.col("o_totalprice") > lo) & (F.col("o_orderstatus") == status)
+    ).count()
+    want = duck.sql(
+        f"SELECT COUNT(*) c FROM orders "
+        f"WHERE o_totalprice > {lo!r} AND o_orderstatus = '{status}'"
+    ).fetchone()[0]
+    assert got == want
+
+
+@given(
+    key=st.sampled_from(["o_orderstatus", "o_orderpriority"]),
+    lo=st.integers(min_value=0, max_value=1499),
+)
+@settings(**SETTINGS)
+def test_fuzz_groupby_decimal_sum(spark, duck, orders, key, lo):
+    """Grouped decimal-exact sums must agree for arbitrary key filters."""
+    got = {
+        r[key]: (r["c"], r["s"])
+        for r in orders.filter(F.col("o_custkey") >= lo)
+        .groupBy(key)
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("s"),
+        )
+        .collect()
+    }
+    want = {
+        r[0]: (r[1], r[2])
+        for r in duck.sql(
+            f"""
+            SELECT {key}, COUNT(*),
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+            FROM orders WHERE o_custkey >= {lo} GROUP BY {key}
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+@given(
+    n=st.integers(min_value=1, max_value=200),
+    asc=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_fuzz_topk(spark, duck, orders, n, asc):
+    """Top-k with a unique tiebreaker must agree for any k/direction."""
+    order = [
+        F.col("o_totalprice").asc() if asc else F.col("o_totalprice").desc(),
+        F.col("o_orderkey"),
+    ]
+    got = [
+        (r["o_orderkey"], r["o_totalprice"])
+        for r in orders.select("o_orderkey", "o_totalprice")
+        .orderBy(*order)
+        .limit(n)
+        .collect()
+    ]
+    direction = "ASC" if asc else "DESC"
+    want = duck.sql(
+        f"""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice {direction}, o_orderkey LIMIT {n}
+        """
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
+
+
+@given(
+    frac=st.integers(min_value=1, max_value=99),
+)
+@settings(**SETTINGS)
+def test_fuzz_hash_sample_agree(spark, duck, orders, frac):
+    """Deterministic hash sampling selects the identical subset on
+    both engines for any sampling rate."""
+    h = "(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT) % 100"
+    want = duck.sql(
+        f"SELECT COUNT(*) FROM orders WHERE {h} < {frac}"
+    ).fetchone()[0]
+    got = orders.filter(
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+        < frac
+    ).count()
+    assert got == want
