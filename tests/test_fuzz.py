@@ -109,6 +109,36 @@ def test_fuzz_topk(spark, duck, orders, n, asc):
 
 
 @given(
+    how=st.sampled_from(["inner", "left", "right", "full", "left_semi", "left_anti"]),
+    bal=st.floats(min_value=-1000, max_value=10000, allow_nan=False),
+)
+@settings(**SETTINGS)
+def test_fuzz_join_types(spark, duck, orders, how, bal):
+    """Row counts of every join type against an arbitrarily filtered
+    build side must agree with the equivalent DuckDB join."""
+    customer = spark.read.parquet(f"{SF_ORACLE}/customer.parquet").filter(
+        F.col("c_acctbal") > bal
+    )
+    got = orders.join(customer, orders.o_custkey == customer.c_custkey, how).count()
+    sql_join = {
+        "inner": "JOIN",
+        "left": "LEFT JOIN",
+        "right": "RIGHT JOIN",
+        "full": "FULL JOIN",
+        "left_semi": "SEMI JOIN",
+        "left_anti": "ANTI JOIN",
+    }[how]
+    want = duck.sql(
+        f"""
+        SELECT COUNT(*) FROM orders o
+        {sql_join} (SELECT * FROM customer WHERE c_acctbal > {bal!r}) c
+          ON o.o_custkey = c.c_custkey
+        """
+    ).fetchone()[0]
+    assert got == want
+
+
+@given(
     frac=st.integers(min_value=1, max_value=99),
 )
 @settings(**SETTINGS)

@@ -125,6 +125,38 @@ def test_sign_bucket_range(spark):
     assert vals <= set(range(8)) and len(vals) > 1
 
 
+# ---------------------------------------------------------------- rollup
+
+
+def test_materialized_rollup_serves_exact(spark, tmp_path):
+    """Materialize the minute layer once; hour buckets served from it
+    must EXACTLY equal the oracle-proven direct computation (q50),
+    and the serve path must not read the events table."""
+    from gpu_olap_engine_spark.operators.rollup import (
+        materialize_minute_rollup,
+        serve_rollup,
+    )
+    from gpu_olap_engine_spark.plans import plan_string
+    from gpu_olap_engine_spark.queries import load_all
+    from gpu_olap_engine_spark.queries.tables import T
+
+    events = T(spark, SF_SMALL, "events")
+    path = str(tmp_path / "minute_rollup")
+    materialize_minute_rollup(events, path)
+    served = serve_rollup(spark, path, 3600)
+    direct = load_all()["q50_hypertable_rollup"].fn(spark, SF_SMALL)
+    got = {
+        (r["bucket_start"], r["event_type"]): (r["cnt"], r["sum_value"])
+        for r in served.collect()
+    }
+    want = {
+        (r["hour_start"], r["event_type"]): (r["cnt"], r["sum_value"])
+        for r in direct.collect()
+    }
+    assert got == want
+    assert "events.parquet" not in plan_string(served)  # serves from the layer
+
+
 # ----------------------------------------------------------------- graph
 
 

@@ -103,6 +103,22 @@ def test_multi_key_join_supported(spark):
     assert joined.count() == o.count()
 
 
+def test_malformed_json_yields_null(spark):
+    """get_json_object on malformed JSON returns NULL (lenient
+    semi-structured semantics — a pipeline-friendly divergence from
+    engines that raise; documented, like the other NULL upgrades)."""
+    df = spark.createDataFrame(
+        [("{bad json",), ('{"k": 7}',)], "props string"
+    )
+    vals = [
+        r["v"]
+        for r in df.select(
+            F.get_json_object("props", "$.k").alias("v")
+        ).collect()
+    ]
+    assert vals == [None, "7"]
+
+
 def test_having_supported(spark):
     """HAVING appears in reference examples but its parser has no
     branch for it (parser.rs:33-127)."""
