@@ -232,8 +232,6 @@ def kmeans_ivf_topk(
     )
     # query probes: distances to every centroid, keep nprobe smallest
     q_rows = queries.select(id_col, vec_col).collect()
-    import math
-
     probe_pairs = []
     for r in q_rows:
         qv = [float(x) for x in r[vec_col]]
@@ -247,7 +245,7 @@ def kmeans_ivf_topk(
             probe_pairs.append((int(r[id_col]), qv, ci))
     spark = corpus.sparkSession
     q = spark.createDataFrame(
-        probe_pairs, f"query_id long, q_vec array<double>, cluster long"
+        probe_pairs, "query_id long, q_vec array<double>, cluster long"
     )
     scored = (
         c.join(F.broadcast(q), "cluster")
