@@ -131,6 +131,167 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q70_joint_dedup_flags",
+    oracle=f"""
+    WITH {_SH},
+    {_sig_sql()},
+    {_banded_sql()},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    {_JACCARD_TAIL},
+    text_dups AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT c.id_a AS doc_id FROM cand c
+            JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+            JOIN sizes na ON c.id_a = na.doc_id
+            JOIN sizes nb ON c.id_b = nb.doc_id
+            WHERE CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) >= 0.5
+            UNION ALL
+            SELECT c.id_b FROM cand c
+            JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+            JOIN sizes na ON c.id_a = na.doc_id
+            JOIN sizes nb ON c.id_b = nb.doc_id
+            WHERE CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) >= 0.5
+        )
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS av,
+               b.embedding AS bv
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ),
+    terms AS (
+        SELECT id_a, id_b,
+               CAST(floor(CAST(av[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE) * 1e12)
+                    AS BIGINT) AS txy,
+               CAST(floor(CAST(av[i] AS DOUBLE) * CAST(av[i] AS DOUBLE) * 1e12)
+                    AS BIGINT) AS txx,
+               CAST(floor(CAST(bv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE) * 1e12)
+                    AS BIGINT) AS tyy
+        FROM pairs, unnest(generate_series(1, len(av))) AS t(i)
+    ),
+    emb_pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT id_a, id_b,
+                   CAST(SUM(txy) AS DOUBLE)
+                   / (sqrt(CAST(SUM(txx) AS DOUBLE)) * sqrt(CAST(SUM(tyy) AS DOUBLE)))
+                       AS cosine
+            FROM terms GROUP BY id_a, id_b
+        ) WHERE cosine >= 0.45
+    ),
+    emb_dups AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT id_a AS doc_id FROM emb_pairs
+            UNION ALL SELECT id_b FROM emb_pairs
+        )
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS by_text,
+           CAST(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS by_embedding
+    FROM documents d
+    LEFT JOIN text_dups t ON d.doc_id = t.doc_id
+    LEFT JOIN emb_dups e ON d.doc_id = e.doc_id
+    WHERE t.doc_id IS NOT NULL OR e.doc_id IS NOT NULL
+    """,
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint dedup signal fusion: documents flagged near-duplicate by
+    text MinHash-LSH OR by embedding cosine (vec_id == doc_id links
+    the modalities). Production dedup combines signals exactly like
+    this; both branches are the oracle-proven operators composed with
+    two anti-joinable flag sets."""
+    from gpu_olap_engine_spark.operators import similarity as S
+
+    docs = T(spark, sf_dir, "documents")
+    text_pairs = D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5)
+    text_dups = (
+        text_pairs.select(F.col("id_a").alias("doc_id"))
+        .union(text_pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("by_text", F.lit(1))
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb_pairs = S.near_dup_pairs(emb, threshold=0.45)
+    emb_dups = (
+        emb_pairs.select(F.col("id_a").alias("doc_id"))
+        .union(emb_pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("by_embedding", F.lit(1))
+    )
+    return (
+        docs.select("doc_id")
+        .join(text_dups, "doc_id", "left")
+        .join(emb_dups, "doc_id", "left")
+        .filter(F.col("by_text").isNotNull() | F.col("by_embedding").isNotNull())
+        .select(
+            "doc_id",
+            F.coalesce(F.col("by_text"), F.lit(0)).cast("long").alias("by_text"),
+            F.coalesce(F.col("by_embedding"), F.lit(0))
+            .cast("long")
+            .alias("by_embedding"),
+        )
+    )
+
+
+@register(
+    "q71_training_record_assembly",
+    oracle=r"""
+    WITH norms AS (
+        SELECT vec_id,
+               sqrt(CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE)
+                    * CAST(embedding[i] AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE))
+                   / 1e6 AS emb_norm
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+        GROUP BY vec_id
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(len(string_split_regex(lower(trim(d.text)), '\s+')) AS BIGINT)
+               AS n_tokens,
+           CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+           n.emb_norm
+    FROM documents d JOIN norms n ON d.doc_id = n.vec_id
+    """,
+)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal training-record assembly: text stats + binary-asset
+    metadata + embedding norm joined into one record per sample — the
+    final wide row a training dataloader consumes. Joins three
+    subsystems (text analysis, multimodal plumbing, vector math) in
+    one lazy plan."""
+    from gpu_olap_engine_spark.operators import multimodal as M
+    from gpu_olap_engine_spark.operators.similarity import scaled_norm_sq
+
+    docs = T(spark, sf_dir, "documents")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    norms = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        (F.sqrt(scaled_norm_sq(F.col("embedding"))) / 1e6).alias("emb_norm"),
+    )
+    assets = M.synth_assets(docs).select(
+        F.col("asset_id").alias("doc_id"),
+        "modality",
+        F.length("data").cast("long").alias("n_bytes"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+        .join(assets, "doc_id")
+        .join(norms, "doc_id")
+        .select("doc_id", "lang", "n_tokens", "modality", "n_bytes", "emb_norm")
+    )
+
+
+@register(
     "q55_training_pipeline",
     oracle=f"""
     WITH {_SH},
