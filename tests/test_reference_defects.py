@@ -103,6 +103,47 @@ def test_multi_key_join_supported(spark):
     assert joined.count() == o.count()
 
 
+def test_empty_input_aggregate_semantics(spark, duck):
+    """SURVEY §5.2: empty-input behavior. Grouped aggregate over an
+    empty relation -> zero rows; global aggregate over empty -> one
+    row with COUNT=0 and NULL SUM/AVG/MIN/MAX (the reference's
+    sentinel identities, aggregate_kernel.rs:27-33, would emit
+    0/i64::MAX instead). DuckDB agrees with the SQL semantics."""
+    empty = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").filter(F.lit(False))
+    grouped = empty.groupBy("o_orderstatus").agg(F.count("*").alias("c")).collect()
+    assert grouped == []
+    g = empty.agg(
+        F.count("*").alias("c"),
+        F.sum("o_totalprice").alias("s"),
+        F.avg("o_totalprice").alias("a"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    ).collect()[0]
+    assert (g["c"], g["s"], g["a"], g["lo"], g["hi"]) == (0, None, None, None, None)
+    d = duck.sql(
+        "SELECT COUNT(*), SUM(o_totalprice), AVG(o_totalprice), "
+        "MIN(o_totalprice), MAX(o_totalprice) FROM orders WHERE false"
+    ).fetchone()
+    assert tuple(d) == (0, None, None, None, None)
+
+
+def test_empty_join_sides(spark):
+    """Joins with an empty side: inner -> empty, left -> all-probe
+    with NULLs (not sentinels)."""
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    empty_cust = spark.read.parquet(f"{SF_ORACLE}/customer.parquet").filter(
+        F.lit(False)
+    )
+    assert orders.join(
+        empty_cust, orders.o_custkey == empty_cust.c_custkey
+    ).count() == 0
+    left = orders.join(
+        empty_cust, orders.o_custkey == empty_cust.c_custkey, "left"
+    )
+    assert left.count() == orders.count()
+    assert left.filter(F.col("c_name").isNotNull()).count() == 0
+
+
 def test_malformed_json_yields_null(spark):
     """get_json_object on malformed JSON returns NULL (lenient
     semi-structured semantics — a pipeline-friendly divergence from
