@@ -40,6 +40,11 @@ HEADLINE = [
     "q35_pivot",
     "q37_pandas_udf_scalar",
     "q39_apply_in_pandas",
+    "q43_tpch_q6_shape",
+    "q50_hypertable_rollup",
+    "q53_dataset_split",
+    "q54_sequence_packing",
+    "q57_window_analytics",
     "dedup_exact_key",
     "dedup_minhash_lsh",
     "dedup_simhash",
