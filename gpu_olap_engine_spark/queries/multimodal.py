@@ -102,9 +102,19 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode + featurize (codec stubbed —
     deterministic fake decode; see operators.multimodal._decode_stub).
-    Python stage -> rows-only check."""
+    Python stage -> rows-only check. The array<float> feature vector
+    is emitted as a fixed-precision CSV string so the harness's
+    canonical sort (pandas sort_values over all columns) has hashable,
+    totally-ordered cells; the array-typed stage stays available via
+    operators.multimodal.decode_and_featurize."""
     # no spread: Python-worker spin-up per partition dominates at this
     # payload size; real deployments inherit parallelism from input
     # splits.
     assets = M.synth_assets(T(spark, sf_dir, "documents"))
-    return M.decode_and_featurize(assets)
+    decoded = M.decode_and_featurize(assets)
+    feature_csv = F.concat_ws(
+        ",", F.transform("feature", lambda x: F.format_string("%.6f", x))
+    )
+    return decoded.select(
+        "asset_id", "modality", "n_bytes", feature_csv.alias("feature_csv")
+    )

@@ -17,6 +17,11 @@ from gpu_olap_engine_spark.operators import dedup as D
 from gpu_olap_engine_spark.operators.dedup import base_hash, tokenize
 from gpu_olap_engine_spark.queries import register
 from gpu_olap_engine_spark.queries.dedup import _banded_sql, _JACCARD_TAIL, _SH, _sig_sql
+from gpu_olap_engine_spark.queries.similarity import _block_sql
+
+# embedding near-dup candidate chain (prefixed to avoid clashing with
+# the text branch's `cand`); mirrors operators.similarity.near_dup_pairs
+_EMB_BLOCK = _block_sql(prefix="e_")
 from gpu_olap_engine_spark.queries.tables import T, spread
 
 # doc selector hash: stable per content, uniform in [0, 100)
@@ -158,11 +163,7 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) >= 0.5
         )
     ),
-    pairs AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS av,
-               b.embedding AS bv
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    ),
+    {_EMB_BLOCK},
     terms AS (
         SELECT id_a, id_b,
                CAST(floor(CAST(av[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE) * 1e12)
@@ -171,7 +172,7 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS txx,
                CAST(floor(CAST(bv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE) * 1e12)
                     AS BIGINT) AS tyy
-        FROM pairs, unnest(generate_series(1, len(av))) AS t(i)
+        FROM e_pairs, unnest(generate_series(1, len(av))) AS t(i)
     ),
     emb_pairs AS (
         SELECT id_a, id_b FROM (

@@ -103,22 +103,56 @@ def sim_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("rank", "rnk")
 
 
+def _block_sql(prefix: str = "", m: int = 6) -> str:
+    """DuckDB twin of operators.similarity.top_dim_keys blocking:
+    candidates = pairs sharing >=1 of their top-m signed |value| dims
+    (ties by lowest dim — matches the Spark struct sort exactly).
+    Emits CTEs {p}dims/{p}topd/{p}bkeys/{p}cand/{p}pairs."""
+    p = prefix
+    return f"""
+    {p}dims AS (
+        SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    {p}topd AS (
+        SELECT vec_id, dim, val,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY abs(val) DESC, dim) AS rn
+        FROM {p}dims
+    ),
+    {p}bkeys AS (
+        SELECT vec_id, dim * 2 + CASE WHEN val > 0 THEN 1 ELSE 0 END AS bkey
+        FROM {p}topd WHERE rn <= {m}
+    ),
+    {p}cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM {p}bkeys a JOIN {p}bkeys b
+          ON a.bkey = b.bkey AND a.vec_id < b.vec_id
+    ),
+    {p}pairs AS (
+        SELECT id_a, id_b, ea.embedding AS av, eb.embedding AS bv
+        FROM {p}cand
+        JOIN embeddings ea ON id_a = ea.vec_id
+        JOIN embeddings eb ON id_b = eb.vec_id
+    )"""
+
+
 @register(
     "sim_near_dup_pairs",
     oracle=f"""
-    WITH a AS (SELECT vec_id AS id_a, embedding AS av FROM embeddings),
-    b2 AS (SELECT vec_id AS id_b, embedding AS bv FROM embeddings),
-    pairs AS (SELECT id_a, id_b, av, bv FROM a JOIN b2 ON id_a < id_b),
+    WITH {_block_sql()},
     {_TERMS.format(keys="id_a, id_b")}
     SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.45
     """,
 )
 def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (>= 0.45): the
-    embedding-space analog of MinHash dedup. Exact all-pairs here;
-    the production path pre-buckets (sim_bucketed_ann) to stay
-    sub-quadratic."""
-    return S.near_dup_pairs(T(spark, sf_dir, "embeddings"), threshold=0.45)
+    """Embedding-cosine near-duplicate pairs (>= 0.45), sub-quadratic:
+    inverted-index blocking on each vector's top-6 signed dims
+    (prefix-filtering), exact quantized-cosine verify on candidates
+    only. The oracle mirrors the blocking predicate bit-for-bit."""
+    return S.near_dup_pairs(
+        T(spark, sf_dir, "embeddings"), threshold=0.45, block_m=6
+    )
 
 
 @register("sim_ivf_kmeans", oracle=None)

@@ -73,3 +73,13 @@ def test_rows_only_runs(spark, name):
     df = q.fn(spark, SF_ORACLE)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_CASES)
+def test_rows_only_driver_canonicalizable(spark, name):
+    """The driver's rows-only check sorts the pandas frame over ALL
+    columns; unhashable cells (numpy arrays from array<T> columns)
+    crash it — the round-1 mm_decode_features red row. Every rows-only
+    query must therefore emit only sortable column types."""
+    pdf = REGISTRY[name].fn(spark, SF_ORACLE).toPandas()
+    normalize(pdf)  # must not raise

@@ -62,6 +62,27 @@ def test_lsh_candidates_join_is_equi_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_embedding_near_dup_is_blocked_not_all_pairs(spark):
+    """Round-2 fix for the round-1 scale-killer: near_dup_pairs must
+    generate candidates via the top-dim inverted-index equi-join —
+    no cartesian/nested-loop over the full corpus, in the standalone
+    entry AND inside the q70 fusion query."""
+    for name in ("sim_near_dup_pairs", "q70_joint_dedup_flags"):
+        plan = plan_of(REGISTRY[name].fn(spark, SF_ORACLE), "simple")
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_ivf_probe_assignment_is_distributed(spark):
+    """kmeans_ivf_topk's query->cluster probe assignment must be a
+    DataFrame computation (posexplode of sorted centroid distances),
+    not a driver-side collect loop: the probe side of the plan joins
+    on `cluster` without any LocalTableScan of materialized probes."""
+    plan = plan_of(REGISTRY["sim_ivf_kmeans"].fn(spark, SF_ORACLE), "simple")
+    assert "LocalTableScan" not in plan
+    assert "Generate explode" in plan
+
+
 def test_whole_stage_codegen_covers_scan_filter(spark):
     plan = plan_of(REGISTRY["q01_filter_project_topk"].fn(spark, SF_ORACLE), "simple")
     assert "*(1)" in plan  # codegen stage markers present
