@@ -51,15 +51,25 @@ class EngineConfig:
     # builds <= 1M rows (join_kernel.rs:71-77); Spark thresholds by
     # bytes — 10 MB default is roughly that row count at 8B/row.
     broadcast_threshold: int = 10 * 1024**2
+    # Driver JVM heap (static conf: applies at session build only).
+    # Local-mode executors live in the driver JVM and the 1g default
+    # heap cannot hold shuffle state for 100M-row operators, so the
+    # default is 24g — overridable via SPARK_GRAFT_DRIVER_MEMORY or
+    # this field; set to None/"" to leave Spark's own setting intact
+    # (e.g. on small hosts or user-tuned deployments).
+    driver_memory: str | None = None
     extra_confs: dict[str, str] = field(default_factory=dict)
 
     def spark_confs(self) -> dict[str, str]:
         """Spark confs implementing this config (see class docstring)."""
+        import os
+
+        driver_mem = (
+            self.driver_memory
+            if self.driver_memory is not None
+            else os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "24g")
+        )
         confs = {
-            # local-mode executors live in the driver JVM; the 1g
-            # default heap cannot hold shuffle state for 100M-row
-            # operators (static conf: applies at session build only)
-            "spark.driver.memory": "24g",
             "spark.sql.shuffle.partitions": str(self.shuffle_partitions),
             "spark.sql.adaptive.enabled": "true",
             "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -79,6 +89,8 @@ class EngineConfig:
             "spark.sql.parquet.filterPushdown": "true",
             "spark.sql.autoBroadcastJoinThreshold": str(self.broadcast_threshold),
         }
+        if driver_mem:
+            confs["spark.driver.memory"] = driver_mem
         if not self.use_unified_memory:
             log.info("use_unified_memory=False ignored: Spark always spills")
         confs.update(self.extra_confs)

@@ -150,8 +150,31 @@ class OlapEngine:
         """
         return QueryResult(self.spark.sql(sql))
 
-    # alias, because spark users expect .sql
+    # aliases: the reference's examples drive the engine as
+    # engine.query(...) (examples/python_usage.py:32,42,58,248,275;
+    # examples/rust_usage.rs:71); spark users expect .sql.
+    query = execute_query
     sql = execute_query
+
+    # -- direct catalog accessors (catalog.rs:83-101 analogs) ---------
+
+    def get_table_location(self, name: str) -> str:
+        """catalog.rs:90-94 analog; KeyError on unknown table."""
+        return self._catalog[name].location
+
+    def get_row_count(self, name: str) -> int:
+        """catalog.rs:97-101 analog; KeyError on unknown table."""
+        return self._catalog[name].row_count
+
+    def get_table_data(self, name: str):
+        """catalog.rs:83-87 analog: the table's data from cache if
+        available, else None (the reference returns Option<Vec<
+        RecordBatch>>). Cached tables round-trip through Arrow."""
+        if name not in self._catalog:
+            raise KeyError(name)
+        if not self._catalog[name].cached:
+            return None
+        return self.spark.table(name).toArrow()
 
     def query_pandas(self, pdf: Any, sql: str, view_name: str = "df") -> Any:
         """README.md:288-293 analog: query a pandas DataFrame as ``df``.
@@ -197,20 +220,27 @@ class OlapEngine:
             df.unpersist()
         self._query_cache.clear()
 
-    def profile_table(self, name: str) -> DataFrame:
+    def profile_table(self, name: str, exact: bool = False) -> DataFrame:
         """Per-column profile: nulls, distinct count, min/max (as
         strings) — the data-quality pass run before ingesting a shard
         into a training corpus. One job; every column profiled in a
-        single aggregate pass (no per-column scans)."""
+        single aggregate pass (no per-column scans).
+
+        Distinct counts use approx_count_distinct (HLL++) by default:
+        N exact countDistinct aggregates in one pass force an Expand
+        that replicates every input row once per column — a scan
+        multiplied by column count at 100 TB. ``exact=True`` restores
+        exact counts for small tables."""
         from pyspark.sql import functions as F
 
+        distinct = F.countDistinct if exact else F.approx_count_distinct
         df = self.spark.table(name)
         aggs = []
         for f in df.schema.fields:
             c = f.name
             aggs += [
                 F.count(F.col(c)).alias(f"{c}__non_null"),
-                F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
+                distinct(F.col(c)).alias(f"{c}__distinct"),
                 F.min(F.col(c)).cast("string").alias(f"{c}__min"),
                 F.max(F.col(c)).cast("string").alias(f"{c}__max"),
             ]

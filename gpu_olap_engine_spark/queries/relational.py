@@ -460,14 +460,17 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT: customers with no high-value order."""
+    """EXCEPT: customers with no high-value order. ``subtract`` is
+    SQL EXCEPT (distinct) semantics; exceptAll().distinct() would
+    wrongly keep a value whose left multiplicity exceeds its right
+    multiplicity."""
     c = T(spark, sf_dir, "customer").select(F.col("c_custkey").alias("ckey"))
     o = (
         T(spark, sf_dir, "orders")
         .filter(F.col("o_totalprice") > 400000)
         .select(F.col("o_custkey").alias("ckey"))
     )
-    return c.exceptAll(o).distinct()
+    return c.subtract(o)
 
 
 # ---------------------------------------------------------------------

@@ -59,6 +59,25 @@ def write_table(
     writer.options(**options).save(path)
 
 
+def _swap_in(path: str, staging: str) -> None:
+    """Replace dataset dir `path` with `staging` without a window where
+    the data is gone: rename the old dir aside, move staging into
+    place, then delete the old copy. A crash mid-swap leaves either
+    the old or the new dataset intact (plus at worst a leftover
+    ``__old``/``__staging`` dir to clean up), never neither."""
+    import os
+    import shutil
+
+    if not os.path.isdir(path):
+        raise ValueError(f"not a dataset directory: {path!r}")
+    old = path.rstrip("/") + "__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+
+
 def upsert_parquet(
     spark: SparkSession,
     path: str,
@@ -81,8 +100,7 @@ def upsert_parquet(
     merged = kept.unionByName(updates)
     staging = path.rstrip("/") + "__staging"
     merged.write.mode("overwrite").parquet(staging)
-    shutil.rmtree(path)
-    os.rename(staging, path)
+    _swap_in(path, staging)
 
 
 def compact(
@@ -103,8 +121,7 @@ def compact(
     df = spark.read.parquet(path)
     staging = path.rstrip("/") + "__staging"
     df.repartition(target_files).write.mode("overwrite").parquet(staging)
-    shutil.rmtree(path)
-    os.rename(staging, path)
+    _swap_in(path, staging)
     return sum(
         1 for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith(".")
     )

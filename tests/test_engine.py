@@ -97,12 +97,59 @@ def test_query_result_cache(engine):
 
 
 def test_profile_table(engine):
+    """Default profile is approximate (HLL++): distinct counts within
+    rsd, null counts and extrema exact."""
     prof = {r["column"]: r for r in engine.profile_table("orders").collect()}
     assert prof["o_orderkey"]["n_null"] == 0
-    assert prof["o_orderkey"]["n_distinct"] == 1500
-    assert prof["o_orderstatus"]["n_distinct"] == 3
+    assert abs(prof["o_orderkey"]["n_distinct"] - 1500) <= 1500 * 0.10
+    assert prof["o_orderstatus"]["n_distinct"] == 3  # tiny counts are exact in HLL++
     assert prof["o_totalprice"]["dtype"] == "double"
     assert float(prof["o_totalprice"]["min_value"]) > 0
+
+
+def test_profile_table_exact_flag(engine):
+    prof = {r["column"]: r for r in engine.profile_table("orders", exact=True).collect()}
+    assert prof["o_orderkey"]["n_distinct"] == 1500
+
+
+def test_profile_table_default_plan_has_no_expand(engine):
+    """The 100 TB reason for approx default: N countDistinct in one
+    aggregate force an Expand (input replicated once per column)."""
+    from pyspark.sql import functions as F
+
+    df = engine.spark.table("orders")
+    aggs = []
+    for f in df.schema.fields:
+        aggs += [
+            F.count(F.col(f.name)).alias(f"{f.name}__nn"),
+            F.approx_count_distinct(F.col(f.name)).alias(f"{f.name}__d"),
+        ]
+    plan = df.agg(*aggs)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+
+
+def test_reference_example_verbatim(engine):
+    """The reference's canonical python example runs unchanged
+    (examples/python_usage.py:30-51 shape: engine.query(...) ->
+    result.to_pandas())."""
+    result = engine.query(
+        """
+        SELECT c_nationkey AS region,
+               COUNT(*) as num_sales,
+               SUM(o_totalprice) as total_amount,
+               AVG(o_totalprice) as avg_amount
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey
+        ORDER BY total_amount DESC
+        """
+    )
+    pdf = result.to_pandas()
+    assert len(pdf) == 25
+    assert pdf["total_amount"].is_monotonic_decreasing
+    assert engine.get_row_count("orders") == 1500
+    assert engine.get_table_location("orders").endswith("orders.parquet")
+    data = engine.get_table_data("orders")  # cached -> Arrow table
+    assert data is not None and data.num_rows == 1500
 
 
 def test_register_function_pandas_udf(engine):
