@@ -136,6 +136,63 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q72_sequence_packing_sharded",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               (('0x' || substr(md5(text), 1, 15))::BIGINT) % 8 AS shard,
+               CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT lang, shard, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY lang, shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS start_offset
+        FROM toks
+    )
+    SELECT lang, CAST(shard AS BIGINT) AS shard,
+           CAST(start_offset // 4096 AS BIGINT) AS context_bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY 1, 2, 3
+    """,
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing partitioned by (lang, shard): the 100 TB shape
+    of q54. A language is not a unit of parallelism at scale — one
+    window partition per language serializes the entire corpus of a
+    dominant language through one task. Sharding by content hash keeps
+    window state bounded (corpus_size / n_shards) while preserving
+    determinism: shard membership is a pure function of content, so
+    the packing is stable across runs and re-partitioning."""
+    docs = spread(T(spark, sf_dir, "documents"))
+    n_tok = F.size(tokenize(F.col("text"))).cast("long")
+    shard = (base_hash(F.col("text")) % 8).cast("long")
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select(
+        "doc_id", "lang", shard.alias("shard"), n_tok.alias("n_tokens")
+    )
+    packed = toks.withColumn(
+        "start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return packed.groupBy(
+        "lang",
+        "shard",
+        F.floor(F.col("start_offset") / 4096).cast("long").alias("context_bin"),
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+    )
+
+
+@register(
     "q70_joint_dedup_flags",
     oracle=f"""
     WITH {_SH},
