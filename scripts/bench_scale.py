@@ -132,14 +132,18 @@ def generate(spark, src_dir: str, out_dir: str) -> None:
     )
 
     emb = T(spark, src_dir, "embeddings")
+
+    def _perturb(i: int):
+        def fn(x, j):
+            return (
+                x + ((F.lit(i * 31) + j) % 7 - F.lit(3)) * F.lit(0.01)
+            ).cast("float")
+
+        return fn
+
     emb_parts = []
     for i in range(K):
-        pert = F.transform(
-            F.col("embedding"),
-            lambda x, j, i=i: (
-                x + ((F.lit(i * 31) + j) % 7 - F.lit(3)) * F.lit(0.01)
-            ).cast("float"),
-        )
+        pert = F.transform(F.col("embedding"), _perturb(i))
         emb_parts.append(
             emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * KEY_OFFSET))
             .withColumn("embedding", pert if i else F.col("embedding"))
@@ -150,6 +154,8 @@ def generate(spark, src_dir: str, out_dir: str) -> None:
     out.repartition(8).write.mode("overwrite").parquet(
         f"{out_dir}/embeddings.parquet"
     )
+    with open(f"{out_dir}/_COMPLETE", "w") as f:
+        f.write("ok\n")
 
 
 def main() -> None:
@@ -159,7 +165,8 @@ def main() -> None:
     spark = get_spark(EngineConfig(), master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if not os.path.exists(f"{out_dir}/lineitem.parquet"):
+    if not os.path.exists(f"{out_dir}/_COMPLETE"):
+        shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
         generate(spark, src_dir, out_dir)
         gen_s = round(time.perf_counter() - t0, 1)
@@ -169,11 +176,14 @@ def main() -> None:
     registry = load_all()
     timings: dict[str, float] = {}
     for name in SUITE:
-        t0 = time.perf_counter()
-        registry[name].fn(spark, out_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(2):  # min-of-2: shared-box noise dominates
+            t0 = time.perf_counter()
+            registry[name].fn(spark, out_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
