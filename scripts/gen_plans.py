@@ -20,6 +20,8 @@ SHOW = [
     ("q05_star_join_having", "star join: all dimensions broadcast"),
     ("q34_asof_join", "as-of via single sort-window, one exchange"),
     ("dedup_minhash_lsh", "LSH candidate equi-join (no cartesian)"),
+    ("sim_near_dup_pairs", "inverted-index blocking + verify (no all-pairs join)"),
+    ("q72_sequence_packing_sharded", "(lang, shard) window: bounded per-task state"),
     ("q43_tpch_q6_shape", "selective scan: all predicates pushed"),
 ]
 
