@@ -306,7 +306,7 @@ def near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
-    block_m: int = 6,
+    block_m: int = 10,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold,
     sub-quadratic: inverted-index blocking on top-m signed dims
@@ -314,13 +314,14 @@ def near_dup_pairs(
     candidates get the exact quantized-cosine verify. No all-pairs
     product anywhere in the plan (asserted in tests/test_plans).
 
-    Measured on the fixture embeddings: block_m=6 retains 14/14 true
-    pairs at sf0.01 and 113/144 at sf0.1 with a ~4x candidate shrink;
-    the 0.45 threshold is a deliberately hard regime (planted pairs
-    peak at cosine ~0.51) — at production near-dup thresholds (>=0.8)
-    the same plan prunes far harder. At 100 TB the key explode is
-    narrow, the candidate join shuffles by bkey (AQE splits hot keys),
-    and verification touches only candidate pairs.
+    Measured on the fixture embeddings at the deliberately hard 0.45
+    threshold (planted pairs peak at cosine ~0.51): block_m=10 retains
+    14/14 true pairs at sf0.01 and 142/144 at sf0.1 (block_m=6 was
+    113/144; 8 -> 136; 12 -> 143) at indistinguishable wall time —
+    at production near-dup thresholds (>=0.8) the same plan prunes far
+    harder. At 100 TB the key explode is narrow, the candidate join
+    shuffles by bkey (AQE splits hot keys), and verification touches
+    only candidate pairs.
 
     Returns (id_a, id_b, cosine).
     """
