@@ -25,48 +25,147 @@ def connected_components(
     Label propagation: each node repeatedly adopts the minimum label
     among itself and its neighbors until no label changes. Converges
     in O(diameter) iterations; each iteration is one shuffle-join +
-    aggregate. For planet-scale graphs swap in the large-star/
-    small-star variant — the loop harness is identical.
+    aggregate. Per-iteration ``localCheckpoint`` truncates lineage —
+    without it the logical plan nests one join+aggregate layer per
+    iteration and Catalyst analysis cost, not the data, dominates past
+    ~10 iterations. For high-diameter graphs use
+    ``connected_components_star`` (O(log n) rounds).
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    try:
-        for _ in range(max_iter):
-            neighbor_min = (
-                sym.join(labels, sym.a == labels.id)
-                .groupBy(F.col("b").alias("id2"))
-                .agg(F.min("label").alias("nmin"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.a == labels.id)
+            .groupBy(F.col("b").alias("id2"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == F.col("id2"), "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
             )
-            new_labels = (
-                labels.join(neighbor_min, labels.id == F.col("id2"), "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                    ).alias("label"),
-                )
-                .persist()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def connected_components_star(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """(id, cluster_id): min reachable node id per node — identical
+    result to ``connected_components``, computed in O(log n) rounds
+    instead of O(diameter).
+
+    The alternating large-star / small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    literature; no counterpart in the reference, which has no graph
+    surface at all):
+
+    * large-star: every node connects its LARGER neighbors to the
+      minimum of its neighborhood (including itself);
+    * small-star: every node connects its smaller-or-equal neighbors
+      (and itself) to that minimum.
+
+    Each round halves long chains (pointer doubling), so path graphs —
+    the worst case for label propagation — converge logarithmically.
+    Each half-round is one groupBy + one join on the edge list; the
+    edge list never grows beyond the input size, and the hot key (a
+    giant component's minimum) is exactly the shape AQE skew-split
+    handles. Convergence = the canonical edge set reaches a fixpoint
+    (count + per-edge hash aggregate, one lightweight job per round).
+    """
+    # canonical parent edges (u > v): u points at a smaller node v.
+    # localCheckpoint (eager) truncates lineage every round — without
+    # it the plan nests one level per iteration and Catalyst analysis
+    # time, not the data, becomes the bottleneck (measured: iteration
+    # wall grew 5s -> 13s -> hang by round 3 on an 8-node chain).
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64(F.col("u"), F.col("v"))), F.lit(0)
+            ).alias("h"),
+        ).first()
+        return row["n"], row["h"]
+
+    sig = _sig(e)
+    for _ in range(max_iter):
+        # large-star over the symmetric neighborhood: for node a,
+        # m = min(neighbors ∪ {a}); larger neighbors re-point to m
+        sym = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy(F.col("u").alias("a")).agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, F.col("u") == F.col("a"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on parent edges: group by child u, re-point u
+        # and all its parents-but-one at the smallest parent
+        pmins = large.groupBy(F.col("u").alias("a")).agg(
+            F.min("v").alias("m")
+        )
+        new_e = (
+            large.join(pmins, F.col("u") == F.col("a"))
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+                        F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                    )
+                ).alias("edge")
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-        return labels.select("id", F.col("label").alias("cluster_id"))
-    finally:
-        sym.unpersist()
+            .select(F.col("edge.u").alias("u"), F.col("edge.v").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_sig = _sig(new_e)
+        e = new_e
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # stars: every node points at its component min; add the roots
+    roots = e.select(F.col("v").alias("id")).subtract(
+        e.select(F.col("u").alias("id"))
+    )
+    return e.select(F.col("u").alias("id"), F.col("v").alias("cluster_id")).union(
+        roots.select("id", F.col("id").alias("cluster_id"))
+    )

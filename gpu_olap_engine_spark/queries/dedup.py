@@ -208,7 +208,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent fixpoint — the oracle computes the same thing with a
     recursive CTE. This is the iterative-algorithm class a single SQL
     query cannot express; the driver-side loop only steers
-    convergence, every step is distributed."""
+    convergence, every step is distributed. Near-dup graphs have tiny
+    diameter (clusters are cliques-ish), so label propagation's
+    O(diameter) rounds win here; for high-diameter graphs
+    operators.graph.connected_components_star gives the same labels in
+    O(log n) rounds (equivalence-tested)."""
     from gpu_olap_engine_spark.operators.graph import connected_components
 
     pairs = D.minhash_dedup_pairs(

@@ -174,6 +174,39 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_star_components_equal_label_propagation(spark):
+    """large-star/small-star (O(log n) rounds) produces the identical
+    min-reachable labeling as label propagation on a long chain (the
+    diameter-bound worst case), a star, islands, and a seeded random
+    graph."""
+    import random
+
+    from gpu_olap_engine_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(42)
+    rand_edges = [(rng.randrange(50), rng.randrange(50)) for _ in range(40)]
+    cases = [
+        [(i, i + 1) for i in range(1, 20)],  # chain: diameter 19
+        [(1, k) for k in range(2, 12)],  # already a star
+        [(2, 3), (1, 2), (10, 11), (20, 21), (21, 22)],  # islands
+        [(a, b) for a, b in rand_edges if a != b],
+    ]
+    for case in cases:
+        edges = spark.createDataFrame(case, "id_a long, id_b long")
+        lp = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(edges).collect()
+        }
+        star = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components_star(edges).collect()
+        }
+        assert star == lp, (case, star, lp)
+
+
 # ----------------------------------------------------------------- joins
 
 
