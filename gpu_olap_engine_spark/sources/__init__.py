@@ -127,6 +127,32 @@ def compact(
     )
 
 
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    target_files: int | None = None,
+    **options: str,
+) -> None:
+    """Cluster-by write: range-partition on `cluster_cols`, sort within
+    each partition, then write parquet. Every output file covers a
+    tight, pairwise-disjoint range of the cluster key, so readers'
+    range predicates prune whole files (and row groups inside them)
+    from parquet footer min/max stats alone — no data read, no index.
+
+    The layout half of scan pruning at 100 TB: predicate pushdown
+    (already asserted in test_plans) only skips what the stats can
+    exclude, and stats only exclude when the write clustered the data.
+    Time-keyed event tables clustered by ts make ts-range scans touch
+    O(selectivity) files instead of all of them.
+    """
+    n = target_files or df.sparkSession.sparkContext.defaultParallelism
+    out = df.repartitionByRange(n, *cluster_cols).sortWithinPartitions(
+        *cluster_cols
+    )
+    out.write.mode("overwrite").options(**options).parquet(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

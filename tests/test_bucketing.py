@@ -34,6 +34,42 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS customer_b")
 
 
+def test_clustered_write_yields_disjoint_file_ranges(spark, tmp_path):
+    """write_clustered range-partitions + sorts, so every parquet file
+    carries a disjoint min/max range of the cluster key — the footer
+    stats any reader uses to skip whole files on a range predicate."""
+    import pyarrow.parquet as pq
+
+    from gpu_olap_engine_spark.sources import write_clustered
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    out = str(tmp_path / "orders_by_total")
+    write_clustered(orders, out, ["o_totalprice"], target_files=8)
+
+    ranges = []
+    import os
+
+    for f in os.listdir(out):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(out, f))
+        schema_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        ci = schema_idx["o_totalprice"]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) > 1
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)  # files cover disjoint key ranges
+    # row preservation
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+
+
 def test_polars_path_is_import_gated(spark):
     """query_polars requires the optional polars dep; without it the
     error is an ImportError at call time, not at engine import."""
