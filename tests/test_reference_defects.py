@@ -165,3 +165,22 @@ def test_having_supported(spark):
     branch for it (parser.rs:33-127)."""
     rows = REGISTRY["q05_star_join_having"].fn(spark, SF_ORACLE).collect()
     assert all(r["revenue"] > 1000000 for r in rows)
+
+
+def test_except_distinct_semantics_under_multiplicity(spark, duck):
+    """EXCEPT must remove a value present on the right regardless of
+    multiplicities (ADVICE round 1: exceptAll().distinct() wrongly
+    keeps a value whose left multiplicity exceeds its right). Checked
+    differentially against DuckDB on duplicate-heavy inputs."""
+    left = spark.createDataFrame([(1,), (1,), (1,), (2,), (3,), (3,)], "v long")
+    right = spark.createDataFrame([(1,), (3,), (3,), (3,), (4,)], "v long")
+    got = sorted(r["v"] for r in left.subtract(right).collect())
+    want = sorted(
+        r[0]
+        for r in duck.sql(
+            """SELECT v FROM (VALUES (1),(1),(1),(2),(3),(3)) t(v)
+               EXCEPT
+               SELECT v FROM (VALUES (1),(3),(3),(3),(4)) t(v)"""
+        ).fetchall()
+    )
+    assert got == want == [2]
