@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Usage tour of the PySpark-native OLAP engine.
+
+Mirrors the WORKFLOWS of the reference's examples
+(/root/reference/examples/python_usage.py: engine construction with
+config knobs, load_table + .query, pandas interchange, catalog
+introspection, custom per-element compute registration) re-expressed
+against this engine's API — same user journey, Spark execution.
+
+Run: python3 examples/python_usage.py [fixture_dir]
+(default fixture_dir: /root/testdata/sf0.001)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(data_dir: str = "/root/testdata/sf0.001") -> None:
+    from gpu_olap_engine_spark import EngineConfig, OlapEngine
+
+    # --- engine construction: the reference's EngineConfig fields are
+    # accepted and mapped onto Spark confs (config.py docstring) ---
+    engine = OlapEngine(
+        EngineConfig(
+            max_gpu_memory=8 * 1024**3,  # informational on Spark
+            num_streams=8,
+            use_unified_memory=True,
+            batch_size=1_000_000,
+            enable_cache=True,
+        )
+    )
+
+    # --- load tables + SQL via .query, the reference's main entry ---
+    engine.load_table("orders", f"{data_dir}/orders.parquet")
+    engine.load_table("customer", f"{data_dir}/customer.parquet")
+
+    print("1. filter + projection + LIMIT:")
+    print(
+        engine.query(
+            "SELECT o_orderkey, o_totalprice, o_custkey FROM orders "
+            "WHERE o_totalprice > 100000 ORDER BY o_totalprice DESC LIMIT 5"
+        ).to_pandas()
+    )
+
+    print("\n2. GROUP BY aggregation with ORDER BY:")
+    print(
+        engine.query(
+            "SELECT o_orderstatus, COUNT(*) AS num_orders, "
+            "SUM(o_totalprice) AS total, AVG(o_totalprice) AS avg_price "
+            "FROM orders GROUP BY o_orderstatus ORDER BY total DESC"
+        ).to_pandas()
+    )
+
+    print("\n3. JOIN + aggregate + top-k:")
+    print(
+        engine.query(
+            "SELECT c.c_name, COUNT(*) AS num_orders, "
+            "SUM(o.o_totalprice) AS total_spent "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "GROUP BY c.c_name ORDER BY total_spent DESC LIMIT 5"
+        ).to_pandas()
+    )
+
+    # --- pandas interchange (Arrow path), the query_pandas entry ---
+    print("\n4. query a pandas DataFrame as table `df`:")
+    pdf = pd.DataFrame(
+        {"cat": ["a", "b", "a", "c", "b", "a"], "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]}
+    )
+    print(
+        engine.query_pandas(
+            pdf, "SELECT cat, SUM(v) AS sv, COUNT(*) AS n FROM df GROUP BY cat ORDER BY cat"
+        )
+    )
+
+    # --- catalog introspection (catalog.rs analog) ---
+    print("\n5. catalog:")
+    print("tables:", engine.list_tables())
+    print("orders rows:", engine.get_row_count("orders"))
+    print("orders location:", engine.get_table_location("orders"))
+    print("orders schema:", engine.get_table_schema("orders").simpleString())
+
+    # --- custom per-element compute: the Spark analog of the
+    # reference's register_kernel extension point (README.md:354-378);
+    # pandas_udf = the vectorized (Arrow-batched) path ---
+    print("\n6. custom function registration:")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def price_band(s: pd.Series) -> pd.Series:
+        return (s // 50000).astype("int64")
+
+    engine.register_function("price_band", price_band)
+    print(
+        engine.query(
+            "SELECT price_band(o_totalprice) AS band, COUNT(*) AS n "
+            "FROM orders GROUP BY band ORDER BY band LIMIT 5"
+        ).to_pandas()
+    )
+
+    engine.spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")
