@@ -53,10 +53,11 @@ class EngineConfig:
     broadcast_threshold: int = 10 * 1024**2
     # Driver JVM heap (static conf: applies at session build only).
     # Local-mode executors live in the driver JVM and the 1g default
-    # heap cannot hold shuffle state for 100M-row operators, so the
-    # default is 24g — overridable via SPARK_GRAFT_DRIVER_MEMORY or
-    # this field; set to None/"" to leave Spark's own setting intact
-    # (e.g. on small hosts or user-tuned deployments).
+    # heap cannot hold shuffle state for 100M-row operators.
+    # None (default) -> $SPARK_GRAFT_DRIVER_MEMORY if set, else 24g;
+    # "" (or SPARK_GRAFT_DRIVER_MEMORY="") -> emit no driver-memory
+    # conf at all, leaving Spark's own setting intact (small hosts,
+    # user-tuned deployments).
     driver_memory: str | None = None
     # AQE coalescing starts from this many shuffle partitions and
     # shrinks to the advisory size at runtime. Starting wide matters:

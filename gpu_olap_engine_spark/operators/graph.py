@@ -28,7 +28,10 @@ def connected_components(
     aggregate. Per-iteration ``localCheckpoint`` truncates lineage —
     without it the logical plan nests one join+aggregate layer per
     iteration and Catalyst analysis cost, not the data, dominates past
-    ~10 iterations. For high-diameter graphs use
+    ~10 iterations. Rebinding the loop variable releases the previous
+    round's checkpoint blocks to Spark's ContextCleaner (async, on
+    py4j GC); blocks are MEMORY_AND_DISK so pre-cleanup accumulation
+    spills rather than OOMs. For high-diameter graphs use
     ``connected_components_star`` (O(log n) rounds).
     """
     sym = (
@@ -110,6 +113,21 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # nodes whose ONLY edges are self-loops vanish from the canonical
+    # edge set but are their own component (label propagation keeps
+    # them); re-attach at the end
+    lonely = (
+        edges.filter(F.col(src) == F.col(dst))
+        .select(F.col(src).alias("id"))
+        .distinct()
+        .join(
+            e.select(F.col("u").alias("id"))
+            .union(e.select(F.col("v").alias("id")))
+            .distinct(),
+            "id",
+            "left_anti",
+        )
+    )
 
     def _sig(df: DataFrame) -> tuple[int, int]:
         row = df.agg(
@@ -163,9 +181,12 @@ def connected_components_star(
             break
         sig = new_sig
     # stars: every node points at its component min; add the roots
+    # and the self-loop-only singletons
     roots = e.select(F.col("v").alias("id")).subtract(
         e.select(F.col("u").alias("id"))
     )
-    return e.select(F.col("u").alias("id"), F.col("v").alias("cluster_id")).union(
-        roots.select("id", F.col("id").alias("cluster_id"))
+    return (
+        e.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
+        .union(roots.select("id", F.col("id").alias("cluster_id")))
+        .union(lonely.select("id", F.col("id").alias("cluster_id")))
     )

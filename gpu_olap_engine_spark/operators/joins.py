@@ -26,15 +26,28 @@ def salted_join(
     The skewed side gets a random salt in [0, salt); the small side is
     replicated salt times (explode of a literal range). The join key
     becomes (key, salt), splitting each hot key across `salt` tasks.
-    For inner/left joins the result is identical to the plain join;
-    right/full outer are rejected — unmatched rows of the replicated
-    side would be emitted once per salt copy. Use when one side is
-    small enough to replicate but too big (or the key too hot) to
-    broadcast outright.
+    For inner/left/semi/anti joins the result is identical to the
+    plain join (each probe row carries exactly one salt and the
+    replicated side holds every key at every salt, so per-row match
+    existence is unchanged); right/full outer are rejected — unmatched
+    rows of the replicated side would be emitted once per salt copy.
+    Use when one side is small enough to replicate but too big (or the
+    key too hot) to broadcast outright.
     """
-    if how not in ("inner", "left", "left_outer", "leftouter"):
+    if how not in (
+        "inner",
+        "left",
+        "left_outer",
+        "leftouter",
+        "left_semi",
+        "leftsemi",
+        "semi",
+        "left_anti",
+        "leftanti",
+        "anti",
+    ):
         raise ValueError(
-            f"salted_join supports inner/left joins only, got {how!r}: "
+            f"salted_join supports inner/left/semi/anti joins, got {how!r}: "
             "unmatched replicated-side rows would duplicate under "
             "right/full outer"
         )

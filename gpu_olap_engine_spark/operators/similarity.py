@@ -145,42 +145,41 @@ def bucketed_topk(
     )
 
 
-def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
-    """Index of the nearest centroid by squared L2 (expression-only,
-    JVM-side). Ties resolve to the lowest index."""
-    best_idx = F.lit(0)
-    best_dist = None
-    for i, c in enumerate(centroids):
-        arr = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(vec, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        if best_dist is None:
-            best_dist = d
-        else:
-            cond = d < best_dist
-            best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
-            best_dist = F.when(cond, d).otherwise(best_dist)
-    return best_idx.cast("long")
+def _sq_l2(vec: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance between a vector column and one centroid
+    literal (expression-only, JVM-side). The double-cast per element
+    is what makes the value — and thus cluster assignment —
+    deterministic cross-run; both IVF paths must share it."""
+    arr = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 def _centroid_dists(vec: Column, centroids: list[list[float]]) -> Column:
-    """Array of (squared-L2 distance, centroid index) structs — the
-    all-distances twin of _nearest_centroid, for nprobe>1 probing.
+    """Array of (squared-L2 distance, centroid index) structs.
     Struct sort order = (d ASC, ci ASC): ties resolve to the lowest
     cluster id, matching _nearest_centroid's strict `<` update rule."""
-    entries = []
-    for i, c in enumerate(centroids):
-        arr = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(vec, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        entries.append(F.struct(d.alias("d"), F.lit(i).cast("long").alias("ci")))
-    return F.array(*entries)
+    return F.array(
+        *[
+            F.struct(_sq_l2(vec, c).alias("d"), F.lit(i).cast("long").alias("ci"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+
+
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid: the first element of the sorted
+    (distance, index) struct array. Ties resolve to the lowest index
+    (struct order (d, ci))."""
+    return (
+        F.array_sort(_centroid_dists(vec, centroids))
+        .getItem(0)
+        .getField("ci")
+        .cast("long")
+    )
 
 
 def kmeans_centroids(
@@ -285,7 +284,12 @@ def top_dim_keys(vec: Column, m: int = 6) -> Column:
     vector's top-m signed dims yields an equi-join candidate set
     instead of an all-pairs product. Deterministic: ranked by
     |val| DESC with ties broken by lowest dim (cross-engine stable —
-    exact float widening + total order on (abs, dim))."""
+    exact float widening + total order on (abs, dim)).
+
+    Empty/NULL vectors yield an empty key array (no candidates — the
+    oracle's generate_series(1, 0) likewise emits nothing); without
+    the guard, sequence(0, -1) counts DOWN and element_at(vec, 0)
+    aborts the whole job."""
     idx = F.sequence(F.lit(0), F.size(vec) - 1)
     structs = F.transform(
         idx,
@@ -298,7 +302,8 @@ def top_dim_keys(vec: Column, m: int = 6) -> Column:
         ),
     )
     top = F.slice(F.array_sort(structs), 1, m)
-    return F.transform(top, lambda t: (t.getField("d") * 2 + t.getField("s")).cast("long"))
+    keys = F.transform(top, lambda t: (t.getField("d") * 2 + t.getField("s")).cast("long"))
+    return F.when(F.size(vec) > 0, keys).otherwise(F.array().cast("array<long>"))
 
 
 def near_dup_pairs(

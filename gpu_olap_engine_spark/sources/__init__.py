@@ -60,11 +60,14 @@ def write_table(
 
 
 def _swap_in(path: str, staging: str) -> None:
-    """Replace dataset dir `path` with `staging` without a window where
-    the data is gone: rename the old dir aside, move staging into
-    place, then delete the old copy. A crash mid-swap leaves either
-    the old or the new dataset intact (plus at worst a leftover
-    ``__old``/``__staging`` dir to clean up), never neither."""
+    """Replace dataset dir `path` with `staging` crash-safely: rename
+    the old dir aside, move staging into place, then delete the old
+    copy. A crash mid-swap leaves either the old or the new dataset
+    intact on disk (at worst under a leftover ``__old``/``__staging``
+    name), never neither. Note the swap is not atomic for concurrent
+    READERS: between the two renames `path` briefly does not exist —
+    plain parquet directories have no snapshot isolation (that is the
+    table-format gap recorded in ROADMAP.md)."""
     import os
     import shutil
 
@@ -92,9 +95,6 @@ def upsert_parquet(
     At 100 TB prefer a real table format (Delta/Iceberg MERGE); this
     is the dependency-free fallback with the same semantics.
     """
-    import os
-    import shutil
-
     existing = spark.read.parquet(path)
     kept = existing.join(updates.select(*key).distinct(), key, "left_anti")
     merged = kept.unionByName(updates)
@@ -116,7 +116,6 @@ def compact(
     in-place constraint as upsert_parquet). Returns the new file count.
     """
     import os
-    import shutil
 
     df = spark.read.parquet(path)
     staging = path.rstrip("/") + "__staging"

@@ -192,7 +192,8 @@ def test_star_components_equal_label_propagation(spark):
         [(i, i + 1) for i in range(1, 20)],  # chain: diameter 19
         [(1, k) for k in range(2, 12)],  # already a star
         [(2, 3), (1, 2), (10, 11), (20, 21), (21, 22)],  # islands
-        [(a, b) for a, b in rand_edges if a != b],
+        [(5, 5), (7, 7), (7, 8), (1, 2)],  # self-loops: lone + attached
+        rand_edges,  # includes self-loops from the generator
     ]
     for case in cases:
         edges = spark.createDataFrame(case, "id_a long, id_b long")
