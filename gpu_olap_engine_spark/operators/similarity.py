@@ -275,6 +275,98 @@ def kmeans_ivf_topk(
     )
 
 
+def hyperplane_weight(t: int, p: int, d: int, n_planes: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1]:
+    a multiplicative integer hash of (table, plane, dim), divided by
+    1e6. Pure int64 arithmetic + one IEEE divide, so Spark, DuckDB and
+    Python all produce the identical double — the cross-engine-
+    checkable replacement for JVM-seeded random projections."""
+    k = (t * n_planes + p) * 1000003 + d
+    return (k * 2654435761 % 2000001 - 1000000) / 1e6
+
+
+def hyperplane_tables(n_tables: int, n_planes: int, dim: int) -> list[list[list[float]]]:
+    """[table][plane][dim] deterministic hyperplane weights."""
+    return [
+        [
+            [hyperplane_weight(t, p, d, n_planes) for d in range(dim)]
+            for p in range(n_planes)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+def scaled_sq_dist(a: Column, b: Column) -> Column:
+    """Quantized squared L2 distance (SCALE units, exact int64 sum)."""
+    prods = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return _fold_scaled(prods)
+
+
+def hyperplane_lsh_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 3,
+    n_planes: int = 8,
+    max_dist: float = 8.0,
+) -> DataFrame:
+    """Sign-random-projection LSH near-neighbor pairs, fully
+    deterministic and oracle-checkable.
+
+    Each vector gets an ``n_planes``-bit signature per hash table
+    (bit p = sign of its quantized dot with hyperplane (t, p));
+    candidate pairs share a full signature in >=1 table (equi-join on
+    (table, bucket) — never all-pairs), then only candidates get the
+    exact quantized euclidean verify ``dist <= max_dist``. At 100 TB
+    the (table, bucket) key is the shuffle/partition key and AQE
+    splits hot buckets. Returns (id_a, id_b, dist).
+    """
+    from gpu_olap_engine_spark.queries.tables import spread
+
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = hyperplane_tables(n_tables, n_planes, dim)
+    vecs = spread(corpus).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    )
+    sigs = []
+    for t in range(n_tables):
+        bucket = F.lit(0).cast("long")
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(w) for w in planes[t][p]])
+            bit = F.when(
+                scaled_dot(F.col("vec"), plane) > 0, F.lit(2**p)
+            ).otherwise(F.lit(0))
+            bucket = bucket + bit.cast("long")
+        sigs.append(
+            F.struct(F.lit(t).cast("long").alias("t"), bucket.alias("bucket"))
+        )
+    keyed = vecs.select("vid", F.explode(F.array(*sigs)).alias("sig")).select(
+        "vid", F.col("sig.t").alias("t"), F.col("sig.bucket").alias("bucket")
+    )
+    ka = keyed.select(F.col("vid").alias("id_a"), "t", "bucket")
+    kb = keyed.select(F.col("vid").alias("id_b"), "t", "bucket")
+    cand = (
+        ka.join(kb, ["t", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vecs.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"))
+    vb = vecs.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"))
+    dist = F.sqrt(scaled_sq_dist(F.col("va"), F.col("vb"))) / F.lit(1e6)
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", dist.alias("dist"))
+        .filter(F.col("dist") <= max_dist)
+    )
+
+
 def top_dim_keys(vec: Column, m: int = 6) -> Column:
     """Blocking keys for similarity self-joins: the `m` highest-|value|
     dimensions of the vector, signed — key = dim*2 + (val > 0).

@@ -98,15 +98,51 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_decode_features", oracle=None)
+@register(
+    "mm_decode_features",
+    # Oracle of the deterministic fake decode: decoded payload =
+    # sha256(data)*4 (operators.multimodal._decode_stub), feature[i] =
+    # count(decoded byte % 16 == i) / 128. The *4 repeat cancels under
+    # L1 normalization, so feature[i] = (digest bytes with low nibble
+    # i) / 32 — and a byte's low nibble is the even-position hex char
+    # of DuckDB's sha256() hex string. h/32 is a dyadic rational,
+    # exact in float32 and double, so %.6f renders identically.
+    oracle="""
+    WITH a AS (
+        SELECT doc_id AS asset_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS modality,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS hx
+        FROM documents
+    ),
+    n AS (
+        SELECT asset_id, modality, n_bytes,
+               list_transform(generate_series(1, 32),
+                              j -> substr(hx, 2 * CAST(j AS INTEGER), 1)) AS nibs
+        FROM a
+    )
+    SELECT asset_id, modality, n_bytes,
+           array_to_string(
+               list_transform(
+                   ['0','1','2','3','4','5','6','7',
+                    '8','9','a','b','c','d','e','f'],
+                   d -> printf('%.6f',
+                               CAST(len(list_filter(nibs, x -> x = d)) AS DOUBLE)
+                               / 32.0)
+               ), ',') AS feature_csv
+    FROM n
+    """,
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode + featurize (codec stubbed —
     deterministic fake decode; see operators.multimodal._decode_stub).
-    Python stage -> rows-only check. The array<float> feature vector
-    is emitted as a fixed-precision CSV string so the harness's
-    canonical sort (pandas sort_values over all columns) has hashable,
-    totally-ordered cells; the array-typed stage stays available via
-    operators.multimodal.decode_and_featurize."""
+    The stub's digest arithmetic is mirrored in the DuckDB oracle, so
+    this Python stage is value-checked, not rows-only. The array<float>
+    feature vector is emitted as a fixed-precision CSV string so the
+    harness's canonical sort (pandas sort_values over all columns) has
+    hashable, totally-ordered cells; the array-typed stage stays
+    available via operators.multimodal.decode_and_featurize."""
     # no spread: Python-worker spin-up per partition dominates at this
     # payload size; real deployments inherit parallelism from input
     # splits.

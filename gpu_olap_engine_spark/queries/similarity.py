@@ -156,12 +156,104 @@ def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ivf_kmeans", oracle=None)
+# Squared-L2 distance between a row vector `v` and a centroid list
+# `cv`, replicating operators.similarity._sq_l2's IEEE fold exactly:
+# terms in dim order, left-to-right addition (list_reduce(t1..tn) ==
+# Spark's aggregate(0.0 + t1 + ... + tn) since 0.0 + t1 == t1).
+def _o_sq_l2(v: str, cv: str) -> str:
+    return f"""list_reduce(
+        list_transform(generate_series(1, len({v})),
+            i -> (CAST({v}[i] AS DOUBLE) - {cv}[i])
+               * (CAST({v}[i] AS DOUBLE) - {cv}[i])),
+        (x, y) -> x + y)"""
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3, nprobe: int = 2, topk: int = 5) -> str:
+    """DuckDB twin of operators.similarity.kmeans_ivf_topk: the k-means
+    iterations are unrolled into CTE pairs (assign a{i} -> update c{i})
+    over the same exact arithmetic — init = k lowest-vec_id embeddings
+    widened to double, assignment argmin on the ordered IEEE fold with
+    ties to the lowest cluster id, centroid means from exact int64
+    sums of floor(x*1e6) divided as s/1e6/n, empty clusters keeping
+    their previous centroid."""
+    ctes = [
+        f"""c0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ci,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+    )"""
+    ]
+    for it in range(1, iters + 1):
+        ctes.append(f"""a{it} AS (
+        SELECT vec_id, embedding, ci AS c FROM (
+            SELECT e.vec_id, e.embedding, c.ci,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_o_sq_l2("e.embedding", "c.cvec")} ASC, c.ci ASC
+                   ) AS rn
+            FROM embeddings e CROSS JOIN c{it - 1} c
+        ) WHERE rn = 1
+    )""")
+        ctes.append(f"""c{it} AS (
+        SELECT p.ci, CASE WHEN m.c IS NULL THEN p.cvec ELSE m.cvec END AS cvec
+        FROM c{it - 1} p LEFT JOIN (
+            SELECT c, list(CAST(s AS DOUBLE) / 1000000.0 / n ORDER BY dim) AS cvec
+            FROM (
+                SELECT c, dd.i AS dim,
+                       SUM(CAST(floor(CAST(embedding[dd.i] AS DOUBLE) * 1000000.0)
+                           AS BIGINT)) AS s,
+                       COUNT(*) AS n
+                FROM a{it}, unnest(generate_series(1, len(embedding))) AS dd(i)
+                GROUP BY c, dd.i
+            ) GROUP BY c, n
+        ) m ON p.ci = m.c
+    )""")
+    body = f"""members AS (
+        SELECT vec_id, embedding, ci AS c FROM (
+            SELECT e.vec_id, e.embedding, c.ci,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_o_sq_l2("e.embedding", "c.cvec")} ASC, c.ci ASC
+                   ) AS rn
+            FROM embeddings e CROSS JOIN c{iters} c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, q_vec, ci AS cluster FROM (
+            SELECT e.vec_id AS query_id, e.embedding AS q_vec, c.ci,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_o_sq_l2("e.embedding", "c.cvec")} ASC, c.ci ASC
+                   ) AS rn
+            FROM embeddings e CROSS JOIN c{iters} c
+            WHERE e.vec_id < 5
+        ) WHERE rn <= {nprobe}
+    ),
+    pairs AS (
+        SELECT p.query_id, m.vec_id AS neighbor_id, p.q_vec AS av, m.embedding AS bv
+        FROM probes p JOIN members m ON p.cluster = m.c
+        WHERE m.vec_id != p.query_id
+    ),
+    {_TERMS.format(keys="query_id, neighbor_id")},
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+               ) AS BIGINT) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= {topk}"""
+    return "WITH " + ",\n    ".join(ctes) + ",\n    " + body
+
+
+@register("sim_ivf_kmeans", oracle=_kmeans_oracle())
 def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned-quantizer IVF ANN: deterministic k-means (integer-
-    quantized centroid updates, fixed init and iteration count) +
-    nprobe=2 cluster probing. Iterative algorithm -> rows-only check;
-    recall and run-to-run determinism are asserted in
+    quantized centroid updates, fixed init and iteration count, ties
+    to the lowest cluster id) + nprobe=2 cluster probing. Every step
+    is exact or IEEE-deterministic, so the full iterative algorithm is
+    value-checked against an unrolled SQL twin (_kmeans_oracle);
+    recall and run-to-run determinism are additionally asserted in
     tests/test_operators."""
     emb = T(spark, sf_dir, "embeddings")
     return S.kmeans_ivf_topk(
@@ -169,13 +261,80 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_random_hyperplane_lsh", oracle=None)
+# sim_random_hyperplane_lsh hash geometry (shared Spark <-> oracle):
+_LSH_TABLES, _LSH_PLANES, _LSH_MAX_DIST = 3, 8, 8.0
+
+
+@register(
+    "sim_random_hyperplane_lsh",
+    # Mirrors operators.similarity.hyperplane_lsh_pairs bit-for-bit:
+    # hyperplane weight (t,p,d) = (((t*P+p)*1000003 + d) * 2654435761
+    # % 2000001 - 1000000) / 1e6 (pure int64 hash + one IEEE divide),
+    # signature bit = sign of the quantized dot, candidates share a
+    # full bucket in >=1 table, verify = quantized euclidean distance.
+    oracle=f"""
+    WITH dots AS (
+        SELECT e.vec_id, tt.t, pp.p,
+               SUM(CAST(floor((CAST(e.embedding[dd.i] AS DOUBLE)
+                   * (((tt.t * {_LSH_PLANES} + pp.p) * 1000003 + (dd.i - 1))
+                      * 2654435761 % 2000001 - 1000000) / 1000000.0)
+                   * 1e12) AS BIGINT)) AS dot
+        FROM embeddings e,
+             unnest(generate_series(0, {_LSH_TABLES - 1})) AS tt(t),
+             unnest(generate_series(0, {_LSH_PLANES - 1})) AS pp(p),
+             unnest(generate_series(1, len(e.embedding))) AS dd(i)
+        GROUP BY e.vec_id, tt.t, pp.p
+    ),
+    sigs AS (
+        SELECT vec_id, t,
+               SUM(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+        FROM dots GROUP BY vec_id, t
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM sigs a JOIN sigs b
+          ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    pairs AS (
+        SELECT id_a, id_b, ea.embedding AS av, eb.embedding AS bv
+        FROM cand JOIN embeddings ea ON id_a = ea.vec_id
+                  JOIN embeddings eb ON id_b = eb.vec_id
+    ),
+    dsums AS (
+        SELECT id_a, id_b,
+               SUM(CAST(floor(((CAST(av[i] AS DOUBLE) - CAST(bv[i] AS DOUBLE))
+                   * (CAST(av[i] AS DOUBLE) - CAST(bv[i] AS DOUBLE))) * 1e12)
+                   AS BIGINT)) AS s
+        FROM pairs, unnest(generate_series(1, len(av))) AS t(i)
+        GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, sqrt(CAST(s AS DOUBLE)) / 1000000.0 AS dist
+    FROM dsums
+    WHERE sqrt(CAST(s AS DOUBLE)) / 1000000.0 <= {_LSH_MAX_DIST}
+    """,
+)
 def sim_random_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Library ANN path: pyspark.ml BucketedRandomProjectionLSH
-    (seeded -> reproducible within Spark, but hyperplanes are
-    JVM-random so there is no cross-engine oracle; the driver records
-    a rows-only check). Returns approx self-join pairs within
-    euclidean distance 8.0."""
+    """Random-hyperplane (sign-projection) LSH near-neighbor pairs
+    within euclidean distance 8.0 — repo-deterministic hyperplanes
+    from an integer hash of (table, plane, dim), so the result is
+    bit-reproducible across engines and the oracle checks values
+    (the pyspark.ml seeded variant this replaces was JVM-random and
+    could only ever get a rows-only check). 3 tables x 8-bit
+    signatures; candidates from the (table, bucket) equi-join only."""
+    return S.hyperplane_lsh_pairs(
+        T(spark, sf_dir, "embeddings"),
+        n_tables=_LSH_TABLES,
+        n_planes=_LSH_PLANES,
+        max_dist=_LSH_MAX_DIST,
+    )
+
+
+def ml_random_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library integration path (unregistered): pyspark.ml
+    BucketedRandomProjectionLSH — seeded, reproducible within Spark,
+    but its hyperplanes are JVM-random so no cross-engine oracle is
+    possible; kept as the off-the-shelf alternative to
+    operators.similarity.hyperplane_lsh_pairs."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 

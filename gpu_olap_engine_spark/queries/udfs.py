@@ -230,26 +230,83 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q40_approx_distinct", oracle=None)
+@register(
+    "q40_approx_distinct",
+    # Sketch values are engine-specific, so the checkable output is
+    # the exact count plus the sketch's accuracy invariant: the HLL
+    # estimate (rsd=0.02, deterministic for fixed data) lands within
+    # 10% of exact, which the oracle asserts as a constant TRUE.
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_uniq,
+           TRUE AS approx_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
 def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct sketch (approx_count_distinct): the
     100 TB path where exact COUNT(DISTINCT) (q11) would shuffle every
-    distinct value. Sketch values are engine-specific -> rows-only
-    check; accuracy vs exact is asserted in tests/test_operators."""
+    distinct value. The sketch stays in the plan; the oracle checks
+    the exact count and the estimate's 10% accuracy envelope (HLL at
+    rsd 0.02 is ~2% here; also asserted in tests/test_operators)."""
     return (
         T(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
-        .agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_uniq"))
+        .agg(
+            F.count_distinct("o_custkey").cast("long").alias("exact_uniq"),
+            F.approx_count_distinct("o_custkey", 0.02).alias("approx_uniq"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_uniq",
+            (
+                F.abs(F.col("approx_uniq") - F.col("exact_uniq"))
+                <= 0.1 * F.col("exact_uniq")
+            ).alias("approx_ok"),
+        )
     )
 
 
-@register("q41_approx_quantiles", oracle=None)
+@register(
+    "q41_approx_quantiles",
+    # Approximate quantile values are engine-specific; the checkable
+    # output is the row count plus per-quantile rank invariants: the
+    # GK sketch's returned element has rank within eps*n + slack of
+    # the target rank (deterministic for fixed data), asserted TRUE.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
+    FROM lineitem
+    """,
+)
 def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenwald-Khanna approximate percentiles — single-pass,
     mergeable (map-side combinable), unlike exact sorting percentiles.
-    Engine-specific values -> rows-only."""
-    return T(spark, sf_dir, "lineitem").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
-            "price_quantiles"
-        )
+    The sketch stays in the plan; the oracle checks the rank-error
+    envelope of each returned quantile (rank(v_q) within q*n +-
+    (0.002*n + 10), far looser than GK's eps=1e-4 guarantee)."""
+    li = T(spark, sf_dir, "lineitem").select("l_extendedprice")
+    qs = li.agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("pq")
+    )
+    checked = li.crossJoin(F.broadcast(qs)).agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(
+                (F.col("l_extendedprice") <= F.element_at("pq", i + 1)).cast("long")
+            ).alias(f"le{i}")
+            for i in range(3)
+        ],
+    )
+    tol = 0.002 * F.col("n") + 10
+    return checked.select(
+        F.col("n").cast("long").alias("n_rows"),
+        *[
+            (
+                F.abs(F.col(f"le{i}") - F.lit(q) * F.col("n")) <= tol
+            ).alias(name)
+            for i, (q, name) in enumerate(
+                [(0.5, "ok_p50"), (0.9, "ok_p90"), (0.99, "ok_p99")]
+            )
+        ],
     )

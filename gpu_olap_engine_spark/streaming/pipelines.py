@@ -11,39 +11,33 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
-
-# events.parquet physical schema (ts is TIMESTAMP(NANOS), which Spark
-# only reads as int64 nanos — see queries.tables.T).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # nanos (nanosAsLong)
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+from pyspark.sql.types import LongType, TimestampNTZType
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events fixture with ts normalized to
-    a microsecond TimestampType (same truncation as the batch path)."""
+    a microsecond TimestampType (LTZ — watermarks reject NTZ).
+
+    Type-adaptive like the batch loader (queries.tables.T): the stream
+    schema is taken from a batch footer read, so the pipeline works
+    whether the fixture stores ts as timestamp[us] (current, read back
+    as TIMESTAMP_NTZ) or as TIMESTAMP(NANOS) read back as int64 nanos
+    (nanosAsLong). The session timezone is pinned UTC (config.py), so
+    the NTZ->LTZ cast is value-faithful."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         # file streams take a directory; filter to the events table
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, TimestampNTZType):
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_counts(

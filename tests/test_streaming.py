@@ -106,10 +106,9 @@ def test_stream_stream_interval_join_matches_batch(spark):
     got = {
         (r["purchase_id"], r["view_id"]) for r in spark.table("ssj").collect()
     }
-    ev = (
-        spark.read.parquet(f"{SF_SMALL}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    from gpu_olap_engine_spark.queries.tables import T
+
+    ev = T(spark, SF_SMALL, "events")
     v = ev.filter(F.col("event_type") == "view").select(
         F.col("user_id").alias("v_user"),
         F.col("event_id").alias("view_id"),
