@@ -66,7 +66,15 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     warehouse = tempfile.mkdtemp(prefix="bench_wh_")
     spark = get_spark(
-        EngineConfig(extra_confs={"spark.sql.warehouse.dir": warehouse}),
+        EngineConfig(
+            extra_confs={
+                "spark.sql.warehouse.dir": warehouse,
+                # JVM unified logging (e.g. GCLocker warnings under the
+                # 100M-row micros) writes to STDOUT and would corrupt
+                # the one-line JSON contract; disable it outright.
+                "spark.driver.extraJavaOptions": "-Xlog:disable",
+            }
+        ),
         master=f"local[{cpus}]",
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -97,63 +105,24 @@ def main() -> None:
     def rows(n: int) -> int:
         return max(int(n * ms), 1000)
 
-    def micro(label, df):
-        # min of two runs: single-shot timings on a shared box are
-        # noisy at this scale (and the first touch of a large
-        # execution-memory footprint pays the VM's page-fault cost);
-        # min is the standard throughput estimate
-        runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        timings[label] = round(min(runs), 3)
-
     r = spark.range(rows(100_000_000), numPartitions=64)
-    micro(
-        "micro_groupby_agg_100m",
-        r.groupBy((F.col("id") % 100_000).alias("k")).agg(
-            F.count("*").alias("c"), F.sum("id").alias("s")
-        ),
-    )
     a = spark.range(rows(10_000_000), numPartitions=32).select(
         F.col("id").alias("k"), (F.col("id") * 2).alias("va")
     )
     b = spark.range(rows(10_000_000), numPartitions=32).select(
         F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
     )
-    micro("micro_join_int_10m_x_10m", a.join(b, "k").select(F.count("*").alias("c")))
     # the reference's headline join shape (BASELINE.md: 100M x 100M,
-    # GPU 3.2s / DuckDB 18.3s). Default planner path: SMJ over an
-    # AQE-coalesced wide shuffle (initialPartitionNum keeps per-task
-    # sort state bounded). min-of-2 absorbs first-touch memory faults.
+    # GPU 3.2s / DuckDB 18.3s), recorded on BOTH planner paths: the
+    # default SMJ over an AQE-coalesced wide shuffle, and the
+    # shuffle-hash hint (no sort — the analog of the reference's radix
+    # HASH join default, join_kernel.rs:14-18).
     a100 = spark.range(rows(100_000_000), numPartitions=64).select(
         F.col("id").alias("k"), (F.col("id") * 2).alias("va")
     )
     b100 = spark.range(rows(100_000_000), numPartitions=64).select(
         F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
     )
-    micro(
-        "micro_join_int_100m_x_100m",
-        a100.join(b100, "k").select(F.count("*").alias("c")),
-    )
-    # same join through bucketed tables: both sides pre-bucketed on the
-    # key (the persistent analog of the reference's radix partitioning,
-    # done once at write time), so the join plan has NO exchange. The
-    # one-time bucketed write is not part of the timed join.
-    from gpu_olap_engine_spark.sources import write_bucketed  # noqa: PLC0415
-
-    try:
-        write_bucketed(a100, "bench_ba", ["k"], num_buckets=64, sort_cols=["k"])
-        write_bucketed(b100, "bench_bb", ["k"], num_buckets=64, sort_cols=["k"])
-        ba, bb = spark.table("bench_ba"), spark.table("bench_bb")
-        micro(
-            "micro_join_bucketed_100m_x_100m",
-            ba.join(bb, "k").select(F.count("*").alias("c")),
-        )
-    finally:
-        for t in ("bench_ba", "bench_bb"):
-            spark.sql(f"DROP TABLE IF EXISTS {t}")
     # skewed join: half the probe rows share ONE key; AQE skew-join
     # splits the hot partition at runtime (the case the reference's
     # hash-scatter radix partitioner cannot handle). Recorded twice:
@@ -165,18 +134,100 @@ def main() -> None:
     dim = spark.range(rows(1_000_000), numPartitions=8).select(
         F.col("id").alias("k"), (F.col("id") * 7).alias("d")
     )
-    micro(
-        "micro_join_skewed_50pct_default",
-        sk.join(dim, "k").select(F.count("*").alias("c")),
+
+    # The 100M x 100M join wants a NARROWER initial partition count
+    # than the session's AQE default (256, sized for bounded sort
+    # state): at 64 initial partitions both join strategies run ~5s
+    # (SHJ 5.4s stable, SMJ 5.0s min) vs 9-18s at 256, where the
+    # 64-map x 256-reducer block matrix dominates. Measured locally
+    # (local[32]); applied per-micro via conf override.
+    join100m_confs = {
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "64"
+    }
+    micros = [
+        (
+            "micro_groupby_agg_100m",
+            r.groupBy((F.col("id") % 100_000).alias("k")).agg(
+                F.count("*").alias("c"), F.sum("id").alias("s")
+            ),
+            None,
+        ),
+        (
+            "micro_join_int_10m_x_10m",
+            a.join(b, "k").select(F.count("*").alias("c")),
+            None,
+        ),
+        (
+            "micro_join_int_100m_x_100m",
+            a100.join(b100, "k").select(F.count("*").alias("c")),
+            join100m_confs,
+        ),
+        (
+            "micro_join_int_100m_x_100m_shj",
+            a100.join(b100.hint("shuffle_hash"), "k").select(
+                F.count("*").alias("c")
+            ),
+            join100m_confs,
+        ),
+        (
+            "micro_join_skewed_50pct_default",
+            sk.join(dim, "k").select(F.count("*").alias("c")),
+            None,
+        ),
+        (
+            "micro_join_skewed_50pct",
+            sk.join(dim.hint("merge"), "k").select(F.count("*").alias("c")),
+            None,
+        ),
+        (
+            "micro_filter_scan_100m",
+            r.filter((F.col("id") % 7) == 0).agg(F.count("*").alias("c")),
+            None,
+        ),
+    ]
+
+    # same 100M join through bucketed tables: both sides pre-bucketed
+    # on the key (the persistent analog of the reference's radix
+    # partitioning, done once at write time), so the join plan has NO
+    # exchange. The one-time bucketed write is not part of the timing.
+    from gpu_olap_engine_spark.sources import write_bucketed  # noqa: PLC0415
+
+    write_bucketed(a100, "bench_ba", ["k"], num_buckets=64, sort_cols=["k"])
+    write_bucketed(b100, "bench_bb", ["k"], num_buckets=64, sort_cols=["k"])
+    ba, bb = spark.table("bench_ba"), spark.table("bench_bb")
+    micros.append(
+        (
+            "micro_join_bucketed_100m_x_100m",
+            ba.join(bb, "k").select(F.count("*").alias("c")),
+            None,
+        )
     )
-    micro(
-        "micro_join_skewed_50pct",
-        sk.join(dim.hint("merge"), "k").select(F.count("*").alias("c")),
-    )
-    micro(
-        "micro_filter_scan_100m",
-        r.filter((F.col("id") % 7) == 0).agg(F.count("*").alias("c")),
-    )
+
+    # Timing protocol: min of 3 runs, with the repetitions INTERLEAVED
+    # across micros (round-robin) so a transient box-contention spike
+    # hits at most one rep of each micro instead of all reps of one;
+    # per-run times land in the JSON ("micro_runs") so the artifact
+    # itself shows the variance. min is the standard throughput
+    # estimate (absorbs first-touch page faults + contention).
+    micro_runs: dict[str, list[float]] = {name: [] for name, _, _ in micros}
+    try:
+        for _ in range(3):
+            for name, df, confs in micros:
+                saved = {
+                    k: spark.conf.get(k) for k in (confs or {})
+                }
+                for k, v in (confs or {}).items():
+                    spark.conf.set(k, v)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                micro_runs[name].append(round(time.perf_counter() - t0, 3))
+                for k, v in saved.items():
+                    spark.conf.set(k, v)
+    finally:
+        for t in ("bench_ba", "bench_bb"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    for name, runs in micro_runs.items():
+        timings[name] = min(runs)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -186,6 +237,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "micro_runs": micro_runs,
                 "sf": sf,
             }
         )

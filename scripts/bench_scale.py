@@ -162,7 +162,14 @@ def main() -> None:
     src_dir = "/root/testdata/sf0.1"
     out_dir = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_sf1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = get_spark(EngineConfig(), master=f"local[{cpus}]")
+    spark = get_spark(
+        # -Xlog:disable: JVM unified logging (GC warnings) writes to
+        # stdout and would corrupt the one-line JSON contract.
+        EngineConfig(
+            extra_confs={"spark.driver.extraJavaOptions": "-Xlog:disable"}
+        ),
+        master=f"local[{cpus}]",
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     if not os.path.exists(f"{out_dir}/_COMPLETE"):
