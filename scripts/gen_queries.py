@@ -13,12 +13,17 @@ from gpu_olap_engine_spark.queries import load_all
 
 def main() -> None:
     registry = load_all()
+    n_oracle = sum(1 for q in registry.values() if q.oracle)
+    rest = (
+        "the rest rows-only (genuinely non-SQL-expressible paths)"
+        if n_oracle < len(registry)
+        else "every entry value-checkable"
+    )
     out = [
         "# QUERIES — full registry index",
         "",
-        f"{len(registry)} entries; {sum(1 for q in registry.values() if q.oracle)} "
-        "DuckDB-oracle-paired (driver hash-compares results), the rest rows-only "
-        "(genuinely non-SQL-expressible paths). Each callable: "
+        f"{len(registry)} entries; {n_oracle} DuckDB-oracle-paired (driver "
+        f"hash-compares results), {rest}. Each callable: "
         "`(spark, sf_dir) -> DataFrame`.",
         "",
     ]
