@@ -91,7 +91,8 @@ def test_bucketed_ann_recall(spark):
 
 def test_hll_within_rsd_of_exact(spark):
     """approx_count_distinct(rsd=0.02) must land within ~3 sigma of the
-    exact distinct count (q40's rows-only entry, accuracy-checked here)."""
+    exact distinct count (the accuracy envelope q40's approx_ok oracle
+    column asserts at 10%)."""
     orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
     exact = orders.select("o_custkey").distinct().count()
     approx = orders.agg(
@@ -123,6 +124,69 @@ def test_sign_bucket_range(spark):
     buckets = emb.select(S.sign_bucket(F.col("embedding"), 3).alias("b")).distinct()
     vals = {r["b"] for r in buckets.collect()}
     assert vals <= set(range(8)) and len(vals) > 1
+
+
+def test_hyperplane_lsh_exact_verify_and_determinism(spark):
+    """Sign-projection LSH: (a) identical result regardless of input
+    partitioning (the hyperplanes are data-independent and the verify
+    is exact integer arithmetic); (b) every emitted pair's distance
+    matches an independent numpy recomputation (precision is 100% by
+    construction — candidates are verified exactly); (c) recall vs the
+    exact all-pairs baseline is substantial for planted structure."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    r1 = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in S.hyperplane_lsh_pairs(emb).collect()
+    }
+    r2 = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in S.hyperplane_lsh_pairs(emb.repartition(7)).collect()
+    }
+    assert r1 == r2 and r1
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    for (a, b), dist in r1.items():
+        assert a < b
+        expected = float(np.linalg.norm(vecs[a] - vecs[b]))
+        assert math.isclose(dist, expected, rel_tol=0, abs_tol=1e-6)
+    # No false positives: the exact verify bounds every emitted pair.
+    exact = {
+        (a, b)
+        for a in vecs
+        for b in vecs
+        if a < b and np.linalg.norm(vecs[a] - vecs[b]) <= 8.0
+    }
+    assert set(r1) <= exact
+    # Candidate quality: sign-projection collision probability is
+    # (1 - theta/pi)^bits per table, so angle-close pairs must collide
+    # MORE often than the population (this fixture has no true
+    # euclidean near-dups — its closest pairs sit at cosine ~0.4,
+    # where 8-bit x 3-table SRP theory predicts only ~7% absolute
+    # recall — so enrichment, not absolute recall, is the invariant).
+    close = {
+        (a, b)
+        for a, b in exact
+        if np.linalg.norm(vecs[a] - vecs[b]) <= 1.1
+    }
+    assert close, "fixture should contain angle-close pairs"
+    close_rate = len(set(r1) & close) / len(close)
+    base_rate = len(r1) / len(exact)
+    assert close_rate >= 1.3 * base_rate, (
+        f"close-pair collision {close_rate:.3f} not enriched over "
+        f"population {base_rate:.3f}"
+    )
+
+
+def test_ml_lsh_library_path_runs(spark):
+    """The unregistered pyspark.ml BRP-LSH variant stays runnable
+    (schema parity with the deterministic operator)."""
+    from gpu_olap_engine_spark.queries.similarity import ml_random_hyperplane_lsh
+
+    df = ml_random_hyperplane_lsh(spark, SF_SMALL)
+    assert [f.name for f in df.schema.fields] == ["id_a", "id_b", "dist"]
+    assert df.count() > 0
 
 
 # ---------------------------------------------------------------- rollup
