@@ -137,12 +137,13 @@ def main() -> None:
 
     # The 100M x 100M join wants a NARROWER initial partition count
     # than the session's AQE default (256, sized for bounded sort
-    # state): at 64 initial partitions both join strategies run ~5s
-    # (SHJ 5.4s stable, SMJ 5.0s min) vs 9-18s at 256, where the
-    # 64-map x 256-reducer block matrix dominates. Measured locally
+    # state): at 96 initial partitions both join strategies run ~5.2s
+    # with tight variance (SMJ quiet-box sweep: init96 -> 5.19/5.19/
+    # 5.24s; init64 -> 4.85-15.1s; init256 -> 9-18s, where the 64-map
+    # x 256-reducer shuffle-block matrix dominates). Measured locally
     # (local[32]); applied per-micro via conf override.
     join100m_confs = {
-        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "64"
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "96"
     }
     micros = [
         (

@@ -15,6 +15,7 @@ from gpu_olap_engine_spark.streaming.pipelines import (
     read_events_stream,
     running_user_totals,
     session_counts,
+    stream_upsert_user_totals,
     windowed_counts,
 )
 
@@ -26,4 +27,5 @@ __all__ = [
     "running_user_totals",
     "enrich_with_dimension",
     "purchases_with_recent_views",
+    "stream_upsert_user_totals",
 ]

@@ -174,6 +174,58 @@ def purchases_with_recent_views(
     ).select("purchase_id", F.col("p_user").alias("user_id"), "view_id")
 
 
+def stream_upsert_user_totals(events: DataFrame, path: str, checkpoint_dir: str):
+    """foreachBatch incremental sink: per-micro-batch user totals
+    merged additively into a parquet store via sources.upsert_parquet
+    — the incremental-materialization pattern (stream -> continuously
+    maintained aggregate table) that completes the streaming surface's
+    sink story. Only keys touched by the batch are rewritten; untouched
+    keys stay in place (the upsert's anti-join keeps them).
+
+    Exactly-once caveat: an additive merge is not idempotent under
+    micro-batch REPLAY; production pairs this with a batch_id ledger or
+    a transactional table format (Delta/Iceberg MERGE — ROADMAP.md#1).
+    Returns the started StreamingQuery (availableNow trigger).
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        import os  # noqa: PLC0415
+
+        from gpu_olap_engine_spark.sources import upsert_parquet  # noqa: PLC0415
+
+        spark = batch_df.sparkSession
+        delta = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"), F.sum("value").alias("total_value")
+        )
+        if os.path.exists(path):
+            existing = spark.read.parquet(path)
+            merged = (
+                delta.alias("d")
+                .join(existing.alias("e"), "user_id", "left")
+                .select(
+                    "user_id",
+                    (
+                        F.col("d.n_events")
+                        + F.coalesce(F.col("e.n_events"), F.lit(0))
+                    ).alias("n_events"),
+                    (
+                        F.col("d.total_value")
+                        + F.coalesce(F.col("e.total_value"), F.lit(0.0))
+                    ).alias("total_value"),
+                )
+            )
+            upsert_parquet(spark, path, merged, ["user_id"])
+        else:
+            delta.write.mode("overwrite").parquet(path)
+
+    return (
+        events.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """Stateful exact dedup on event_id within the watermark horizon
     (dropDuplicatesWithinWatermark): the streaming analog of exact

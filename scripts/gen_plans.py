@@ -21,6 +21,10 @@ SHOW = [
     ("q34_asof_join", "as-of via single sort-window, one exchange"),
     ("dedup_minhash_lsh", "LSH candidate equi-join (no cartesian)"),
     ("sim_near_dup_pairs", "inverted-index blocking + verify (no all-pairs join)"),
+    (
+        "sim_random_hyperplane_lsh",
+        "sign-projection LSH: (table, bucket) equi-join candidates, no cartesian",
+    ),
     ("q72_sequence_packing_sharded", "(lang, shard) window: bounded per-task state"),
     ("q43_tpch_q6_shape", "selective scan: all predicates pushed"),
 ]

@@ -155,6 +155,37 @@ def test_stream_static_join_enriches(spark):
     assert out.filter(F.col("c_mktsegment").isNull()).count() == 0
 
 
+def test_stream_upsert_sink_accumulates(spark, tmp_path):
+    """foreachBatch upsert sink: after one availableNow pass the store
+    equals the batch aggregate; after a second pass (fresh checkpoint,
+    same input) every total exactly doubles — proving the additive
+    merge touches existing keys correctly."""
+    from gpu_olap_engine_spark.streaming import stream_upsert_user_totals
+
+    store = str(tmp_path / "totals")
+    want = {
+        r["user_id"]: (r["n"], round(r["t"], 6))
+        for r in spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    for pass_no in (1, 2):
+        stream = read_events_stream(spark, SF_SMALL)
+        q = stream_upsert_user_totals(
+            stream, store, str(tmp_path / f"ckpt{pass_no}")
+        )
+        q.awaitTermination(120)
+        got = {
+            r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+            for r in spark.read.parquet(store).collect()
+        }
+        assert set(got) == set(want)
+        for k, (n, t) in want.items():
+            assert got[k][0] == pass_no * n
+            assert abs(got[k][1] - pass_no * t) < 1e-6
+
+
 def test_sliding_window_covers_each_event_twice(spark):
     stream = read_events_stream(spark, SF_SMALL)
     run_to_memory(
