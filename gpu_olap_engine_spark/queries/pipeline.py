@@ -407,3 +407,157 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+@register(
+    "q73_decontaminate",
+    # 8-gram shingle twin of operators.dedup.shingles at k=8 (the
+    # list_slice clamp mirrors the Spark short-doc fallback branch).
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(w, i, i + 7), ' ') AS shingle
+        FROM words, unnest(generate_series(1, greatest(len(w) - 7, 1))) AS t(i)
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 7 = 0),
+    hits AS (
+        SELECT s.doc_id, COUNT(*) AS c
+        FROM sh s JOIN bench USING (shingle)
+        WHERE s.doc_id % 7 != 0
+        GROUP BY s.doc_id
+    )
+    SELECT doc_id, CAST(c AS BIGINT) AS shared_shingles,
+           c >= 3 AS contaminated
+    FROM hits
+    """,
+)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing long
+    n-grams (8-word shingles, the standard decontamination unit) with
+    an evaluation set — here the deterministic fixture stand-in
+    doc_id % 7 == 0; in production the eval suite itself. Contaminated
+    = >= 3 shared distinct 8-grams. One shingle pass over the corpus,
+    eval shingles broadcast (an eval suite is always tiny relative to
+    100 TB of training data), candidates via equi-join on the shingle
+    — never a text-to-text comparison."""
+    docs = T(spark, sf_dir, "documents")
+    sh = D._shingles_cached(docs, "doc_id", "text", 8)  # columns (id, shingle)
+    bench = sh.filter(F.col("id") % 7 == 0).select("shingle").distinct()
+    return (
+        sh.filter(F.col("id") % 7 != 0)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("id")
+        .agg(F.count("*").alias("shared_shingles"))
+        .select(
+            F.col("id").alias("doc_id"),
+            "shared_shingles",
+            (F.col("shared_shingles") >= 3).alias("contaminated"),
+        )
+    )
+
+
+@register(
+    "q74_temperature_mix",
+    # alpha = 0.5 on purpose: sqrt is IEEE-exact on both engines,
+    # unlike pow(x, alpha) whose libm differs. The sqrt terms are
+    # floor-quantized to int64 (1e-12) and summed exactly, so the
+    # normalization is order-independent; names s_q/s_tot avoid
+    # DuckDB's case-insensitive identifier collision.
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    t AS (
+        SELECT lang, n_docs, SUM(n_docs) OVER () AS n_total,
+               CAST(floor(sqrt(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER ())
+                    * 1e12) AS BIGINT) AS s_q
+        FROM c
+    ),
+    u AS (SELECT lang, n_docs, n_total, s_q, SUM(s_q) OVER () AS s_tot FROM t)
+    SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_docs AS DOUBLE) / n_total AS p,
+           CAST(s_q AS DOUBLE) / CAST(s_tot AS DOUBLE) AS weight,
+           CAST(floor(CAST(s_q AS DOUBLE) / CAST(s_tot AS DOUBLE) * n_total)
+                AS BIGINT) AS target_docs
+    FROM u
+    """,
+)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language resampling (data mixing): sampling
+    weight per language proportional to p^alpha with alpha=0.5 —
+    upweights low-resource languages relative to their natural share,
+    the standard multilingual-corpus mixing rule. target_docs is the
+    resulting per-language quota. Aggregation-only plan (two window
+    passes over |languages| rows after one scan-side count)."""
+    docs = T(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.lit(1))
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    t = counts.withColumn("n_total", F.sum("n_docs").over(w)).withColumn(
+        "s_q",
+        F.floor(
+            F.sqrt(F.col("n_docs") / F.col("n_total")) * F.lit(1e12)
+        ).cast("long"),
+    )
+    u = t.withColumn("s_tot", F.sum("s_q").over(w))
+    weight = F.col("s_q").cast("double") / F.col("s_tot").cast("double")
+    return u.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        (F.col("n_docs") / F.col("n_total")).alias("p"),
+        weight.alias("weight"),
+        F.floor(weight * F.col("n_total")).cast("long").alias("target_docs"),
+    )
+
+
+@register(
+    "q75_doc_chunks",
+    # 50-word chunks, stride 40 (10-word overlap); short docs emit one
+    # whole-text chunk (the greatest() clamp on both engines).
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents
+    ),
+    ch AS (
+        SELECT doc_id, i, len(w) AS nw,
+               array_to_string(list_slice(w, i, i + 49), ' ') AS chunk
+        FROM words,
+             unnest(generate_series(1, greatest(len(w) - 49, 1), 40)) AS t(i)
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_start,
+           CAST(least(50, nw - i + 1) AS BIGINT) AS n_words, chunk
+    FROM ch
+    """,
+)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking for training: 50-word chunks
+    with stride 40 (10-word overlap keeps context across boundaries).
+    Narrow explode — no shuffle; chunk boundaries depend only on the
+    document itself, so the operator is embarrassingly parallel and
+    reshard-stable at any scale."""
+    docs = spread(T(spark, sf_dir, "documents"))
+    words = tokenize(F.col("text"))
+    n = F.size(words)
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - F.lit(49), F.lit(1)), F.lit(40)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            n.alias("nw"),
+            words.alias("w"),
+            F.explode(starts).alias("chunk_start"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.least(F.lit(50), F.col("nw") - F.col("chunk_start") + 1)
+            .cast("long")
+            .alias("n_words"),
+            F.concat_ws(" ", F.slice(F.col("w"), F.col("chunk_start"), 50)).alias(
+                "chunk"
+            ),
+        )
+    )
