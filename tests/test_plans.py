@@ -83,6 +83,37 @@ def test_ivf_probe_assignment_is_distributed(spark):
     assert "Generate explode" in plan
 
 
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    """q73's eval-set shingles must broadcast (an eval suite is tiny
+    next to the training corpus) and candidates must come from the
+    shingle equi-join — no cartesian over documents."""
+    plan = plan_of(REGISTRY["q73_decontaminate"].fn(spark, SF_ORACLE), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_hyperplane_candidates_join_is_equi(spark):
+    """Sign-projection LSH candidates come from the (table, bucket)
+    equi-join; the exact-verify join is keyed on candidate ids. No
+    all-pairs product anywhere."""
+    plan = plan_of(
+        REGISTRY["sim_random_hyperplane_lsh"].fn(spark, SF_ORACLE), "simple"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_doc_chunks_is_narrow(spark):
+    """q75 chunking is an explode over per-row state: besides the
+    deliberate input spread() repartition, the plan must contain no
+    key shuffle (chunk boundaries depend only on the document)."""
+    df = REGISTRY["q75_doc_chunks"].fn(spark, SF_ORACLE)
+    assert shuffle_count(df) <= 1  # only the round-robin spread
+    plan = plan_of(df, "simple")
+    assert "hashpartitioning" not in plan.lower()
+
+
 def test_whole_stage_codegen_covers_scan_filter(spark):
     plan = plan_of(REGISTRY["q01_filter_project_topk"].fn(spark, SF_ORACLE), "simple")
     assert "*(1)" in plan  # codegen stage markers present
