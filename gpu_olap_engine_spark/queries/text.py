@@ -155,3 +155,86 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators.text.fingerprint."""
     docs = spread(T(spark, sf_dir, "documents"))
     return docs.select("doc_id", X.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "q76_gopher_gate",
+    # Composite curation gate: every rule is exact-integer-ratio
+    # arithmetic, so the pass/fail booleans are bit-deterministic
+    # cross-engine. The 3-gram CTE mirrors operators.dedup.shingles
+    # at k=3 (DISTINCT per doc; total = greatest(n_tokens - 2, 1)).
+    oracle=rf"""
+    WITH w AS (SELECT doc_id, text, {_WORDS} AS words FROM documents),
+    feat AS (
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(words,
+                    t -> t IN ({{stop}}))) AS BIGINT) AS n_stop,
+               CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT)
+                   AS n_punct,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM w
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(words, i, i + 2), ' ') AS shingle
+        FROM w, unnest(generate_series(1, greatest(len(words) - 2, 1))) AS t(i)
+    ),
+    d3 AS (SELECT doc_id, COUNT(*) AS n_distinct FROM sh GROUP BY doc_id),
+    rules AS (
+        SELECT f.doc_id, f.n_tokens,
+               CAST(f.n_stop AS DOUBLE) / f.n_tokens AS stopword_ratio,
+               CAST(f.n_punct AS DOUBLE) / f.n_chars AS punct_ratio,
+               CAST(d3.n_distinct AS DOUBLE)
+                   / greatest(f.n_tokens - 2, 1) AS distinct_3gram_ratio
+        FROM feat f JOIN d3 USING (doc_id)
+    )
+    SELECT doc_id, n_tokens, stopword_ratio, punct_ratio,
+           distinct_3gram_ratio,
+           n_tokens >= 20 AS r_len,
+           stopword_ratio >= 0.02 AS r_stop,
+           punct_ratio <= 0.2 AS r_punct,
+           distinct_3gram_ratio >= 0.5 AS r_dup,
+           (n_tokens >= 20 AND stopword_ratio >= 0.02
+            AND punct_ratio <= 0.2 AND distinct_3gram_ratio >= 0.5)
+               AS passes
+    FROM rules
+    """.replace("{stop}", _in_list(X.STOPWORDS)),
+)
+def q76_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality gate: minimum length, stopword
+    floor (gibberish detector), punctuation ceiling (markup/code
+    detector), and duplicate-3-gram ceiling (repetition detector) —
+    the standard rule stack a curation pipeline applies before any
+    model-based scoring. One scan + the (cached) shingle pass; every
+    rule is a per-document expression, so the gate is reshard-stable
+    and embarrassingly parallel at 100 TB."""
+    from gpu_olap_engine_spark.operators import dedup as D
+
+    docs = T(spark, sf_dir, "documents")
+    feats = X.quality_features(spread(docs), "doc_id", "text")
+    d3 = (
+        D._shingles_cached(docs, "doc_id", "text", 3)
+        .groupBy("id")
+        .agg(F.count("*").alias("n_distinct"))
+    )
+    joined = feats.join(d3, feats.doc_id == d3.id).drop("id")
+    dup_ratio = F.col("n_distinct").cast("double") / F.greatest(
+        F.col("n_tokens") - 2, F.lit(1)
+    )
+    r_len = F.col("n_tokens") >= 20
+    r_stop = F.col("stopword_ratio") >= 0.02
+    r_punct = F.col("punct_ratio") <= 0.2
+    r_dup = dup_ratio >= 0.5
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        "stopword_ratio",
+        "punct_ratio",
+        dup_ratio.alias("distinct_3gram_ratio"),
+        r_len.alias("r_len"),
+        r_stop.alias("r_stop"),
+        r_punct.alias("r_punct"),
+        r_dup.alias("r_dup"),
+        (r_len & r_stop & r_punct & r_dup).alias("passes"),
+    )
