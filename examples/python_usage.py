@@ -103,6 +103,21 @@ def main(data_dir: str = "/root/testdata/sf0.001") -> None:
         ).to_pandas()
     )
 
+    # --- beyond-reference: the training-data pipeline operators
+    # (registry entries are plain (spark, sf_dir) -> DataFrame
+    # callables — usable directly against any fixture dir) ---
+    print("\n7. LLM-pipeline operators (curation gate / mixing / dedup):")
+    from gpu_olap_engine_spark.queries import load_all
+
+    registry = load_all()
+    print("language mixing weights (q74):")
+    print(registry["q74_temperature_mix"].fn(engine.spark, data_dir).toPandas())
+    gate = registry["q76_gopher_gate"].fn(engine.spark, data_dir)
+    kept = gate.filter("passes").count()
+    print(f"gopher gate: {kept}/{gate.count()} documents pass")
+    dups = registry["dedup_minhash_lsh"].fn(engine.spark, data_dir)
+    print(f"minhash-LSH near-duplicate pairs: {dups.count()}")
+
     engine.spark.stop()
 
 
