@@ -87,3 +87,30 @@ def test_polars_path_is_import_gated(spark):
 
         with pytest.raises(ImportError):
             eng.query_polars(object(), "SELECT 1")
+
+
+def test_ann_probe_prunes_to_one_bucket_partition(spark, tmp_path):
+    """The ANN docstrings claim "at 100 TB, write the corpus
+    partitioned by bucket so a probe is a single-partition scan" —
+    prove it: embeddings written partitioned by sign_bucket, a probe
+    filtered to one bucket plans with a PartitionFilter (footer-level
+    pruning, not a post-scan filter) and returns exactly that
+    bucket's members."""
+    from gpu_olap_engine_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    bucketed = emb.withColumn("bucket", S.sign_bucket(F.col("embedding"), 3))
+    path = str(tmp_path / "emb_by_bucket")
+    bucketed.write.partitionBy("bucket").parquet(path)
+
+    probe = spark.read.parquet(path).filter(F.col("bucket") == 3)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain()
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    want = bucketed.filter(F.col("bucket") == 3).count()
+    assert probe.count() == want and want > 0
