@@ -45,7 +45,12 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-_VIEW_SEQ = 0
+import itertools as _itertools
+
+# itertools.count is atomic under the GIL — a bare `global n; n += 1`
+# is a read-modify-write that can hand two concurrently-executing
+# query callables the same view name.
+_VIEW_SEQ = _itertools.count(1)
 
 
 def _view(df: DataFrame, prefix: str) -> str:
@@ -54,9 +59,7 @@ def _view(df: DataFrame, prefix: str) -> str:
     SQL-string queries need views; unique names make query callables
     safe under concurrent execution in one shared session (the
     driver's prerogative)."""
-    global _VIEW_SEQ
-    _VIEW_SEQ += 1
-    name = f"_goe_{prefix}_{_VIEW_SEQ}"
+    name = f"_goe_{prefix}_{next(_VIEW_SEQ)}"
     df.createOrReplaceTempView(name)
     return name
 
