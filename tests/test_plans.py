@@ -114,6 +114,35 @@ def test_doc_chunks_is_narrow(spark):
     assert "hashpartitioning" not in plan.lower()
 
 
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Runtime row-level filtering: the engine session keeps Spark's
+    bloom-filter join pruning enabled (default-on), so a selective
+    build side of a shuffle join gets a bloom_filter_agg pushed to the
+    probe-side scan once the probe scan crosses the size threshold.
+    The 10 GB application-side threshold never trips at fixture scale,
+    so this test lowers it to make the 100 TB plan shape visible."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+        c = spark.read.parquet(f"{SF_ORACLE}/customer.parquet").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        j = o.join(c, o.o_custkey == c.c_custkey).select("o_orderkey", "c_name")
+        plan = plan_of(j, "extended")
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_whole_stage_codegen_covers_scan_filter(spark):
     plan = plan_of(REGISTRY["q01_filter_project_topk"].fn(spark, SF_ORACLE), "simple")
     assert "*(1)" in plan  # codegen stage markers present
