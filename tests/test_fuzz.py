@@ -156,3 +156,100 @@ def test_fuzz_hash_sample_agree(spark, duck, orders, frac):
         < frac
     ).count()
     assert got == want
+
+
+@given(
+    part=st.sampled_from(["o_orderstatus", "o_orderpriority"]),
+    n=st.integers(min_value=1, max_value=5),
+)
+@settings(**SETTINGS)
+def test_fuzz_window_topn_per_group(spark, duck, orders, part, n):
+    """Per-group top-n via row_number must agree for arbitrary
+    partition keys and n (unique orderkey tiebreaker keeps the
+    selected set deterministic)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(part).orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    got = {
+        r["o_orderkey"]
+        for r in orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n)
+        .select("o_orderkey")
+        .collect()
+    }
+    want = {
+        r[0]
+        for r in duck.sql(
+            f"SELECT o_orderkey FROM ("
+            f"  SELECT o_orderkey, ROW_NUMBER() OVER ("
+            f"    PARTITION BY {part} ORDER BY o_totalprice DESC, o_orderkey"
+            f"  ) AS rn FROM orders) WHERE rn <= {n}"
+        ).fetchall()
+    }
+    assert got == want
+
+
+@given(
+    mod=st.integers(min_value=2, max_value=9),
+    lo=st.floats(min_value=0, max_value=400_000, allow_nan=False),
+    op=st.sampled_from(["UNION", "INTERSECT", "EXCEPT"]),
+)
+@settings(**SETTINGS)
+def test_fuzz_set_ops(spark, duck, orders, mod, lo, op):
+    """Distinct set operations over arbitrary operand pairs must agree
+    (Spark: distinct/intersect/subtract on key projections)."""
+    a = orders.filter(F.col("o_custkey") % mod == 0).select("o_orderkey")
+    b = orders.filter(F.col("o_totalprice") > lo).select("o_orderkey")
+    if op == "UNION":
+        got = a.union(b).distinct().count()
+    elif op == "INTERSECT":
+        got = a.intersect(b).count()
+    else:
+        got = a.subtract(b).count()
+    want = duck.sql(
+        f"SELECT COUNT(*) FROM ("
+        f"  SELECT o_orderkey FROM orders WHERE o_custkey % {mod} = 0"
+        f"  {op} "
+        f"  SELECT o_orderkey FROM orders WHERE o_totalprice > {lo!r})"
+    ).fetchone()[0]
+    assert got == want
+
+
+@given(k=st.integers(min_value=2, max_value=10))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fuzz_shingle_counts_agree(spark, duck, k):
+    """Distinct k-word shingle counts per document must match the SQL
+    twin for ANY k — the shared primitive under minhash/jaccard/
+    decontamination, fuzzed over the shingle width."""
+    from gpu_olap_engine_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    got = {
+        r["id"]: r["n"]
+        for r in D.shingles(docs, "doc_id", "text", k)
+        .groupBy("id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    want = {
+        r[0]: r[1]
+        for r in duck.sql(
+            rf"""
+            WITH words AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(list_slice(w, i, i + {k - 1}), ' ') AS shingle
+                FROM words,
+                     unnest(generate_series(1, greatest(len(w) - {k - 1}, 1))) AS t(i)
+            )
+            SELECT doc_id, COUNT(*) FROM sh GROUP BY doc_id
+            """
+        ).fetchall()
+    }
+    assert got == want
