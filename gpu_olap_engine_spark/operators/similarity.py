@@ -367,6 +367,96 @@ def hyperplane_lsh_pairs(
     )
 
 
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k_codes: int = 8,
+    iters: int = 2,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: the vector is split into `m`
+    contiguous subspaces and each gets its own deterministic k-means
+    codebook (kmeans_centroids — exact int64-quantized updates, fixed
+    init/iterations, so codebooks are bit-reproducible). Returns
+    [subspace][code][sub_dim] doubles."""
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    sub = dim // m
+    return [
+        kmeans_centroids(
+            corpus.select(
+                F.col(id_col).alias(id_col),
+                F.slice(F.col(vec_col), j * sub + 1, sub).alias("sub"),
+            ),
+            id_col,
+            "sub",
+            k_codes,
+            iters,
+        )
+        for j in range(m)
+    ]
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k_codes: int = 8,
+    iters: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """PQ-compressed ANN with asymmetric distance (ADC): the corpus is
+    stored as m code bytes per vector (8 bytes vs 256 here — the
+    memory trick that makes billion-scale ANN fit in RAM); a query
+    scores a candidate as the sum of its subspace distances to the
+    candidate's code centroids (query side stays exact — asymmetric).
+
+    Every step is deterministic: codebooks from exact k-means,
+    assignment ties to the lowest code, ADC terms summed in fixed
+    subspace order (left-to-right IEEE adds), rank ties to the lowest
+    neighbor id — PQ collapses distinct vectors to identical codes by
+    design, so the tiebreaker carries real weight.
+
+    At 100 TB the encoded corpus (codes only) is the resident set and
+    the codebooks (m x k x sub doubles) broadcast as literals — the
+    scan is a narrow projection of 8 small ints per row. Returns
+    (query_id, neighbor_id, adc_dist, rnk).
+    """
+    from gpu_olap_engine_spark.queries.tables import spread
+
+    books = pq_codebooks(corpus, id_col, vec_col, m, k_codes, iters)
+    sub = len(books[0][0])
+    enc = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        *[
+            _nearest_centroid(
+                F.slice(F.col(vec_col), j * sub + 1, sub), books[j]
+            ).alias(f"c{j}")
+            for j in range(m)
+        ],
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    adc = None
+    for j in range(m):
+        qs = F.slice(F.col("q_vec"), j * sub + 1, sub)
+        lut = F.array(*[_sq_l2(qs, c) for c in books[j]])
+        term = F.element_at(lut, (F.col(f"c{j}") + 1).cast("int"))
+        adc = term if adc is None else adc + term
+    scored = (
+        enc.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def top_dim_keys(vec: Column, m: int = 6) -> Column:
     """Blocking keys for similarity self-joins: the `m` highest-|value|
     dimensions of the vector, signed — key = dim*2 + (val > 0).

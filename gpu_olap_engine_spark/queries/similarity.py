@@ -354,3 +354,112 @@ def ml_random_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dist"),
         )
     )
+
+
+def _pq_oracle(
+    dim: int = 64, m: int = 8, k_codes: int = 8, iters: int = 2, topk: int = 5
+) -> str:
+    """DuckDB twin of operators.similarity.pq_adc_topk: one unrolled
+    deterministic-k-means CTE chain PER SUBSPACE (prefix p{j}) over
+    the vector slice, a code join per subspace for the ADC sum (terms
+    added in fixed subspace order, matching the Spark expression's
+    left-to-right adds), rank ties to the lowest neighbor id. dim is
+    pinned to the fixture's 64 (the Spark side checks divisibility at
+    runtime)."""
+    sub = dim // m
+    ctes = []
+    for j in range(m):
+        p, s, e = f"p{j}", j * sub + 1, (j + 1) * sub
+        vs = f"list_slice(embedding, {s}, {e})"
+        vs_e = f"list_slice(e.embedding, {s}, {e})"
+        ctes.append(f"""{p}c0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ci,
+               list_transform({vs}, x -> CAST(x AS DOUBLE)) AS cvec
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id
+              LIMIT {k_codes})
+    )""")
+        for it in range(1, iters + 1):
+            ctes.append(f"""{p}a{it} AS (
+        SELECT vec_id, embedding, ci AS c FROM (
+            SELECT e.vec_id, e.embedding, c.ci,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_o_sq_l2(vs_e, "c.cvec")} ASC, c.ci ASC
+                   ) AS rn
+            FROM embeddings e CROSS JOIN {p}c{it - 1} c
+        ) WHERE rn = 1
+    )""")
+            ctes.append(f"""{p}c{it} AS (
+        SELECT prev.ci, CASE WHEN upd.c IS NULL THEN prev.cvec
+                             ELSE upd.cvec END AS cvec
+        FROM {p}c{it - 1} prev LEFT JOIN (
+            SELECT c, list(CAST(sq AS DOUBLE) / 1000000.0 / n ORDER BY dim)
+                       AS cvec
+            FROM (
+                SELECT c, dd.i AS dim,
+                       SUM(CAST(floor(CAST({vs}[dd.i] AS DOUBLE) * 1000000.0)
+                           AS BIGINT)) AS sq,
+                       COUNT(*) AS n
+                FROM {p}a{it}, unnest(generate_series(1, {sub})) AS dd(i)
+                GROUP BY c, dd.i
+            ) GROUP BY c, n
+        ) upd ON prev.ci = upd.c
+    )""")
+        ctes.append(f"""{p}enc AS (
+        SELECT vec_id, ci AS code FROM (
+            SELECT e.vec_id, c.ci,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_o_sq_l2(vs_e, "c.cvec")} ASC, c.ci ASC
+                   ) AS rn
+            FROM embeddings e CROSS JOIN {p}c{iters} c
+        ) WHERE rn = 1
+    )""")
+    enc_cols = ", ".join(f"e{j}.code AS c{j}" for j in range(m))
+    enc_joins = " ".join(
+        f"JOIN p{j}enc e{j} ON e{j}.vec_id = e0.vec_id" for j in range(1, m)
+    )
+    ctes.append(f"""enc AS (
+        SELECT e0.vec_id AS neighbor_id, {enc_cols}
+        FROM p0enc e0 {enc_joins}
+    )""")
+    code_joins = " ".join(
+        f"JOIN p{j}c{iters} b{j} ON b{j}.ci = pairsq.c{j}" for j in range(m)
+    )
+    adc = " + ".join(
+        _o_sq_l2(f"list_slice(q_emb, {j * sub + 1}, {(j + 1) * sub})", f"b{j}.cvec")
+        for j in range(m)
+    )
+    body = f"""pairsq AS (
+        SELECT qq.vec_id AS query_id, qq.embedding AS q_emb, n.*
+        FROM embeddings qq, enc n
+        WHERE qq.vec_id < 5 AND n.neighbor_id != qq.vec_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id, {adc} AS adc_dist
+        FROM pairsq {code_joins}
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, adc_dist,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id
+               ) AS BIGINT) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, adc_dist, rnk FROM ranked
+    WHERE rnk <= {topk}"""
+    return "WITH " + ",\n    ".join(ctes) + ",\n    " + body
+
+
+@register("sim_pq_adc_topk", oracle=_pq_oracle())
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance: 8 subspaces
+    x 8-code deterministic k-means codebooks compress each corpus
+    vector to 8 small ints (the billion-scale memory trick); queries
+    score candidates by summed subspace distances to code centroids.
+    Fully oracle-checked — the SQL twin unrolls all 8 per-subspace
+    k-means chains over the same exact arithmetic."""
+    emb = T(spark, sf_dir, "embeddings")
+    return S.pq_adc_topk(
+        emb, emb.filter(F.col("vec_id") < 5), m=8, k_codes=8, iters=2, k=5
+    )

@@ -126,6 +126,25 @@ def test_sign_bucket_range(spark):
     assert vals <= set(range(8)) and len(vals) > 1
 
 
+def test_pq_adc_recall_and_determinism(spark):
+    """PQ-ADC must (a) be bit-deterministic across runs (codebooks
+    from exact k-means) and (b) rank true neighbors well despite the
+    8-byte compression: recall@5 vs exact brute force should beat
+    chance by a wide margin (5 of 499 candidates ~ 1%)."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    run1 = S.pq_adc_topk(emb, queries, k=5).collect()
+    run2 = S.pq_adc_topk(emb, queries, k=5).collect()
+    assert sorted(map(tuple, run1)) == sorted(map(tuple, run2))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {(r["query_id"], r["neighbor_id"]) for r in run1}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"recall {recall:.2f}"
+
+
 def test_hyperplane_lsh_exact_verify_and_determinism(spark):
     """Sign-projection LSH: (a) identical result regardless of input
     partitioning (the hyperplanes are data-independent and the verify
