@@ -193,37 +193,41 @@ def main() -> None:
     # exchange. The one-time bucketed write is not part of the timing.
     from gpu_olap_engine_spark.sources import write_bucketed  # noqa: PLC0415
 
-    write_bucketed(a100, "bench_ba", ["k"], num_buckets=64, sort_cols=["k"])
-    write_bucketed(b100, "bench_bb", ["k"], num_buckets=64, sort_cols=["k"])
-    ba, bb = spark.table("bench_ba"), spark.table("bench_bb")
-    micros.append(
-        (
-            "micro_join_bucketed_100m_x_100m",
-            ba.join(bb, "k").select(F.count("*").alias("c")),
-            None,
-        )
-    )
-
     # Timing protocol: min of 3 runs, with the repetitions INTERLEAVED
     # across micros (round-robin) so a transient box-contention spike
     # hits at most one rep of each micro instead of all reps of one;
     # per-run times land in the JSON ("micro_runs") so the artifact
     # itself shows the variance. min is the standard throughput
-    # estimate (absorbs first-touch page faults + contention).
-    micro_runs: dict[str, list[float]] = {name: [] for name, _, _ in micros}
+    # estimate (absorbs first-touch page faults + contention). The
+    # bucketed writes sit inside the try so a failed second write
+    # still drops the first table; per-micro conf overrides restore
+    # in a finally so a failed run cannot leak them.
     try:
+        write_bucketed(a100, "bench_ba", ["k"], num_buckets=64, sort_cols=["k"])
+        write_bucketed(b100, "bench_bb", ["k"], num_buckets=64, sort_cols=["k"])
+        ba, bb = spark.table("bench_ba"), spark.table("bench_bb")
+        micros.append(
+            (
+                "micro_join_bucketed_100m_x_100m",
+                ba.join(bb, "k").select(F.count("*").alias("c")),
+                None,
+            )
+        )
+        micro_runs: dict[str, list[float]] = {name: [] for name, _, _ in micros}
         for _ in range(3):
             for name, df, confs in micros:
                 saved = {
                     k: spark.conf.get(k) for k in (confs or {})
                 }
-                for k, v in (confs or {}).items():
-                    spark.conf.set(k, v)
-                t0 = time.perf_counter()
-                df.write.format("noop").mode("overwrite").save()
-                micro_runs[name].append(round(time.perf_counter() - t0, 3))
-                for k, v in saved.items():
-                    spark.conf.set(k, v)
+                try:
+                    for k, v in (confs or {}).items():
+                        spark.conf.set(k, v)
+                    t0 = time.perf_counter()
+                    df.write.format("noop").mode("overwrite").save()
+                    micro_runs[name].append(round(time.perf_counter() - t0, 3))
+                finally:
+                    for k, v in saved.items():
+                        spark.conf.set(k, v)
     finally:
         for t in ("bench_ba", "bench_bb"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -196,7 +196,11 @@ def kmeans_centroids(
     Each iteration: one assignment+aggregation job; centroids (k x dim
     doubles) round-trip through the driver, the standard Spark ML
     shape."""
-    dim = len(corpus.select(vec_col).first()[0])
+    head = corpus.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError("kmeans_centroids requires a non-empty corpus "
+                         "with non-null vectors")
+    dim = len(head[0])
     init = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
     centroids = [[float(x) for x in r[0]] for r in init]
     q = 1_000_000
@@ -328,7 +332,15 @@ def hyperplane_lsh_pairs(
     """
     from gpu_olap_engine_spark.queries.tables import spread
 
-    dim = len(corpus.select(vec_col).first()[0])
+    head = corpus.select(vec_col).first()
+    if head is None or head[0] is None:
+        # empty corpus -> empty pair set (matching the oracle's empty
+        # join result), not a driver-side TypeError
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, dist double"
+        )
+    dim = len(head[0])
     planes = hyperplane_tables(n_tables, n_planes, dim)
     vecs = spread(corpus).select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
@@ -377,26 +389,70 @@ def pq_codebooks(
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks: the vector is split into `m`
     contiguous subspaces and each gets its own deterministic k-means
-    codebook (kmeans_centroids — exact int64-quantized updates, fixed
-    init/iterations, so codebooks are bit-reproducible). Returns
+    codebook (same exact arithmetic as kmeans_centroids: init = the k
+    lowest-id vectors' slices, int64-quantized centroid updates, fixed
+    iterations, ties to the lowest code).
+
+    All m subspaces train in ONE job per iteration: the sliced corpus
+    is persisted once, each iteration explodes rows into (subspace,
+    assigned-code, slice) and aggregates per (subspace, code) in a
+    single shuffle — not m independent k-means drivers re-scanning the
+    corpus (m x iters redundant scans). Returns
     [subspace][code][sub_dim] doubles."""
-    dim = len(corpus.select(vec_col).first()[0])
+    head = corpus.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError("pq_codebooks requires a non-empty corpus "
+                         "with non-null vectors")
+    dim = len(head[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     sub = dim // m
-    return [
-        kmeans_centroids(
-            corpus.select(
-                F.col(id_col).alias(id_col),
-                F.slice(F.col(vec_col), j * sub + 1, sub).alias("sub"),
-            ),
-            id_col,
-            "sub",
-            k_codes,
-            iters,
-        )
-        for j in range(m)
-    ]
+    sl = corpus.select(
+        F.col(id_col).alias("vid"),
+        *[F.slice(F.col(vec_col), j * sub + 1, sub).alias(f"s{j}") for j in range(m)],
+    ).persist()
+    try:
+        init = sl.orderBy("vid").limit(k_codes).collect()
+        books = [
+            [[float(x) for x in r[f"s{j}"]] for r in init] for j in range(m)
+        ]
+        q = 1_000_000
+        for _ in range(iters):
+            subs = F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("long").alias("j"),
+                        _nearest_centroid(F.col(f"s{j}"), books[j]).alias("c"),
+                        F.col(f"s{j}").alias("v"),
+                    )
+                    for j in range(m)
+                ]
+            )
+            ex = sl.select(F.explode(subs).alias("e")).select("e.j", "e.c", "e.v")
+            sums = ex.groupBy("j", "c").agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(
+                        F.floor(
+                            F.element_at("v", i + 1).cast("double") * q
+                        ).cast("long")
+                    ).alias(f"s{i}")
+                    for i in range(sub)
+                ],
+            )
+            rows = {(r["j"], r["c"]): r for r in sums.collect()}
+            books = [
+                [
+                    [rows[(j, c)][f"s{i}"] / q / rows[(j, c)]["n"] for i in range(sub)]
+                    if (j, c) in rows
+                    else books[j][c]  # empty code keeps its centroid
+                    for c in range(k_codes)
+                ]
+                for j in range(m)
+            ]
+        return books
+    finally:
+        sl.unpersist()
 
 
 def pq_adc_topk(

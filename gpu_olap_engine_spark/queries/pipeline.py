@@ -513,8 +513,10 @@ def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q75_doc_chunks",
-    # 50-word chunks, stride 40 (10-word overlap); short docs emit one
-    # whole-text chunk (the greatest() clamp on both engines).
+    # 50-word chunks, stride 40 (10-word overlap). The last start is
+    # 1 + 40*ceil(max(nw-50,0)/40), so the final (possibly partial)
+    # chunk always reaches the document's end — no trailing words are
+    # dropped; docs <= 50 words emit one whole-text chunk.
     oracle=r"""
     WITH words AS (
         SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
@@ -524,7 +526,11 @@ def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, i, len(w) AS nw,
                array_to_string(list_slice(w, i, i + 49), ' ') AS chunk
         FROM words,
-             unnest(generate_series(1, greatest(len(w) - 49, 1), 40)) AS t(i)
+             unnest(generate_series(
+                   1,
+                   1 + 40 * CAST(floor((greatest(len(w) - 50, 0) + 39) / 40.0)
+                                 AS BIGINT),
+                   40)) AS t(i)
     )
     SELECT doc_id, CAST(i AS BIGINT) AS chunk_start,
            CAST(least(50, nw - i + 1) AS BIGINT) AS n_words, chunk
@@ -540,9 +546,12 @@ def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(T(spark, sf_dir, "documents"))
     words = tokenize(F.col("text"))
     n = F.size(words)
-    starts = F.sequence(
-        F.lit(1), F.greatest(n - F.lit(49), F.lit(1)), F.lit(40)
-    )
+    # last start covers the tail: 1 + 40*ceil(max(n-50,0)/40), so the
+    # final chunk is partial rather than the trailing words dropped
+    last = F.lit(1) + F.lit(40) * F.floor(
+        (F.greatest(n - F.lit(50), F.lit(0)) + F.lit(39)) / F.lit(40.0)
+    ).cast("long")
+    starts = F.sequence(F.lit(1).cast("long"), last, F.lit(40).cast("long"))
     return (
         docs.select(
             "doc_id",

@@ -276,8 +276,8 @@ _LSH_TABLES, _LSH_PLANES, _LSH_MAX_DIST = 3, 8, 8.0
     WITH dots AS (
         SELECT e.vec_id, tt.t, pp.p,
                SUM(CAST(floor((CAST(e.embedding[dd.i] AS DOUBLE)
-                   * (((tt.t * {_LSH_PLANES} + pp.p) * 1000003 + (dd.i - 1))
-                      * 2654435761 % 2000001 - 1000000) / 1000000.0)
+                   * ((((tt.t * {_LSH_PLANES} + pp.p) * 1000003 + (dd.i - 1))
+                       * 2654435761 % 2000001 - 1000000) / 1000000.0))
                    * 1e12) AS BIGINT)) AS dot
         FROM embeddings e,
              unnest(generate_series(0, {_LSH_TABLES - 1})) AS tt(t),
