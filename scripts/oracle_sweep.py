@@ -36,10 +36,15 @@ def main() -> None:
     if "-k" in sys.argv:
         pat = sys.argv[sys.argv.index("-k") + 1]
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "16")
+    # SPARK_GRAFT_SHUFFLE: sweep under a different partition layout
+    # (e.g. 3) to prove results are partition-count invariant.
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "16"))
 
     from tests.test_oracle import assert_frames_match  # reuse the exact comparator
 
-    spark = get_spark(EngineConfig(shuffle_partitions=16), master=f"local[{cpus}]")
+    spark = get_spark(
+        EngineConfig(shuffle_partitions=shuffle), master=f"local[{cpus}]"
+    )
     spark.sparkContext.setLogLevel("ERROR")
     duck = duckdb.connect()
     for t in TABLES:

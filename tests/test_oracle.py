@@ -67,6 +67,27 @@ def test_oracle_match(spark, duck, name):
     assert_frames_match(spark_pdf, duck_pdf, name)
 
 
+def test_concurrent_query_callables_are_isolated(spark, duck):
+    """The driver may execute query callables CONCURRENTLY in one
+    shared session; view-registering queries (correlated subqueries,
+    UDTF paths) must not clobber each other's temp views and every
+    thread's result must still match its oracle (regression for the
+    _view name-allocation race)."""
+    import concurrent.futures as cf
+
+    names = ["q60_correlated_exists", "q27_in_subquery",
+             "q62_derived_table_join", "q28_scalar_subquery", "q29_cte"]
+
+    def run(name):
+        return name, REGISTRY[name].fn(spark, SF_ORACLE).toPandas()
+
+    with cf.ThreadPoolExecutor(max_workers=len(names)) as pool:
+        for name, spark_pdf in pool.map(run, names * 2):
+            assert_frames_match(
+                spark_pdf, duck.sql(REGISTRY[name].oracle).df(), name
+            )
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY_CASES)
 def test_rows_only_runs(spark, name):
     q = REGISTRY[name]
