@@ -25,6 +25,10 @@ SHOW = [
         "sim_random_hyperplane_lsh",
         "sign-projection LSH: (table, bucket) equi-join candidates, no cartesian",
     ),
+    (
+        "sim_pq_adc_topk",
+        "PQ-ADC: codes-only corpus projection, broadcast queries, window top-k",
+    ),
     ("q72_sequence_packing_sharded", "(lang, shard) window: bounded per-task state"),
     ("q43_tpch_q6_shape", "selective scan: all predicates pushed"),
 ]
