@@ -219,8 +219,12 @@ def kmeans_centroids(
             ],
         )
         rows = {r["c"]: r for r in sums.collect()}
+        # float(s) first: mirrors the oracle's CAST(s AS DOUBLE)/1e6/n
+        # op-for-op, so the cross-engine bit-match holds even when the
+        # int64 sums exceed 2^53 (int/int division would round the
+        # exact rational instead and silently diverge there).
         centroids = [
-            [rows[c][f"s{i}"] / q / rows[c]["n"] for i in range(dim)]
+            [float(rows[c][f"s{i}"]) / q / rows[c]["n"] for i in range(dim)]
             if c in rows
             else centroids[c]  # empty cluster keeps its centroid
             for c in range(len(centroids))
@@ -443,7 +447,12 @@ def pq_codebooks(
             rows = {(r["j"], r["c"]): r for r in sums.collect()}
             books = [
                 [
-                    [rows[(j, c)][f"s{i}"] / q / rows[(j, c)]["n"] for i in range(sub)]
+                    # float(s) first — same double-first rounding as the
+                    # oracle's CAST(s AS DOUBLE)/1e6/n (safe past 2^53).
+                    [
+                        float(rows[(j, c)][f"s{i}"]) / q / rows[(j, c)]["n"]
+                        for i in range(sub)
+                    ]
                     if (j, c) in rows
                     else books[j][c]  # empty code keeps its centroid
                     for c in range(k_codes)

@@ -16,6 +16,7 @@ from gpu_olap_engine_spark.streaming.pipelines import (
     running_user_totals,
     session_counts,
     stream_upsert_user_totals,
+    upsert_totals_sink,
     windowed_counts,
 )
 
@@ -28,4 +29,5 @@ __all__ = [
     "enrich_with_dimension",
     "purchases_with_recent_views",
     "stream_upsert_user_totals",
+    "upsert_totals_sink",
 ]

@@ -174,24 +174,35 @@ def purchases_with_recent_views(
     ).select("purchase_id", F.col("p_user").alias("user_id"), "view_id")
 
 
-def stream_upsert_user_totals(events: DataFrame, path: str, checkpoint_dir: str):
-    """foreachBatch incremental sink: per-micro-batch user totals
-    merged additively into a parquet store via sources.upsert_parquet
-    — the incremental-materialization pattern (stream -> continuously
-    maintained aggregate table) that completes the streaming surface's
-    sink story. Only keys touched by the batch are rewritten; untouched
-    keys stay in place (the upsert's anti-join keeps them).
+def upsert_totals_sink(path: str, ledger_key: str):
+    """Build the foreachBatch sink for ``stream_upsert_user_totals``.
 
-    Exactly-once caveat: an additive merge is not idempotent under
-    micro-batch REPLAY; production pairs this with a batch_id ledger or
-    a transactional table format (Delta/Iceberg MERGE — ROADMAP.md#1).
-    Returns the started StreamingQuery (availableNow trigger).
+    The additive merge alone is not idempotent under micro-batch REPLAY
+    (foreachBatch is at-least-once across restarts), so each applied
+    batch_id is recorded in a ledger file next to the store, keyed by
+    the owning query (its checkpoint dir): a redelivered (ledger_key,
+    batch_id) pair is skipped instead of double-counted. Distinct
+    queries (fresh checkpoints) keep their legitimate additive
+    semantics. The ledger write uses write-temp + os.replace (atomic on
+    POSIX) and happens only after the merge lands — a crash between
+    merge and ledger write degrades to at-least-once, the same floor a
+    transactional format (Delta/Iceberg MERGE, ROADMAP.md#1) would
+    lift.
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        import json  # noqa: PLC0415
         import os  # noqa: PLC0415
 
         from gpu_olap_engine_spark.sources import upsert_parquet  # noqa: PLC0415
+
+        ledger = path.rstrip("/") + ".batch_ledger.json"
+        applied: dict = {}
+        if os.path.exists(ledger):
+            with open(ledger) as f:
+                applied = json.load(f)
+        if applied.get(ledger_key, -1) >= batch_id:
+            return  # replayed micro-batch: already merged
 
         spark = batch_df.sparkSession
         delta = batch_df.groupBy("user_id").agg(
@@ -218,8 +229,27 @@ def stream_upsert_user_totals(events: DataFrame, path: str, checkpoint_dir: str)
         else:
             delta.write.mode("overwrite").parquet(path)
 
+        applied[ledger_key] = batch_id
+        tmp = ledger + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(applied, f)
+        os.replace(tmp, ledger)
+
+    return sink
+
+
+def stream_upsert_user_totals(events: DataFrame, path: str, checkpoint_dir: str):
+    """foreachBatch incremental sink: per-micro-batch user totals
+    merged additively into a parquet store via sources.upsert_parquet
+    — the incremental-materialization pattern (stream -> continuously
+    maintained aggregate table) that completes the streaming surface's
+    sink story. Only keys touched by the batch are rewritten; untouched
+    keys stay in place (the upsert's anti-join keeps them). Replay-safe:
+    see ``upsert_totals_sink`` (per-query batch-id ledger).
+    Returns the started StreamingQuery (availableNow trigger).
+    """
     return (
-        events.writeStream.foreachBatch(sink)
+        events.writeStream.foreachBatch(upsert_totals_sink(path, checkpoint_dir))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -186,6 +186,44 @@ def test_stream_upsert_sink_accumulates(spark, tmp_path):
             assert abs(got[k][1] - pass_no * t) < 1e-6
 
 
+def test_stream_upsert_sink_idempotent_under_replay(spark, tmp_path):
+    """foreachBatch is at-least-once across restarts: the same
+    (query, batch_id) can be redelivered. The sink's batch-id ledger
+    must make the redelivery a no-op, while a NEW batch_id and a NEW
+    query (fresh checkpoint key) still merge additively."""
+    from gpu_olap_engine_spark.streaming import upsert_totals_sink
+
+    store = str(tmp_path / "totals")
+    events = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    want = {
+        r["user_id"]: (r["n"], round(r["t"], 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+
+    def snapshot():
+        return {
+            r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+            for r in spark.read.parquet(store).collect()
+        }
+
+    sink = upsert_totals_sink(store, "ckptA")
+    sink(events, 0)
+    after_first = snapshot()
+    assert {k: v[0] for k, v in after_first.items()} == {
+        k: v[0] for k, v in want.items()
+    }
+    sink(events, 0)  # replayed micro-batch: must be skipped
+    assert snapshot() == after_first
+    sink(events, 1)  # genuinely new batch: merges additively
+    doubled = snapshot()
+    assert all(doubled[k][0] == 2 * want[k][0] for k in want)
+    # a different query (fresh checkpoint) has its own ledger row
+    upsert_totals_sink(store, "ckptB")(events, 0)
+    assert all(snapshot()[k][0] == 3 * want[k][0] for k in want)
+
+
 def test_sliding_window_covers_each_event_twice(spark):
     stream = read_events_stream(spark, SF_SMALL)
     run_to_memory(
