@@ -58,6 +58,7 @@ def load_all() -> dict[str, Query]:
             scalar_suites,
             similarity,
             text,
+            tpch,
             udfs,
         )
 
