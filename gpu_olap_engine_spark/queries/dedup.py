@@ -254,3 +254,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.simhash(T(spark, sf_dir, "documents"), "doc_id", "text")
         .select(F.col("id").alias("doc_id"), "simhash")
     )
+
+
+@register(
+    "dedup_span_stats",
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+        FROM words, unnest(generate_series(1, len(w) - 7)) AS t(i)
+        WHERE len(w) >= 8
+    ),
+    pg AS (SELECT doc_id, gram, COUNT(*) AS occ FROM g GROUP BY 1, 2),
+    dup AS (SELECT gram FROM pg GROUP BY gram HAVING SUM(occ) >= 2),
+    per_doc AS (
+        SELECT doc_id, SUM(occ) AS n_dup
+        FROM pg WHERE gram IN (SELECT gram FROM dup)
+        GROUP BY doc_id
+    ),
+    tot AS (
+        SELECT doc_id, len(w) - 7 AS n_spans FROM words WHERE len(w) >= 8
+    )
+    SELECT t.doc_id AS id,
+           CAST(t.n_spans AS BIGINT) AS n_spans,
+           CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_spans,
+           CAST(COALESCE(p.n_dup, 0) AS DOUBLE) / t.n_spans AS dup_frac
+    FROM tot t LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup statistics: per-document count and
+    fraction of word 8-gram positions whose span occurs >= 2 times
+    corpus-wide (within-doc repeats count). Complements the doc-level
+    near-dup family: MinHash flags whole documents, this measures HOW
+    MUCH of each document is boilerplate — the signal used to cut
+    duplicated spans out of a training corpus rather than dropping
+    whole docs. See operators.dedup.duplicated_span_stats for the
+    scale shape (gram-keyed aggregation, never all-pairs)."""
+    return D.duplicated_span_stats(
+        T(spark, sf_dir, "documents"), "doc_id", "text", k=8
+    )

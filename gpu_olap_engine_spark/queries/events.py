@@ -282,3 +282,95 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
         # nullable int -> double for unambiguous pandas conversion
         F.col("matched_view_id").cast("double").alias("matched_view_id"),
     )
+
+
+@register(
+    "q88_scd2_history",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, event_type, {_US} AS us,
+               LEAD({_US}) OVER (
+                   PARTITION BY user_id ORDER BY {_US}, event_id
+               ) AS next_us
+        FROM events WHERE user_id < 200
+    )
+    SELECT user_id, event_id, event_type,
+           us AS eff_from_us,
+           CAST(next_us AS DOUBLE) AS eff_to_us,
+           CAST(CASE WHEN next_us IS NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS is_current
+    FROM seq
+    """,
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC -> SCD type-2 history build: each per-user change event
+    becomes a versioned dimension row with [eff_from, eff_to) validity
+    and an is_current flag — the standard slowly-changing-dimension
+    materialization a warehouse derives from a change stream. One
+    window (single shuffle on user_id); at 100 TB the user_id
+    partitioning is exactly the layout the downstream point-in-time
+    join wants, so the shuffle is reused. eff_to is NULL (open) for
+    the newest row per user; emitted as DOUBLE for unambiguous
+    nullable transport (same convention as q34)."""
+    ev = _with_us(T(spark, sf_dir, "events").filter(F.col("user_id") < 200))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    nxt = F.lead("us").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("us").alias("eff_from_us"),
+        nxt.cast("double").alias("eff_to_us"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("long").alias("is_current"),
+    )
+
+
+@register(
+    "q89_incremental_rollup_merge",
+    oracle=f"""
+    SELECT CAST(({_US} - ({_US} % 600000000)) / 1000000 AS BIGINT)
+               AS bucket_start,
+           event_type,
+           COUNT(*) AS cnt,
+           CAST(CAST(SUM(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
+                AS DOUBLE) / 10000 AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the event stream is
+    split at a cutoff into a 'materialized' base and a 'new arrivals'
+    delta, each rolled up independently to (10-min bucket, event_type)
+    partials, then MERGED by re-aggregating the algebraic state
+    (count-sum pairs add). The oracle computes the rollup directly over
+    all events, so the check proves merge(partial(base), partial(delta))
+    == full(all) bit-exactly — the invariant that lets a 100 TB rollup
+    absorb a daily delta without rescanning history. Sums carry the
+    quantized-integer representation (floor(value*1e4) int64) through
+    the merge so partial+final addition is order-independent."""
+    ev = _with_us(T(spark, sf_dir, "events"))
+    bucket = ((F.col("us") - F.col("us") % 600_000_000) / 1_000_000).cast(
+        "long"
+    )
+    # 2024-01-21 00:00 UTC in epoch microseconds (events span Jan 2024)
+    cutoff_us = 1_705_795_200_000_000
+
+    def partial(df):
+        return df.groupBy(
+            bucket.alias("bucket_start"), F.col("event_type")
+        ).agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.floor(F.col("value") * 10000).cast("long")).alias("s_i"),
+        )
+
+    base = partial(ev.filter(F.col("us") < cutoff_us))
+    delta = partial(ev.filter(F.col("us") >= cutoff_us))
+    return (
+        base.unionByName(delta)
+        .groupBy("bucket_start", "event_type")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            (F.sum("s_i").cast("double") / 10000).alias("sum_value"),
+        )
+    )
