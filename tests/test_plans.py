@@ -158,3 +158,49 @@ def test_single_agg_query_has_one_shuffle(spark):
     """q02 is scan -> partial agg -> exchange -> final agg: exactly one
     exchange. A second one would mean the partial/final split broke."""
     assert shuffle_count(REGISTRY["q02_groupby_aggregates"].fn(spark, SF_ORACLE)) == 1
+
+
+def test_tpch_q1_is_single_shuffle_partial_final(spark):
+    """Q1's aggregate battery: one exchange, map-side combine, and the
+    shipdate predicate inside the parquet scan."""
+    df = REGISTRY["q77_tpch_q1"].fn(spark, SF_ORACLE)
+    assert shuffle_count(df) == 1
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_tpch_q19_disjunction_decomposes_into_scan(spark):
+    """The OR-of-ANDs straddling the join must yield single-side
+    implications pushed into each scan (quantity bands into lineitem),
+    with the full disjunction left as the join residual — not a
+    filter-after-join over unfiltered inputs."""
+    plan = plan_of(REGISTRY["q85_tpch_q19"].fn(spark, SF_ORACLE))
+    # derived single-side predicate on the lineitem scan
+    assert "Or(And(GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_tpch_q18_semi_join_then_topk(spark):
+    """The HAVING-derived key set applies as a semi join (orders rows
+    never duplicate), and the final top-100 fuses to TakeOrdered."""
+    plan = plan_of(REGISTRY["q84_tpch_q18"].fn(spark, SF_ORACLE))
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_incremental_rollup_merge_reuses_partitioning(spark):
+    """merge(partial(base), partial(delta)): each branch shuffles once
+    to its rollup key; the merge re-aggregate runs on the unioned
+    branches WITHOUT a third exchange (both sides already hash-
+    partitioned on the merge key)."""
+    df = REGISTRY["q89_incremental_rollup_merge"].fn(spark, SF_ORACLE)
+    assert shuffle_count(df) == 2
+
+
+def test_span_dedup_is_gram_keyed_not_all_pairs(spark):
+    """Duplicated-span stats must stay a gram-keyed aggregation +
+    semi join — never a text-to-text or all-pairs comparison."""
+    plan = plan_of(REGISTRY["dedup_span_stats"].fn(spark, SF_ORACLE), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "LeftSemi" in plan
