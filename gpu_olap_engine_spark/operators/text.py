@@ -75,7 +75,9 @@ def predict_lang(text: Column) -> Column:
     return expr
 
 
-def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def quality_features(
+    df: DataFrame, id_col: str, text_col: str, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Per-document quality features + a composite score in [0, 1].
 
     Components (all exact integer ratios -> IEEE doubles):
@@ -83,6 +85,9 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
       punct_ratio     — punctuation chars / chars
       len_score       — min(tokens, 100) / 100
     score = 0.5*stopword + 0.3*len + 0.2*(1 - punct)
+
+    ``keep`` lists extra input columns carried through unchanged
+    (e.g. a language label for per-language thresholds downstream).
     """
     text = F.col(text_col)
     toks = tokenize(text)
@@ -95,6 +100,7 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     len_score = F.least(n_tok, F.lit(100)).cast("double") / 100
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         n_tok.alias("n_tokens"),
         n_stop.alias("n_stopwords"),
         n_punct.alias("n_punct"),

@@ -238,3 +238,121 @@ def q76_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_dup.alias("r_dup"),
         (r_len & r_stop & r_punct & r_dup).alias("passes"),
     )
+
+
+@register(
+    "text_per_lang_quality_gate",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, lang, text, {_WORDS} AS words FROM documents),
+    feat AS (
+        SELECT doc_id, lang,
+               CAST(len(words) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(words,
+                    t -> t IN ({{stop}}))) AS BIGINT) AS n_stop,
+               CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT)
+                   AS n_punct,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM w
+    ),
+    q AS (
+        SELECT doc_id, lang,
+               CAST(floor((0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
+                    + 0.3 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100)
+                    + 0.2 * (1 - CAST(n_punct AS DOUBLE) / n_chars))
+                    * 1000000) AS BIGINT) AS score_q
+        FROM feat
+    ),
+    med AS (SELECT lang, quantile_cont(score_q, 0.5) AS lang_median
+            FROM q GROUP BY lang)
+    SELECT q.doc_id, q.lang, q.score_q, med.lang_median
+    FROM q JOIN med USING (lang)
+    WHERE q.score_q > med.lang_median
+    """.replace("{stop}", _in_list(X.STOPWORDS)),
+)
+def text_per_lang_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language relative quality gate: keep documents whose quality
+    score clears their OWN language's median — the percentile-per-
+    stratum filter curation pipelines use so low-resource languages are
+    not judged by the dominant language's distribution. Scores quantize
+    to 1e-6 integers before the exact median so the threshold compare
+    is bit-identical across engines. Shape: per-doc scoring is narrow;
+    the per-language medians are |languages| rows, broadcast back —
+    at 100 TB the only shuffle is the tiny percentile aggregation
+    (an approx sketch would replace the exact median there)."""
+    docs = spread(T(spark, sf_dir, "documents")).select("doc_id", "lang", "text")
+    feats = X.quality_features(docs, "doc_id", "text", keep=("lang",))
+    scored = feats.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("quality_score") * 1000000).cast("long").alias("score_q"),
+    )
+    med = scored.groupBy("lang").agg(
+        F.expr("percentile(score_q, 0.5)").alias("lang_median")
+    )
+    return (
+        scored.join(F.broadcast(med), "lang")
+        .filter(F.col("score_q") > F.col("lang_median"))
+        .select("doc_id", "lang", "score_q", "lang_median")
+    )
+
+
+@register(
+    "text_rare_term_scores",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    t AS (SELECT doc_id, unnest(words) AS term FROM w),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    s AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               CAST(tf.tf * (SELECT n_docs FROM n) AS DOUBLE) / dfreq.df
+                   AS score
+        FROM tf JOIN dfreq USING (term)
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term
+        ) AS rn FROM s
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           score
+    FROM r WHERE rn <= 3
+    """,
+)
+def text_rare_term_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rarity-weighted term scoring (TF-IDF family): score = tf x
+    N/df, top-3 terms per document with (score DESC, term) as the
+    deterministic tiebreak. The log-free rational form keeps the score
+    an exact small-integer product/quotient, so ranking is bit-stable
+    across engines (ln() is not guaranteed identically rounded).
+    Shape: one explode, two map-side-combinable aggregations, a
+    term-keyed join (the document-frequency side is |vocab| rows —
+    broadcast), one per-doc window."""
+    docs = spread(T(spark, sf_dir, "documents"))
+    toks = X.tokenize(F.col("text"))
+    t = docs.select("doc_id", F.explode(toks).alias("term"))
+    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_row = docs.agg(F.count("*").alias("n_docs"))
+    s = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n_row))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score")
+    )
