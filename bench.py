@@ -70,6 +70,14 @@ HEADLINE = [
     # the shape a 100x corpus actually runs; q54 remains oracle-checked.
     "q72_sequence_packing_sharded",
     "q57_window_analytics",
+    # round-5 additions: the canonical TPC-H compositions and the new
+    # pipeline ops with distinct plan shapes
+    "q77_tpch_q1",
+    "q80_tpch_q5",
+    "q84_tpch_q18",
+    "q85_tpch_q19",
+    "q89_incremental_rollup_merge",
+    "dedup_span_stats",
     "q73_decontaminate",
     "q74_temperature_mix",
     "q75_doc_chunks",

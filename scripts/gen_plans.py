@@ -31,6 +31,19 @@ SHOW = [
     ),
     ("q72_sequence_packing_sharded", "(lang, shard) window: bounded per-task state"),
     ("q43_tpch_q6_shape", "selective scan: all predicates pushed"),
+    ("q77_tpch_q1", "Q1 aggregate battery: one exchange, map-side combine"),
+    (
+        "q85_tpch_q19",
+        "Q19 disjunction: derived single-side predicates pushed into each scan",
+    ),
+    (
+        "q89_incremental_rollup_merge",
+        "partial rollup merge: union re-aggregates with no third exchange",
+    ),
+    (
+        "dedup_span_stats",
+        "span dedup: gram-keyed aggregation + semi join, never all-pairs",
+    ),
 ]
 
 
