@@ -132,12 +132,22 @@ def _mk_spark(cpus: str, extra: dict | None = None):
     from gpu_olap_engine_spark.session import get_spark  # noqa: PLC0415
 
     warehouse = tempfile.mkdtemp(prefix="bench_wh_")
+    # -Xms == driver memory + AlwaysPreTouch: commit and fault the
+    # whole heap at (untimed) session start. Without it the first
+    # 100M-row pass pays lazy first-touch for ~20 GB of pages inside
+    # the timed region — measured 82.5 s for a rep whose warm floor is
+    # ~5 s, and that cold rep then poisoned the budget projection so
+    # the warm reps never ran.
+    java_opts = "-Xlog:disable"
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "24g")
+    if mem:
+        java_opts += f" -Xms{mem} -XX:+AlwaysPreTouch"
     confs = {
         "spark.sql.warehouse.dir": warehouse,
         # JVM unified logging (e.g. GCLocker warnings under the
         # 100M-row micros) writes to STDOUT and would corrupt the
         # one-line JSON contract; disable it outright.
-        "spark.driver.extraJavaOptions": "-Xlog:disable",
+        "spark.driver.extraJavaOptions": java_opts,
     }
     confs.update(extra or {})
     spark = get_spark(EngineConfig(extra_confs=confs), master=f"local[{cpus}]")
@@ -269,8 +279,16 @@ def run_micro_child(group: str, runs_path: str, budget: float) -> None:
                 r = runs[name]
                 # rep 1 always runs (it guarantees the row); later reps
                 # only if the projected rep fits the remaining budget.
-                if rep > 0 and (time.monotonic() + min(r) > deadline):
-                    continue
+                # With a single (possibly still-cold) rep on record the
+                # projection is optimistic (cold/warm ratios of 4-16x
+                # were measured before heap pre-touch): better to risk
+                # ONE bounded overshoot — the parent's child timeout
+                # caps it — than to let a cold rep-1 foreclose the warm
+                # reps that are the micro's actual number.
+                if rep > 0:
+                    proj = min(r) if len(r) >= 2 else r[0] / 4
+                    if time.monotonic() + proj > deadline:
+                        continue
                 # beyond MIN_REPS, keep going only while the timing has
                 # not converged (the JVM was still faulting in memory):
                 # converged = the last TWO runs both sit at the floor
