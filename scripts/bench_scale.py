@@ -66,9 +66,16 @@ SUITE = [
     "dedup_exact_key",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_span_stats",
     "text_token_stats",
     "text_quality_score",
     "sim_bucketed_ann",
+    # round-5 additions: the TPC-H compositions with the heaviest
+    # join/agg structure, and the rollup-merge maintenance shape
+    "q77_tpch_q1",
+    "q80_tpch_q5",
+    "q84_tpch_q18",
+    "q89_incremental_rollup_merge",
 ]
 
 
