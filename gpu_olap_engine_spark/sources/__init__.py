@@ -3,7 +3,7 @@
 The reference reads Parquet only and has NO writers (its parser
 rejects non-SELECT, gpu-olap-core/src/parser.rs:18-21; results go to
 driver RAM as Arrow). This module rounds out the I/O surface:
-parquet/csv/json readers, and writers with the partitioning knobs
+parquet/csv/json/orc readers, and writers with the partitioning knobs
 that matter at 100 TB (partitionBy for pruning, maxRecordsPerFile
 against giant files, bucketing for shuffle-free joins).
 """
@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-READ_FORMATS = ("parquet", "csv", "json")
+READ_FORMATS = ("parquet", "csv", "json", "orc")
 
 
 def read_table(

@@ -409,7 +409,7 @@ def test_decode_is_deterministic():
 
 def test_write_read_roundtrip_formats(spark, tmp_path):
     df = spark.read.parquet(f"{SF_SMALL}/nation.parquet")
-    for fmt in ("parquet", "csv", "json"):
+    for fmt in ("parquet", "csv", "json", "orc"):
         path = str(tmp_path / fmt)
         write_table(df, path, fmt=fmt)
         back = read_table(spark, path, fmt=fmt)
