@@ -253,3 +253,114 @@ def test_fuzz_shingle_counts_agree(spark, duck, k):
         ).fetchall()
     }
     assert got == want
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    df = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet").cache()
+    df.count()
+    return df
+
+
+def _q(col):
+    """Quantized sum (same path as queries.relational._qsum)."""
+    return F.sum(F.floor(col * 10000).cast("long")).cast("double") / 10000
+
+
+_OQ = "CAST(CAST(SUM(CAST(floor(({e}) * 10000) AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000"
+
+
+@given(
+    month=st.integers(min_value=1, max_value=12),
+    year=st.sampled_from([1996, 1998, 2000]),
+)
+@settings(**SETTINGS)
+def test_fuzz_tpch_q1_cutoff(spark, duck, lineitem, month, year):
+    """The Q1 shape must agree for ARBITRARY shipdate cutoffs, not just
+    the registered constant (guards the date-comparison semantics and
+    the quantized-sum path across the whole date domain)."""
+    cut = f"{year}-{month:02d}-01"
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): (r["c"], r["s"])
+        for r in lineitem.filter(
+            F.col("l_shipdate") <= F.lit(cut).cast("date")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("c"), _q(disc).alias("s"))
+        .collect()
+    }
+    want = {
+        (rf, ls): (c, s)
+        for rf, ls, c, s in duck.sql(
+            f"""SELECT l_returnflag, l_linestatus, COUNT(*),
+                   {_OQ.format(e='l_extendedprice * (1 - l_discount)')}
+            FROM lineitem WHERE l_shipdate <= DATE '{cut}'
+            GROUP BY 1, 2"""
+        ).fetchall()
+    }
+    assert got == want
+
+
+@given(
+    b1=st.integers(min_value=1, max_value=20),
+    b2=st.integers(min_value=1, max_value=20),
+    s_lo=st.integers(min_value=1, max_value=40),
+    q_lo=st.integers(min_value=1, max_value=40),
+)
+@settings(**SETTINGS)
+def test_fuzz_tpch_q19_bands(spark, duck, lineitem, b1, b2, s_lo, q_lo):
+    """The Q19 disjunction must agree for arbitrary brand/size/quantity
+    bands — exercises the optimizer's disjunction decomposition at
+    many selectivities, including empty arms."""
+    part = spark.read.parquet(f"{SF_ORACLE}/part.parquet")
+    qty = F.col("l_quantity")
+    arm = (
+        (F.col("p_brand") == f"Brand#{b1}")
+        & F.col("p_size").between(s_lo, s_lo + 10)
+        & qty.between(q_lo, q_lo + 10)
+    ) | (
+        (F.col("p_brand") == f"Brand#{b2}")
+        & F.col("p_size").between(s_lo + 5, s_lo + 25)
+        & qty.between(q_lo + 5, q_lo + 15)
+    )
+    row = (
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(arm)
+        .agg(F.count("*").alias("c"))
+        .collect()[0]
+    )
+    want = duck.sql(
+        f"""SELECT COUNT(*) FROM lineitem, part
+        WHERE p_partkey = l_partkey AND (
+          (p_brand = 'Brand#{b1}' AND p_size BETWEEN {s_lo} AND {s_lo + 10}
+             AND l_quantity BETWEEN {q_lo} AND {q_lo + 10})
+          OR (p_brand = 'Brand#{b2}' AND p_size BETWEEN {s_lo + 5} AND {s_lo + 25}
+             AND l_quantity BETWEEN {q_lo + 5} AND {q_lo + 15}))"""
+    ).fetchone()[0]
+    assert row["c"] == want
+
+
+@given(thr=st.integers(min_value=50, max_value=400))
+@settings(**SETTINGS)
+def test_fuzz_tpch_q18_threshold(spark, duck, lineitem, thr):
+    """The HAVING-derived semi-join key set must agree for arbitrary
+    quantity thresholds (decimal-exact HAVING comparison on both
+    engines)."""
+    got = (
+        lineitem.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("q")
+        )
+        .filter(F.col("q") > thr)
+        .count()
+    )
+    want = duck.sql(
+        f"""SELECT COUNT(*) FROM (
+            SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+            HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                   > {thr})"""
+    ).fetchone()[0]
+    assert got == want
