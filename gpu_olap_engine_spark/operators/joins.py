@@ -80,3 +80,58 @@ def salted_aggregate(
     salted = df.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
     partial = salted.groupBy(key, "_salt").agg(*partial_aggs)
     return partial.groupBy(key).agg(*aggs)
+
+
+def merge_by_key(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    action_col: str | None = None,
+) -> DataFrame:
+    """MERGE INTO semantics as a pure DataFrame transform: one row per
+    key from the union of both inputs — source values win where the
+    key matches (WHEN MATCHED THEN UPDATE), source-only keys insert
+    (WHEN NOT MATCHED THEN INSERT), target-only keys persist.
+
+    Both inputs must share a schema. Output column set = input column
+    set, plus `action_col` ('updated'/'inserted'/'kept') when asked.
+
+    ONE full-outer shuffle join on the key — the same cost profile a
+    table format's MERGE pays for its find-touched-files phase, minus
+    the transaction log. At 100 TB: run it partition-wise against a
+    bucketed target (zero-exchange on the target side) and write
+    through sources.upsert_parquet / a real table format; this
+    transform is the semantics layer those sinks share. The reference
+    has no writes at all (parser.rs rejects non-SELECT).
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    cols = [c for c in target.columns if c not in keys]
+    t = target.select(
+        *keys,
+        *[F.col(c).alias(f"__t_{c}") for c in cols],
+        F.lit(1).alias("__t_present"),
+    )
+    s = source.select(
+        *keys,
+        *[F.col(c).alias(f"__s_{c}") for c in cols],
+        F.lit(1).alias("__s_present"),
+    )
+    j = t.join(s, keys, "full_outer")
+    matched = F.col("__s_present").isNotNull()
+    target_present = F.col("__t_present").isNotNull()
+    out = [
+        *keys,
+        *[
+            F.coalesce(F.col(f"__s_{c}"), F.col(f"__t_{c}")).alias(c)
+            for c in cols
+        ],
+    ]
+    if action_col:
+        out.append(
+            F.when(matched & target_present, F.lit("updated"))
+            .when(matched, F.lit("inserted"))
+            .otherwise(F.lit("kept"))
+            .alias(action_col)
+        )
+    return j.select(*out)

@@ -230,3 +230,51 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nkey"))
     return c.unionByName(s).distinct()
+
+
+@register(
+    "q90_merge_upsert",
+    oracle="""
+    WITH t AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+    src AS (
+        SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey + 1000000, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 31 = 0
+    )
+    SELECT s.o_orderkey, s.o_totalprice, s.o_orderstatus,
+           CASE WHEN t.o_orderkey IS NOT NULL
+                THEN 'updated' ELSE 'inserted' END AS action
+    FROM src s LEFT JOIN t ON s.o_orderkey = t.o_orderkey
+    UNION ALL
+    SELECT t.o_orderkey, t.o_totalprice, t.o_orderstatus, 'kept'
+    FROM t WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM src)
+    """,
+)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (operators.joins.merge_by_key): a change
+    batch — price updates for keys % 7, brand-new keys for % 31 —
+    merges into the orders snapshot in ONE full-outer shuffle join;
+    matched keys take the source row ('updated'), source-only keys
+    insert, the rest persist ('kept'). The oracle states the same
+    semantics as src-wins union + anti. This is the semantics layer
+    under sources.upsert_parquet and a table format's MERGE; the
+    reference has no write path at all (parser.rs rejects
+    non-SELECT)."""
+    from gpu_olap_engine_spark.operators.joins import merge_by_key  # noqa: PLC0415
+
+    t = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    upd = t.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    ins = t.filter(F.col("o_orderkey") % 31 == 0).select(
+        (F.col("o_orderkey") + 1_000_000).alias("o_orderkey"),
+        "o_totalprice",
+        "o_orderstatus",
+    )
+    return merge_by_key(t, upd.unionByName(ins), ["o_orderkey"], "action")
