@@ -135,3 +135,59 @@ def merge_by_key(
             .alias(action_col)
         )
     return j.select(*out)
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    on: list[str],
+    id_col: str = "id",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_width: int = 3_600_000_000,
+) -> DataFrame:
+    """Interval overlap join between two LARGE interval sets without a
+    quadratic product: the genomics/session-analysis join
+    (a.start <= b.end AND b.start <= a.end, equi on `on`).
+
+    Scale shape: each interval explodes to the fixed-width buckets it
+    touches (ceil(len/width)+1 rows — bounded when interval length
+    is), candidates come from an EQUI-join on (on..., bucket), the
+    true overlap predicate verifies candidates only, and the pair
+    list dedups (an overlapping pair is found once per shared
+    bucket). Pick `bucket_width` >= typical interval length so the
+    explode factor stays ~2. A naive theta join is a per-key cross
+    product — quadratic in events-per-key — and is exactly what this
+    operator exists to avoid at 100 TB.
+
+    Inputs must both carry `on` + id/start/end columns (int64
+    microseconds or any integral unit). Output: on..., a_<id>,
+    a_<start>, a_<end>, b_<id>, b_<start>, b_<end>.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    def prep(df: DataFrame, side: str) -> DataFrame:
+        renamed = df.select(
+            *on,
+            F.col(id_col).alias(f"{side}_{id_col}"),
+            F.col(start_col).alias(f"{side}_{start_col}"),
+            F.col(end_col).alias(f"{side}_{end_col}"),
+        )
+        return renamed.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(f"{side}_{start_col}") / bucket_width),
+                    F.floor(F.col(f"{side}_{end_col}") / bucket_width),
+                )
+            ),
+        )
+    cand = prep(a, "a").join(prep(b, "b"), [*on, "__bucket"])
+    overlap = (F.col(f"a_{start_col}") <= F.col(f"b_{end_col}")) & (
+        F.col(f"b_{start_col}") <= F.col(f"a_{end_col}")
+    )
+    return (
+        cand.filter(overlap)
+        .drop("__bucket")
+        .dropDuplicates([*on, f"a_{id_col}", f"b_{id_col}"])
+    )

@@ -374,3 +374,61 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("s_i").cast("double") / 10000).alias("sum_value"),
         )
     )
+
+
+@register(
+    "q91_interval_overlap_join",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id, user_id, event_type, {_US} AS us FROM events
+    ),
+    a AS (SELECT event_id, user_id, us AS s, us + 14400000000 AS e
+          FROM e WHERE event_type = 'view'),
+    b AS (SELECT event_id, user_id, us AS s, us + 14400000000 AS e
+          FROM e WHERE event_type = 'purchase')
+    SELECT a.user_id,
+           a.event_id AS view_id,
+           b.event_id AS purchase_id,
+           least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+    FROM a JOIN b
+      ON a.user_id = b.user_id AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join (operators.joins.interval_overlap_join):
+    view activity windows x purchase windows (4 h each) per user. The
+    oracle states the semantics with the naive theta join — quadratic
+    per user, fine at oracle scale; the Spark side runs the bucketed
+    candidate path (explode to touched 4 h buckets, equi-join on
+    (user, bucket), verify + dedup) that stays linear in true overlap
+    density at 100 TB."""
+    from gpu_olap_engine_spark.operators.joins import (  # noqa: PLC0415
+        interval_overlap_join,
+    )
+
+    iv = 14_400_000_000  # 4 h in microseconds
+    ev = _with_us(T(spark, sf_dir, "events"))
+    mk = lambda typ: ev.filter(F.col("event_type") == typ).select(  # noqa: E731
+        "event_id",
+        "user_id",
+        F.col("us").alias("s"),
+        (F.col("us") + iv).alias("e"),
+    )
+    pairs = interval_overlap_join(
+        mk("view"),
+        mk("purchase"),
+        on=["user_id"],
+        id_col="event_id",
+        start_col="s",
+        end_col="e",
+        bucket_width=iv,
+    )
+    return pairs.select(
+        "user_id",
+        F.col("a_event_id").alias("view_id"),
+        F.col("b_event_id").alias("purchase_id"),
+        (
+            F.least("a_e", "b_e").cast("long")
+            - F.greatest("a_s", "b_s").cast("long")
+        ).alias("overlap_us"),
+    )

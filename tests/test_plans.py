@@ -204,3 +204,11 @@ def test_span_dedup_is_gram_keyed_not_all_pairs(spark):
     plan = plan_of(REGISTRY["dedup_span_stats"].fn(spark, SF_ORACLE), "simple")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "LeftSemi" in plan
+
+
+def test_interval_overlap_join_is_bucketed_equi(spark):
+    """The interval join must come from the (key, bucket) equi-join
+    candidate path — never the per-key cross product a naive theta
+    join degenerates to."""
+    plan = plan_of(REGISTRY["q91_interval_overlap_join"].fn(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
