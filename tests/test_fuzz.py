@@ -28,7 +28,11 @@ SETTINGS = dict(
 def orders(spark):
     df = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").cache()
     df.count()
-    return df
+    yield df
+    # the cache manager substitutes InMemoryRelation into ANY later
+    # plan over the same files — leaving this cached would break the
+    # scan-pushdown assertions in test_plans (session is shared)
+    df.unpersist()
 
 
 @given(
@@ -259,7 +263,8 @@ def test_fuzz_shingle_counts_agree(spark, duck, k):
 def lineitem(spark):
     df = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet").cache()
     df.count()
-    return df
+    yield df
+    df.unpersist()  # see orders fixture: cached plans leak into test_plans
 
 
 def _q(col):
