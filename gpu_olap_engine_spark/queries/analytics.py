@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from gpu_olap_engine_spark.queries import register
-from gpu_olap_engine_spark.queries.tables import T, _view
+from gpu_olap_engine_spark.queries.tables import T, _view, dsum, o_dsum
 
 _US = "epoch_us(CAST(ts AS TIMESTAMP))"
 
@@ -239,4 +239,42 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {d}
         LATERAL VIEW explode(split(lower(trim(text)), '\\\\s+')) t AS word
         """
+    )
+
+
+@register(
+    "q92_equi_depth_histogram",
+    oracle=f"""
+    WITH t AS (
+        SELECT o_totalprice,
+               NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        FROM orders
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           COUNT(*) AS cnt,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi,
+           {o_dsum('o_totalprice')} AS total
+    FROM t GROUP BY decile
+    """,
+)
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (percentile-bucketed) histogram via NTILE: ten
+    equal-count buckets of the order-price distribution with their
+    boundaries — the equi-DEPTH complement of q58's equi-width
+    histogram, and the remaining window-function family (ntile) not
+    exercised elsewhere. o_orderkey tiebreaks the total order so both
+    engines assign identical bucket membership. Scale note: a global
+    NTILE is a total sort into ONE window partition — correct here as
+    the exact-parity form, but at 100 TB the cut points come from the
+    approx-quantile sketch (q41) and bucket assignment becomes a
+    narrow range lookup, no global window."""
+    o = T(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    t = o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+    return t.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count("*").alias("cnt"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        dsum("o_totalprice", "total"),
     )
