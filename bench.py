@@ -127,20 +127,23 @@ MAX_REPS = 5
 CONVERGED_PCT = 0.10  # last run within 10% of the observed min
 
 
-def _mk_spark(cpus: str, extra: dict | None = None):
+def _mk_spark(cpus: str, extra: dict | None = None, pretouch: bool = False):
     from gpu_olap_engine_spark.config import EngineConfig  # noqa: PLC0415
     from gpu_olap_engine_spark.session import get_spark  # noqa: PLC0415
 
     warehouse = tempfile.mkdtemp(prefix="bench_wh_")
-    # -Xms == driver memory + AlwaysPreTouch: commit and fault the
-    # whole heap at (untimed) session start. Without it the first
-    # 100M-row pass pays lazy first-touch for ~20 GB of pages inside
-    # the timed region — measured 82.5 s for a rep whose warm floor is
-    # ~5 s, and that cold rep then poisoned the budget projection so
-    # the warm reps never ran.
+    # pretouch (micro children only): -Xms == driver memory +
+    # AlwaysPreTouch commits and faults the whole heap at (untimed)
+    # session start. Without it the first 100M-row pass pays lazy
+    # first-touch for ~20 GB of pages inside the timed region —
+    # measured 82.5 s for a rep whose warm floor is ~5 s, and that
+    # cold rep then poisoned the budget projection so the warm reps
+    # never ran. The parent (headline) session must NOT pre-touch:
+    # sf0.1 queries never grow the heap, and the memset costs 30-50 s
+    # of the shared wall budget under load.
     java_opts = "-Xlog:disable"
     mem = os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "24g")
-    if mem:
+    if pretouch and mem:
         java_opts += f" -Xms{mem} -XX:+AlwaysPreTouch"
     confs = {
         "spark.sql.warehouse.dir": warehouse,
@@ -249,7 +252,7 @@ def run_micro_child(group: str, runs_path: str, budget: float) -> None:
         # where the 64-map x 256-reducer shuffle-block matrix
         # dominates). Fresh session per group, so set it session-wide.
         extra["spark.sql.adaptive.coalescePartitions.initialPartitionNum"] = "96"
-    spark, warehouse = _mk_spark(cpus, extra)
+    spark, warehouse = _mk_spark(cpus, extra, pretouch=True)
 
     out = open(runs_path, "a")
 
@@ -414,9 +417,13 @@ def main() -> None:
         from gpu_olap_engine_spark.queries import load_all  # noqa: PLC0415
 
         spark, warehouse = _mk_spark(cpus)
+        state["notes"].append(
+            f"parent session up {time.monotonic() - t_start:.0f}s"
+        )
         registry = load_all()
         # JVM/codegen warmup on the smallest fixture
         registry["q03_join_agg_topk"].fn(spark, "/root/testdata/sf0.001").collect()
+        state["notes"].append(f"warmup done {time.monotonic() - t_start:.0f}s")
         for name in HEADLINE:
             try:
                 t0 = time.perf_counter()
@@ -441,11 +448,18 @@ def main() -> None:
         if warehouse:
             shutil.rmtree(warehouse, ignore_errors=True)
 
+    state["notes"].append(
+        f"headline phase wall {time.monotonic() - t_start:.0f}s"
+    )
     # ---- phase 2: generated micros, one child process per group ----
     # Weighted budget shares so a contention-slowed early child cannot
     # starve the later groups out of even their rep-1 rows; a child
     # that finishes early returns its slack to the groups after it.
-    group_weight = {"join100": 0.35, "light": 0.20, "bucketed": 0.45}
+    # join100 carries the baseline-headline number — it gets the
+    # largest share; light needs almost nothing; bucketed inherits
+    # every earlier group's slack anyway (shares are of the REMAINING
+    # wall at each launch).
+    group_weight = {"join100": 0.45, "light": 0.15, "bucketed": 0.40}
     for gi, group in enumerate(GROUP_ORDER):
         remaining = deadline - time.monotonic()
         if remaining < 45:
@@ -461,6 +475,7 @@ def main() -> None:
             min(remaining * group_weight[group] / later - 10, remaining - 15),
             75.0,
         )
+        state["notes"].append(f"{group}: budget {child_budget:.0f}s")
         cmd = [
             sys.executable,
             os.path.abspath(__file__),
