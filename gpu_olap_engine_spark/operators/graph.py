@@ -190,3 +190,45 @@ def connected_components_star(
         .union(roots.select("id", F.col("id").alias("cluster_id")))
         .union(lonely.select("id", F.col("id").alias("cluster_id")))
     )
+
+
+def ancestor_closure(
+    edges: DataFrame,
+    node: str = "node",
+    parent: str = "parent",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """(node, anc): every PROPER ancestor of every node in a
+    functional forest (each node has at most one parent row; roots
+    simply have no row, or a self-edge which is ignored).
+
+    The recursive-CTE class (WITH RECURSIVE ancestry walks) Spark SQL
+    lacks, built by POINTER DOUBLING: start with distance-1 pairs and
+    repeatedly compose the closure with itself — after r rounds the
+    closure holds all ancestors within distance 2^r, so a depth-d
+    hierarchy converges in ceil(log2 d) distributed join rounds, NOT
+    d sequential steps (a 30-level bill-of-materials takes 5 rounds).
+    Each round is one equi-join + distinct; per-round localCheckpoint
+    truncates lineage exactly as connected_components does.
+    Convergence (count fixpoint) is schedule-independent, so the
+    result is oracle-checkable against a recursive CTE.
+    """
+    cl = (
+        edges.select(F.col(node).alias("node"), F.col(parent).alias("anc"))
+        .filter(F.col("node") != F.col("anc"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = cl.count()
+    for _ in range(max_rounds):
+        hop = (
+            cl.alias("a")
+            .join(cl.alias("b"), F.col("a.anc") == F.col("b.node"))
+            .select(F.col("a.node").alias("node"), F.col("b.anc").alias("anc"))
+        )
+        grown = cl.unionByName(hop).distinct().localCheckpoint()
+        m = grown.count()
+        if m == n:
+            break
+        cl, n = grown, m
+    return cl

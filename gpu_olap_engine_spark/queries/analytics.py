@@ -278,3 +278,77 @@ def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("hi"),
         dsum("o_totalprice", "total"),
     )
+
+
+@register(
+    "q93_funnel_stages",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id, user_id, event_type, {_US} AS us FROM events
+    ),
+    c AS (
+        SELECT *,
+            LAST_VALUE(CASE WHEN event_type = 'view' THEN us END
+                       IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ) AS view_us,
+            LAST_VALUE(CASE WHEN event_type = 'signup' THEN us END
+                       IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ) AS signup_us
+        FROM e
+    )
+    SELECT user_id, event_id AS purchase_id, signup_us, view_us,
+           us - view_us AS view_to_purchase_us
+    FROM c
+    WHERE event_type = 'purchase'
+      AND signup_us <= view_us
+      AND us - view_us <= 86400000000
+    """,
+)
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel / sequence-pattern matching (signup -> view ->
+    purchase, view within 24 h of the purchase): the product-analytics
+    query class SQL spells MATCH_RECOGNIZE. Implemented as TWO
+    last-ignoring-nulls carries over ONE per-user sort — each purchase
+    row reads its latest preceding view and signup from the same
+    window pass, so the whole three-stage funnel costs a single
+    shuffle on user_id (the naive form is two self-joins). The
+    signup <= view comparison encodes stage order without a third
+    pass. At 100 TB the user_id partitioning is the same layout every
+    other per-user operator here reuses."""
+    from gpu_olap_engine_spark.queries.events import _with_us  # noqa: PLC0415
+
+    ev = _with_us(T(spark, sf_dir, "events"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+
+    def carry(typ: str):
+        return F.last(
+            F.when(F.col("event_type") == typ, F.col("us")), ignorenulls=True
+        ).over(w)
+
+    c = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "us",
+        carry("view").alias("view_us"),
+        carry("signup").alias("signup_us"),
+    )
+    return c.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("signup_us") <= F.col("view_us"))
+        & (F.col("us") - F.col("view_us") <= 86_400_000_000)
+    ).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        "signup_us",
+        "view_us",
+        (F.col("us") - F.col("view_us")).alias("view_to_purchase_us"),
+    )

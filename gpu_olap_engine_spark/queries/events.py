@@ -432,3 +432,62 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.greatest("a_s", "b_s").cast("long")
         ).alias("overlap_us"),
     )
+
+
+@register(
+    "q94_hierarchy_rollup",
+    oracle=f"""
+    WITH RECURSIVE anc AS (
+        SELECT o_orderkey AS node, o_orderkey // 3 AS anc
+        FROM orders WHERE o_orderkey > 0
+        UNION ALL
+        SELECT a.node, a.anc // 3 FROM anc a WHERE a.anc > 0
+    ),
+    pairs AS (
+        SELECT node, anc FROM anc
+        UNION ALL
+        SELECT o_orderkey, o_orderkey FROM orders
+    )
+    SELECT p.anc AS node,
+           COUNT(*) AS subtree_size,
+           {o_dsum('o.o_totalprice')} AS subtree_total
+    FROM pairs p JOIN orders o ON p.node = o.o_orderkey
+    WHERE p.anc < 40
+    GROUP BY p.anc
+    """,
+)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (recursive) aggregate: subtree size and value
+    rollup over a ternary order hierarchy (parent(k) = k div 3 — a
+    data-driven edge table, walked, not computed in closed form). The
+    recursive-CTE query class: the oracle uses WITH RECURSIVE; the
+    Spark side builds the ancestor closure by pointer doubling
+    (operators.graph.ancestor_closure — ceil(log2 depth) distributed
+    join rounds, 4 for this ~11-deep tree), then one join + aggregate.
+    The closure is |nodes| x avg-depth rows; at 100 TB the doubling
+    rounds are the whole point — a per-level loop would take depth
+    sequential shuffles."""
+    from gpu_olap_engine_spark.operators.graph import (  # noqa: PLC0415
+        ancestor_closure,
+    )
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    edges = o.filter(F.col("o_orderkey") > 0).select(
+        F.col("o_orderkey").alias("node"),
+        F.expr("o_orderkey div 3").alias("parent"),
+    )
+    pairs = ancestor_closure(edges).unionByName(
+        o.select(
+            F.col("o_orderkey").alias("node"),
+            F.col("o_orderkey").alias("anc"),
+        )
+    )
+    return (
+        pairs.filter(F.col("anc") < 40)
+        .join(o, pairs.node == o.o_orderkey)
+        .groupBy(F.col("anc").alias("node"))
+        .agg(
+            F.count("*").alias("subtree_size"),
+            dsum("o_totalprice", "subtree_total"),
+        )
+    )
