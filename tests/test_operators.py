@@ -461,3 +461,20 @@ def test_compact(spark, tmp_path):
 def test_read_table_rejects_unknown_format(spark):
     with pytest.raises(ValueError, match="unsupported format"):
         read_table(spark, "/tmp/x", fmt="avro")
+
+
+def test_ancestor_closure_chain_and_forest(spark):
+    """Pointer-doubling closure: a 20-deep chain (worst case for
+    doubling — converges in ceil(log2 19) = 5 rounds, not 19) and a
+    disjoint 2-node tree. Expected pairs: every (node, smaller id) on
+    the chain, one pair on the stub."""
+    from gpu_olap_engine_spark.operators.graph import ancestor_closure
+
+    chain = [(i, i - 1) for i in range(1, 20)]  # 0 <- 1 <- ... <- 19
+    stub = [(101, 100)]
+    edges = spark.createDataFrame(chain + stub, "node long, parent long")
+    got = {
+        (r["node"], r["anc"]) for r in ancestor_closure(edges).collect()
+    }
+    want = {(n, a) for n in range(1, 20) for a in range(n)} | {(101, 100)}
+    assert got == want
