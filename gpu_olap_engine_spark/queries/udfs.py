@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from gpu_olap_engine_spark.queries import register
+from gpu_olap_engine_spark.queries import REGISTRY, register
 from gpu_olap_engine_spark.queries.tables import T, _view
 
 # ------------------------------------------------------------- pivot
@@ -321,4 +321,35 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
                 [(0.5, "ok_p50"), (0.9, "ok_p90"), (0.99, "ok_p99")]
             )
         ],
+    )
+
+
+@register(
+    "q95_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, status, cnt
+    FROM wide UNPIVOT (cnt FOR status IN (F, O, P))
+    """,
+)
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (wide->long), the inverse of q35's pivot: the
+    q35 wide shape melts back to (priority, status, count) rows.
+    DataFrame.unpivot is a narrow per-row explode — no shuffle beyond
+    the one the wide aggregate already paid; the oracle uses SQL
+    UNPIVOT. Round-trips q35 exactly (zero-count combinations survive
+    because the pivot coalesced them to 0, matching UNPIVOT's
+    non-null retention)."""
+    wide = REGISTRY["q35_pivot"].fn(spark, sf_dir)
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["F", "O", "P"],
+        variableColumnName="status",
+        valueColumnName="cnt",
     )
