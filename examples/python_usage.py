@@ -118,6 +118,27 @@ def main(data_dir: str = "/root/testdata/sf0.001") -> None:
     dups = registry["dedup_minhash_lsh"].fn(engine.spark, data_dir)
     print(f"minhash-LSH near-duplicate pairs: {dups.count()}")
 
+    # --- beyond-reference: warehouse compositions and maintenance ---
+    print("\n8. TPC-H compositions / MERGE / z-order layout:")
+    print("TPC-H Q1 pricing summary (q77):")
+    print(registry["q77_tpch_q1"].fn(engine.spark, data_dir).toPandas())
+    merged = registry["q90_merge_upsert"].fn(engine.spark, data_dir)
+    print(
+        "MERGE actions:",
+        {r["action"]: r["count"] for r in merged.groupBy("action").count().collect()},
+    )
+    import tempfile
+
+    from gpu_olap_engine_spark.sources import write_zordered
+
+    zdir = tempfile.mkdtemp(prefix="tour_z_")
+    write_zordered(
+        engine.table("orders"), zdir, ["o_custkey", "o_totalprice"],
+        target_files=4,
+    )
+    print("z-ordered orders files:",
+          len([f for f in os.listdir(zdir) if f.endswith(".parquet")]))
+
     engine.spark.stop()
 
 
