@@ -230,3 +230,28 @@ def write_zordered(
         .drop("__z")
     )
     out.write.mode("overwrite").options(**options).parquet(path)
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+) -> int:
+    """Delete rows matching a SQL predicate from a parquet dataset
+    (the right-to-erasure / retention-expiry rewrite). Returns the
+    number of rows deleted.
+
+    Plain parquet cannot delete in place, so this is the keep-side
+    rewrite through a staging dir + crash-safe swap (same machinery as
+    upsert_parquet/compact). At 100 TB a table format turns this into
+    a find-touched-files rewrite + tombstone commit; partition the
+    dataset on the usual deletion key (e.g. user id bucket, date) so
+    the rewrite touches O(selectivity) files, not all of them.
+    """
+    df = spark.read.parquet(path)
+    total = df.count()
+    kept = df.filter(f"NOT ({predicate})")
+    staging = path.rstrip("/") + "__staging"
+    kept.write.mode("overwrite").parquet(staging)
+    _swap_in(path, staging)
+    return total - spark.read.parquet(path).count()

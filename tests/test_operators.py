@@ -478,3 +478,18 @@ def test_ancestor_closure_chain_and_forest(spark):
     }
     want = {(n, a) for n in range(1, 20) for a in range(n)} | {(101, 100)}
     assert got == want
+
+
+def test_delete_where_rewrites_dataset(spark, tmp_path):
+    from gpu_olap_engine_spark.sources import delete_where
+
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    path = str(tmp_path / "orders_del")
+    src.write.parquet(path)
+    before = src.count()
+    expect_deleted = src.filter("o_orderstatus = 'F'").count()
+    deleted = delete_where(spark, path, "o_orderstatus = 'F'")
+    assert deleted == expect_deleted
+    back = spark.read.parquet(path)
+    assert back.count() == before - expect_deleted
+    assert back.filter("o_orderstatus = 'F'").count() == 0
