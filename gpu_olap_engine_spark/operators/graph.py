@@ -232,3 +232,66 @@ def ancestor_closure(
             break
         cl, n = grown, m
     return cl
+
+
+def pagerank_int(
+    edges: DataFrame, src: str = "src", dst: str = "dst", iters: int = 3
+) -> DataFrame:
+    """Fixed-iteration PageRank in exact integer micro-units.
+
+    Every node starts at rank 1_000_000 (i.e. 1.0 scaled by 1e6; the
+    conventional 1/N normalization is a constant factor that integer
+    division would destroy, so ranks are reported on the "per-node
+    mass 1.0" scale). Per iteration:
+
+        r'(v) = 150_000 + (85 * SUM_{u->v} (r(u) div outdeg(u))) div 100
+
+    — damping 0.85 in exact int64 arithmetic (`div` floors; all
+    quantities are non-negative), so Spark and the DuckDB oracle's
+    unrolled-CTE twin agree bit for bit at any scale. Mass arriving
+    at dangling-node sinks is dropped (documented divergence from the
+    redistribute-variant; both engines drop it identically).
+
+    Scale shape per iteration: one equi-join of the rank relation to
+    the edge list on src (rank side is |V| rows — broadcastable when
+    V is small, shuffle-partitioned on src otherwise) and one dst-key
+    aggregation with map-side partial sums. The edge relation is
+    reused across iterations; ``localCheckpoint`` after each round
+    truncates lineage exactly as in connected_components. Iterative
+    class beyond the reference's surface (its engine is single-query;
+    see README.md:354-378 extension analog).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.persist()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ew = e.join(outdeg, "src")  # (src, dst, deg)
+    rank = nodes.select("id", F.lit(1_000_000).cast("long").alias("r"))
+    for _ in range(iters):
+        contrib = (
+            ew.join(rank, ew["src"] == rank["id"])
+            .select("dst", F.expr("r div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        rank = (
+            nodes.join(contrib, nodes["id"] == contrib["dst"], "left")
+            .select(
+                "id",
+                (
+                    F.lit(150_000)
+                    + F.expr("85 * coalesce(s, 0L) div 100")
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = rank.select(
+        F.col("id").cast("long").alias("node_id"),
+        F.col("r").cast("long").alias("rank_micro"),
+    )
+    return out

@@ -352,3 +352,116 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_us",
         (F.col("us") - F.col("view_us")).alias("view_to_purchase_us"),
     )
+
+
+@register(
+    "q96_winsorize",
+    oracle=f"""
+    WITH t AS (
+        SELECT event_type, value, event_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    b AS (
+        SELECT event_type,
+               MAX(CASE WHEN rn = (5 * n + 99) // 100 THEN value END) AS p05,
+               MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN value END) AS p95
+        FROM t GROUP BY event_type
+    )
+    SELECT e.event_type, b.p05, b.p95,
+           COUNT(CASE WHEN e.value < b.p05 THEN 1 END) AS n_low,
+           COUNT(CASE WHEN e.value > b.p95 THEN 1 END) AS n_high,
+           {o_dsum('least(greatest(e.value, b.p05), b.p95)')} / COUNT(*)
+               AS winsorized_mean
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type, b.p05, b.p95
+    """,
+)
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clipped) statistics per group: exact discrete p05 /
+    p95 cut points via the SQL-standard ceil(q*n) rank rule (computed
+    explicitly with row_number so Spark and DuckDB share ONE
+    definition — the engines' built-in percentile_disc/quantile_disc
+    disagree on rank conventions), then outlier counts and the
+    clipped mean. The outlier-robust preprocessing pass a feature
+    pipeline runs before normalization. Scale: one shuffle on the
+    group key for the rank pass (per-group sort, groups are
+    independent), cut points are |groups| rows -> broadcast join back;
+    at 100 TB swap the exact rank pass for the q41 quantile sketch,
+    same downstream plan."""
+    ev = T(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    t = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    b = t.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(5 * n + 99) div 100"), F.col("value"))
+        ).alias("p05"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(95 * n + 99) div 100"), F.col("value"))
+        ).alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .groupBy("event_type", "p05", "p95")
+        .agg(
+            F.count(F.when(F.col("value") < F.col("p05"), 1)).alias("n_low"),
+            F.count(F.when(F.col("value") > F.col("p95"), 1)).alias("n_high"),
+            (
+                F.sum(clipped.cast("decimal(18,4)")).cast("double") / F.count("*")
+            ).alias("winsorized_mean"),
+        )
+    )
+
+
+@register(
+    "q97_rolling_time_window",
+    oracle=f"""
+    SELECT event_id, user_id,
+           {_US} // 1000000 AS ts_sec,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+               AS rolling_sum,
+           COUNT(*) OVER w AS rolling_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY {_US} // 1000000
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity rolling ONE-HOUR aggregate via a RANGE window frame
+    (value-based bounds on the epoch-second order key) — the
+    time-range frame family, distinct from q56's hop-bucketed sliding
+    window (fixed grid) and q20/q57's row-count frames: each row's
+    frame is [its own timestamp - 3600 s, itself]. One shuffle on
+    user_id; frame state is bounded by the time span, not the
+    partition. The trailing-window feature a fraud/ops pipeline
+    computes per account at 100 TB, with identical partitioning."""
+    from gpu_olap_engine_spark.queries.events import _with_us  # noqa: PLC0415
+
+    ev = _with_us(T(spark, sf_dir, "events"))
+    sec = F.expr("us div 1000000")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_sec"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", sec.alias("ts_sec"), "value"
+    ).select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_sum"),
+        F.count("*").over(w).alias("rolling_n"),
+    )

@@ -297,3 +297,138 @@ def dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicated_span_stats(
         T(spark, sf_dir, "documents"), "doc_id", "text", k=8
     )
+
+
+@register(
+    "dedup_lines_keep_first",
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents
+    ),
+    seg AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(list_slice(w, i * 5 + 1, i * 5 + 5), ' ') AS seg,
+               doc_id * 1000000 + i AS ord_key
+        FROM words,
+             unnest(generate_series(0,
+                 greatest(CAST(ceil(len(w) / 5.0) AS BIGINT), 1) - 1)) AS t(i)
+    ),
+    firsts AS (SELECT seg, MIN(ord_key) AS first_key FROM seg GROUP BY seg),
+    kept AS (
+        SELECT s.doc_id, s.pos, s.seg
+        FROM seg s JOIN firsts f ON s.seg = f.seg AND s.ord_key = f.first_key
+    ),
+    kept_agg AS (
+        SELECT doc_id,
+               string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ),
+    base AS (SELECT doc_id, COUNT(*) AS n_segments FROM seg GROUP BY doc_id)
+    SELECT b.doc_id AS id,
+           COALESCE(k.clean_text, '') AS clean_text,
+           CAST(b.n_segments AS BIGINT) AS n_segments,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(b.n_segments - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
+    FROM base b LEFT JOIN kept_agg k USING (doc_id)
+    """,
+)
+def dedup_lines_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level exact dedup, keep-first: every duplicated
+    5-word segment survives only at its globally first (doc, position)
+    occurrence; documents are reassembled in order from surviving
+    segments. The segment-granular sibling of doc-level exact dedup
+    and span-level dup statistics. See
+    operators.dedup.line_dedup_keep_first for the scale shape."""
+    return D.line_dedup_keep_first(
+        T(spark, sf_dir, "documents"), "doc_id", "text", width=5
+    )
+
+
+@register(
+    "dedup_canonical_docs",
+    oracle=f"""
+    WITH RECURSIVE {_SH.strip().rstrip()},
+    {_sig_sql()},
+    {_banded_sql()},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    {_JACCARD_TAIL},
+    dup_pairs AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+        JOIN sizes na ON c.id_a = na.doc_id
+        JOIN sizes nb ON c.id_b = nb.doc_id
+        WHERE CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM dup_pairs
+        UNION SELECT id_b, id_a FROM dup_pairs
+    ),
+    gnodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach AS (
+        SELECT id, id AS root FROM gnodes
+        UNION
+        SELECT e.b AS id, r.root FROM reach r JOIN edges e ON e.a = r.id
+    ),
+    clusters AS (SELECT id AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY id),
+    ranked AS (
+        SELECT c.cluster_id, c.doc_id, d.n_chars,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY d.n_chars DESC, c.doc_id) AS rn
+        FROM clusters c JOIN documents d USING (doc_id)
+    ),
+    stats AS (
+        SELECT cluster_id, COUNT(*) AS n_members, SUM(n_chars) AS total_chars
+        FROM ranked GROUP BY cluster_id
+    )
+    SELECT CAST(r.cluster_id AS BIGINT) AS cluster_id,
+           CAST(r.doc_id AS BIGINT) AS rep_doc_id,
+           CAST(s.n_members AS BIGINT) AS n_members,
+           CAST(s.total_chars AS BIGINT) AS total_chars
+    FROM ranked r JOIN stats s USING (cluster_id) WHERE r.rn = 1
+    """,
+)
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document election per near-dup cluster: the curation
+    step AFTER clustering — keep the best representative (max n_chars,
+    doc_id tiebreak) of each transitive MinHash cluster and report
+    member/char counts. Composes dedup_clusters' component labels with
+    a per-cluster window election; the window partitions are dup
+    clusters (tiny), so the row_number is a cheap per-group sort after
+    one shuffle on cluster_id."""
+    from pyspark.sql import Window
+
+    from gpu_olap_engine_spark.operators.graph import connected_components
+
+    docs = T(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5)
+    clusters = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    ranked = (
+        clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    stats = ranked.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"), F.sum("n_chars").alias("total_chars")
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .join(stats, "cluster_id")
+        .select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("doc_id").cast("long").alias("rep_doc_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("total_chars").cast("long").alias("total_chars"),
+        )
+    )

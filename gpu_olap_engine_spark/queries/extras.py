@@ -278,3 +278,76 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
     )
     return merge_by_key(t, upd.unionByName(ins), ["o_orderkey"], "action")
+
+
+@register(
+    "q98_pagerank",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ),
+    nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+    r1 AS (
+        SELECT n.id,
+               CAST(150000 + (85 * COALESCE(SUM(r.r // d.deg), 0)) // 100
+                    AS BIGINT) AS r
+        FROM nodes n
+        LEFT JOIN edges e ON e.dst = n.id
+        LEFT JOIN r0 r ON r.id = e.src
+        LEFT JOIN outdeg d ON d.src = e.src
+        GROUP BY n.id
+    ),
+    r2 AS (
+        SELECT n.id,
+               CAST(150000 + (85 * COALESCE(SUM(r.r // d.deg), 0)) // 100
+                    AS BIGINT) AS r
+        FROM nodes n
+        LEFT JOIN edges e ON e.dst = n.id
+        LEFT JOIN r1 r ON r.id = e.src
+        LEFT JOIN outdeg d ON d.src = e.src
+        GROUP BY n.id
+    ),
+    r3 AS (
+        SELECT n.id,
+               CAST(150000 + (85 * COALESCE(SUM(r.r // d.deg), 0)) // 100
+                    AS BIGINT) AS r
+        FROM nodes n
+        LEFT JOIN edges e ON e.dst = n.id
+        LEFT JOIN r2 r ON r.id = e.src
+        LEFT JOIN outdeg d ON d.src = e.src
+        GROUP BY n.id
+    )
+    SELECT CAST(id AS BIGINT) AS node_id, r AS rank_micro FROM r3
+    """,
+)
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-iteration PageRank over the nation-level trade graph
+    (customer nation -> supplier nation edges derived from orders x
+    lineitem), in exact integer micro-unit arithmetic so the unrolled
+    recursive-CTE oracle matches bit for bit. With q94's pointer-
+    doubling closure and dedup_clusters' components this completes the
+    iterative-algorithm trio (fixpoint label prop, log-round doubling,
+    fixed-round numeric iteration). operators.graph.pagerank_int
+    carries the scale shape: per-iteration join on src + dst-keyed
+    partial-sum aggregation, lineage truncated each round."""
+    from gpu_olap_engine_spark.operators.graph import pagerank_int
+
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    edges = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .select(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+    )
+    return pagerank_int(edges, iters=3)

@@ -356,3 +356,44 @@ def text_rare_term_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "df", "score")
     )
+
+
+@register(
+    "text_frequent_terms",
+    oracle=f"""
+    WITH w AS (
+        SELECT unnest({_WORDS}) AS word FROM documents
+    ),
+    cnt AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+    tot AS (SELECT SUM(cnt) AS n FROM cnt)
+    SELECT word, cnt, (cnt * 1000000) // t.n AS support_ppm
+    FROM cnt, tot t
+    WHERE cnt * 200 >= t.n
+    """,
+)
+def text_frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters at RELATIVE support >= 0.5% of all token
+    occurrences (vocabulary-pruning / stopword-discovery pass).
+    Distinct from text_rare_term_scores (per-doc TF-IDF): the
+    threshold is a fraction of the corpus total, carried as a scalar
+    via a 1-row broadcast; support reported in exact integer ppm.
+    Scale: word-keyed count with map-side combine is the whole cost;
+    at 100 TB this is the same one-shuffle shape (the candidate set a
+    Misra-Gries pass would prefilter is already sub-shuffle here
+    because partial aggregation collapses per-partition repeats)."""
+    docs = spread(T(spark, sf_dir, "documents"))
+    cnt = (
+        docs.select(F.explode(X.tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = cnt.agg(F.sum("cnt").alias("n"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * 200 >= F.col("n"))
+        .select(
+            "word",
+            "cnt",
+            F.expr("(cnt * 1000000) div n").alias("support_ppm"),
+        )
+    )

@@ -369,3 +369,56 @@ def test_fuzz_tpch_q18_threshold(spark, duck, lineitem, thr):
                    > {thr})"""
     ).fetchone()[0]
     assert got == want
+
+
+@given(width=st.integers(min_value=2, max_value=9))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fuzz_line_dedup_agrees(spark, duck, width):
+    """Keep-first line dedup must match its SQL twin for ANY segment
+    width: same survivors, same reassembled text."""
+    from gpu_olap_engine_spark.operators.dedup import line_dedup_keep_first
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    got = {
+        r["id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in line_dedup_keep_first(docs, "doc_id", "text", width=width)
+        .collect()
+    }
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in duck.sql(
+            rf"""
+            WITH words AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+                FROM documents
+            ),
+            seg AS (
+                SELECT doc_id, i AS pos,
+                       array_to_string(
+                           list_slice(w, i * {width} + 1, i * {width} + {width}),
+                           ' ') AS seg,
+                       doc_id * 1000000 + i AS ord_key
+                FROM words,
+                     unnest(generate_series(0,
+                         greatest(CAST(ceil(len(w) / {width}.0) AS BIGINT), 1) - 1))
+                         AS t(i)
+            ),
+            firsts AS (SELECT seg, MIN(ord_key) AS fk FROM seg GROUP BY seg),
+            kept AS (
+                SELECT s.doc_id, s.pos, s.seg
+                FROM seg s JOIN firsts f ON s.seg = f.seg AND s.ord_key = f.fk
+            ),
+            ka AS (
+                SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS ct,
+                       COUNT(*) AS nk
+                FROM kept GROUP BY doc_id
+            ),
+            base AS (SELECT doc_id, COUNT(*) AS ns FROM seg GROUP BY doc_id)
+            SELECT b.doc_id, COALESCE(k.ct, ''), COALESCE(k.nk, 0),
+                   b.ns - COALESCE(k.nk, 0)
+            FROM base b LEFT JOIN ka k USING (doc_id)
+            """
+        ).fetchall()
+    }
+    assert got == want

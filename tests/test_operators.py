@@ -493,3 +493,56 @@ def test_delete_where_rewrites_dataset(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == before - expect_deleted
     assert back.filter("o_orderstatus = 'F'").count() == 0
+
+
+def test_pagerank_int_known_graph(spark):
+    """3-node cycle plus a sink: hand-computed integer micro-unit ranks
+    after 1 and 2 iterations (cycle nodes keep rank 1.0; the sink pulls
+    from node 1's split out-edges and never emits)."""
+    from gpu_olap_engine_spark.operators.graph import pagerank_int
+
+    # 1 -> 2, 2 -> 3, 3 -> 1 (cycle) and 1 -> 4 (sink).
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 4)], "src long, dst long"
+    )
+    # iter1: contrib(1->{2,4}) = 1_000_000 div 2 = 500_000 each;
+    # r(2) = 150_000 + 85*500_000 div 100 = 575_000
+    # r(4) = 575_000; r(1) = 150_000 + 85*1_000_000 div 100 = 1_000_000
+    # r(3) likewise 1_000_000.
+    got1 = {
+        r["node_id"]: r["rank_micro"]
+        for r in pagerank_int(edges, iters=1).collect()
+    }
+    assert got1 == {1: 1_000_000, 2: 575_000, 3: 1_000_000, 4: 575_000}
+    # iter2: r(1) = 150_000 + 85*1_000_000 div 100 = 1_000_000
+    # r(2) = 150_000 + 85*(1_000_000 div 2) div 100 = 575_000
+    # r(3) = 150_000 + 85*575_000 div 100 = 638_750; r(4) = 575_000
+    got2 = {
+        r["node_id"]: r["rank_micro"]
+        for r in pagerank_int(edges, iters=2).collect()
+    }
+    assert got2 == {1: 1_000_000, 2: 575_000, 3: 638_750, 4: 575_000}
+
+
+def test_line_dedup_keep_first(spark):
+    """Duplicated 2-word segment survives only at its first (doc, pos)
+    occurrence; reassembly preserves order; short docs keep their
+    single partial segment."""
+    from gpu_olap_engine_spark.operators.dedup import line_dedup_keep_first
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d a b"),   # segments: "a b", "c d", "a b"
+            (2, "a b x y"),       # "a b" duplicated from doc 1
+            (3, "zz"),            # single partial segment
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: (r["clean_text"], r["n_segments"], r["n_kept"], r["n_removed"])
+        for r in line_dedup_keep_first(df, "doc_id", "text", width=2).collect()
+    }
+    # doc 1 keeps its FIRST "a b" (pos 0) and "c d", drops the pos-2 repeat
+    assert out[1] == ("a b c d", 3, 2, 1)
+    assert out[2] == ("x y", 2, 1, 1)
+    assert out[3] == ("zz", 1, 1, 0)

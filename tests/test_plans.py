@@ -212,3 +212,24 @@ def test_interval_overlap_join_is_bucketed_equi(spark):
     join degenerates to."""
     plan = plan_of(REGISTRY["q91_interval_overlap_join"].fn(spark, SF_ORACLE))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_line_dedup_is_segment_keyed_not_all_pairs(spark):
+    """Keep-first line dedup: first-occurrence election is a segment-
+    keyed aggregate + equi-join back — never doc-to-doc comparison."""
+    plan = plan_of(REGISTRY["dedup_lines_keep_first"].fn(spark, SF_ORACLE), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_rolling_time_window_single_user_shuffle(spark):
+    """q97's RANGE-frame window costs exactly one exchange (hash on
+    user_id); no extra sort-merge or re-shuffle appears."""
+    df = REGISTRY["q97_rolling_time_window"].fn(spark, SF_ORACLE)
+    assert shuffle_count(df) == 1
+
+
+def test_winsorize_cutpoints_broadcast_back(spark):
+    """q96's per-group cut points (|groups| rows) must rejoin the fact
+    via broadcast, not a shuffle join."""
+    plan = plan_of(REGISTRY["q96_winsorize"].fn(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
