@@ -78,6 +78,8 @@ HEADLINE = [
     "q85_tpch_q19",
     "q89_incremental_rollup_merge",
     "dedup_span_stats",
+    "dedup_lines_keep_first",
+    "q97_rolling_time_window",
     "q73_decontaminate",
     "q74_temperature_mix",
     "q75_doc_chunks",

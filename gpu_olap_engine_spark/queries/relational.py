@@ -873,3 +873,109 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band_name")
         .agg(F.count("*").alias("cnt"), dsum("p_retailprice", "band_value"))
     )
+
+
+@register(
+    "q99_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nkey FROM supplier
+    """,
+)
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics (each value kept min(left, right)
+    multiplicity times; ANSI definition on both engines). Completes
+    the set-op family next to q16's INTERSECT-distinct. Spark plans
+    this as one aggregate counting per-side multiplicities + a
+    generate — one shuffle, no join."""
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nkey"))
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nkey"))
+    return c.intersectAll(s)
+
+
+@register(
+    "q100_except_all",
+    oracle="""
+    SELECT o_custkey AS ckey FROM orders WHERE o_totalprice > 200000
+    EXCEPT ALL
+    SELECT o_custkey AS ckey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag semantics (left multiplicity minus right,
+    floored at zero). The multiplicity-sensitive sibling of q17's
+    EXCEPT-distinct; the pair is fuzz-covered under duplicate
+    multiplicity in tests/test_fuzz.py::test_fuzz_set_ops."""
+    a = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("ckey"))
+    )
+    b = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("ckey"))
+    )
+    return a.exceptAll(b)
+
+
+@register(
+    "q101_nullsafe_join",
+    oracle="""
+    SELECT c.c_nationkey, COUNT(*) AS n_pairs
+    FROM customer c JOIN supplier s
+      ON NULLIF(c.c_nationkey, 0) IS NOT DISTINCT FROM NULLIF(s.s_nationkey, 0)
+    GROUP BY c.c_nationkey
+    """,
+)
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping out — here NULLIF maps
+    nation 0 to NULL on both sides, so the null-null matches are
+    observable in the pair counts. Spark plans EqualNullSafe as a
+    regular hash-join key (coalesce-style key normalization), not a
+    nested loop — same one-shuffle shape as a plain equi-join."""
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    ck = F.nullif(F.col("c_nationkey"), F.lit(0))
+    sk = F.nullif(F.col("s_nationkey"), F.lit(0))
+    return (
+        c.join(s, ck.eqNullSafe(sk))
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@register(
+    "q102_arg_minmax",
+    oracle="""
+    SELECT c_nationkey,
+           arg_max(c_name,
+                   CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey)
+               AS richest,
+           arg_min(c_name,
+                   CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey)
+               AS poorest,
+           MAX(c_acctbal) AS top_bal
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-argument aggregates (arg_min/arg_max, Spark min_by/
+    max_by): the top/bottom row's payload per group WITHOUT a window
+    pass — one partial+final aggregate instead of a per-group sort.
+    The (acctbal, custkey) composite order is encoded into one BIGINT
+    (cents * 1e6 + key; exact — acctbal is 2-decimal) because DuckDB's
+    arg_max only orders by scalars; the encoding makes the winner
+    unique and identical on both engines. The groupwise-extreme shape
+    that replaces a row_number()=1 window at 100 TB."""
+    c = T(spark, sf_dir, "customer")
+    key = F.round(F.col("c_acctbal") * 100).cast("long") * 1_000_000 + F.col(
+        "c_custkey"
+    )
+    return c.groupBy("c_nationkey").agg(
+        F.max_by(F.col("c_name"), key).alias("richest"),
+        F.min_by(F.col("c_name"), key).alias("poorest"),
+        F.max("c_acctbal").alias("top_bal"),
+    )

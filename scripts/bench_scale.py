@@ -76,6 +76,10 @@ SUITE = [
     "q80_tpch_q5",
     "q84_tpch_q18",
     "q89_incremental_rollup_merge",
+    # continuation additions: line-granular dedup (segment-keyed
+    # election + reassembly) and the RANGE-frame rolling window
+    "dedup_lines_keep_first",
+    "q97_rolling_time_window",
 ]
 
 
