@@ -76,6 +76,7 @@ HEADLINE = [
     "q80_tpch_q5",
     "q84_tpch_q18",
     "q85_tpch_q19",
+    "q103_tpch_q8",
     "q89_incremental_rollup_merge",
     "dedup_span_stats",
     "dedup_lines_keep_first",

@@ -465,3 +465,262 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
         .agg(F.count("*").alias("numcust"), dsum("c_acctbal", "totacctbal"))
     )
+
+
+@register(
+    "q103_tpch_q8",
+    oracle=f"""
+    WITH flat AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(floor(({_REV}) * 10000) AS BIGINT) AS vol_q,
+               n2.n_name AS supp_nation
+        FROM part, supplier, lineitem, orders, customer,
+             nation n1, nation n2, region
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+          AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+          AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+          AND p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol_q ELSE 0 END)
+                AS DOUBLE)
+           / CAST(SUM(vol_q) AS DOUBLE) AS mkt_share
+    FROM flat GROUP BY o_year
+    """,
+)
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: the eight-relation snowflake
+    with nation joined TWICE under different roles (customer region
+    gate vs supplier nationality), then a conditional-over-total ratio
+    per year. Adaptation: p_type = 'ECONOMY' (fixture types are
+    single words). Both sums quantize per-row volumes to 1e-4 ints so
+    the ratio divides identical operands on both engines. Plan:
+    part/nation/region broadcast; the lineitem-orders-customer chain
+    carries the shuffles; the ratio is one partial+final aggregate."""
+    reg = T(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = T(spark, sf_dir, "nation").join(
+        F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cust_nk"))
+    n2 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("supp_nation")
+    )
+    part = T(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    sup = T(spark, sf_dir, "supplier").join(
+        F.broadcast(n2), F.col("s_nationkey") == F.col("supp_nk")
+    )
+    orders = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("date"))
+    )
+    cust = T(spark, sf_dir, "customer")
+    li = T(spark, sf_dir, "lineitem")
+    flat = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("cust_nk"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.floor(_rev() * 10000).cast("long").alias("vol_q"),
+            "supp_nation",
+        )
+    )
+    return flat.groupBy("o_year").agg(
+        (
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("vol_q")).otherwise(
+                    F.lit(0)
+                )
+            ).cast("double")
+            / F.sum("vol_q").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q104_tpch_q14",
+    oracle=f"""
+    SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(floor(({_REV}) * 10000) AS BIGINT)
+                    ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(CAST(floor(({_REV}) * 10000) AS BIGINT)) AS DOUBLE)
+               AS promo_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= DATE '1997-03-01' AND l_shipdate < DATE '1997-04-01'
+    """,
+)
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect: conditional revenue share for one
+    ship month. part broadcast into the date-pruned lineitem scan; a
+    single global aggregate (no group key) finishes in one partial+
+    final pass. Quantized-int operands make the percentage division
+    bit-identical across engines."""
+    part = T(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
+    )
+    vol = F.floor(_rev() * 10000).cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("p_type"), vol.alias("vol_q"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", F.col("vol_q")).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("double")
+                / F.sum("vol_q").cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "q105_tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no, {_o_qsum(_REV)} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: an aggregate-defined view consumed
+    twice — once as the join input, once reduced to a scalar MAX that
+    gates it. Spark computes the revenue relation once (it is tiny:
+    |suppliers| rows), derives the 1-row MAX, and broadcasts it back;
+    quantized revenue makes the equality comparison exact on both
+    engines. The self-referencing-view shape the reference's
+    single-SELECT dialect cannot express at all."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _qsum(_rev(), "total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("top_rev"))
+    sup = T(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("top_rev"))
+        .join(sup, F.col("supplier_no") == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q106_tpch_q17",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+               AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#23' AND p_size < 5
+      AND l_quantity < 0.2 * (
+          SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(*)
+          FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue: a correlated scalar
+    AVG per part gating the outer row. Adaptation: p_size < 5 stands
+    in for the fixture-absent p_container. Spark decorrelates it the
+    way Catalyst would: pre-aggregate avg quantity per part (decimal-
+    exact so both engines' 0.2 * avg threshold is the same double),
+    broadcast-join it back, filter, aggregate. Per-part avgs are one
+    map-side-combinable pass over lineitem — no per-row subquery
+    execution at any scale."""
+    part = T(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 5)
+    )
+    li = T(spark, sf_dir, "lineitem")
+    avg_q = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+            / F.count("*")
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_q, li.l_partkey == F.col("ap_key"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast(
+                    "double"
+                )
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q107_tpch_q21",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R'
+      )
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+    GROUP BY s_name
+    """,
+)
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 suppliers who kept orders waiting: the double
+    correlated EXISTS / NOT EXISTS self-join. Adaptation: "late" is
+    l_returnflag = 'R' (fixture has no commit/receipt dates).
+    Spark rewrites both subqueries into ONE per-order aggregate —
+    n_supp (distinct suppliers) and n_late_supp (distinct late
+    suppliers): EXISTS-other-supplier == n_supp >= 2, NOT-EXISTS-
+    other-late == n_late_supp = 1 (the probing row's own supplier is
+    late, so it contributes the 1). One extra aggregation replaces
+    two lineitem self-joins — at 100 TB that is one shuffle instead
+    of two fact-fact joins, and it cannot skew worse than the order
+    key already does."""
+    li = T(spark, sf_dir, "lineitem")
+    late = F.col("l_returnflag") == "R"
+    stats = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    nat = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    sup = T(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    l1 = li.filter(late)
+    return (
+        l1.join(orders, l1.l_orderkey == orders.o_orderkey)
+        .join(stats, l1.l_orderkey == F.col("ok"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(sup, l1.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

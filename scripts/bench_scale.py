@@ -80,6 +80,7 @@ SUITE = [
     # election + reassembly) and the RANGE-frame rolling window
     "dedup_lines_keep_first",
     "q97_rolling_time_window",
+    "q103_tpch_q8",
 ]
 
 

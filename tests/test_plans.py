@@ -233,3 +233,18 @@ def test_winsorize_cutpoints_broadcast_back(spark):
     via broadcast, not a shuffle join."""
     plan = plan_of(REGISTRY["q96_winsorize"].fn(spark, SF_ORACLE))
     assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q8_dimensions_broadcast(spark):
+    """Q8's eight-relation snowflake: part, both nation roles, and
+    region must all broadcast — only the lineitem-orders-customer
+    chain may shuffle."""
+    plan = plan_of(REGISTRY["q103_tpch_q8"].fn(spark, SF_ORACLE))
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_tpch_q21_rewrites_exists_to_one_aggregate(spark):
+    """Q21's EXISTS / NOT EXISTS pair must come from the per-order
+    aggregate rewrite — no cartesian/nested-loop self-join."""
+    plan = plan_of(REGISTRY["q107_tpch_q21"].fn(spark, SF_ORACLE), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
