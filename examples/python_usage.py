@@ -139,6 +139,20 @@ def main(data_dir: str = "/root/testdata/sf0.001") -> None:
     print("z-ordered orders files:",
           len([f for f in os.listdir(zdir) if f.endswith(".parquet")]))
 
+    # --- continuation additions: line-level dedup, canonical docs,
+    # iterative PageRank, full TPC-H tail ---
+    print("\n9. Line dedup / canonical docs / PageRank / TPC-H Q8:")
+    lines = registry["dedup_lines_keep_first"].fn(engine.spark, data_dir)
+    removed = lines.agg({"n_removed": "sum"}).collect()[0][0]
+    print(f"line-level dedup removed {removed} duplicated segments")
+    reps = registry["dedup_canonical_docs"].fn(engine.spark, data_dir)
+    print(f"canonical representatives elected for {reps.count()} clusters")
+    pr = registry["q98_pagerank"].fn(engine.spark, data_dir)
+    print("top trade-graph nations by PageRank:")
+    print(pr.orderBy("rank_micro", ascending=False).limit(3).toPandas())
+    print("TPC-H Q8 market share (q103):")
+    print(registry["q103_tpch_q8"].fn(engine.spark, data_dir).toPandas())
+
     engine.spark.stop()
 
 
