@@ -44,6 +44,22 @@ SHOW = [
         "dedup_span_stats",
         "span dedup: gram-keyed aggregation + semi join, never all-pairs",
     ),
+    (
+        "dedup_lines_keep_first",
+        "line dedup: segment-keyed first-occurrence election, no all-pairs",
+    ),
+    (
+        "q97_rolling_time_window",
+        "RANGE-frame rolling 1h window: single user_id exchange",
+    ),
+    (
+        "q103_tpch_q8",
+        "Q8 snowflake: part + both nation roles + region all broadcast",
+    ),
+    (
+        "q107_tpch_q21",
+        "Q21 EXISTS pair as one per-order aggregate, no self-join nested loop",
+    ),
 ]
 
 
