@@ -127,3 +127,74 @@ def fingerprint(text: Column) -> Column:
     )
     total = F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x)
     return (total % FP_P).cast("long")
+
+
+def heavy_hitters_sketch(
+    df, text_col: str, support_denom: int = 200, capacity: int = 400
+):
+    """Corpus heavy hitters (relative support >= 1/support_denom of
+    all token occurrences) via a Misra-Gries candidate pass + exact
+    verification — the sketch-pruned 100 TB path whose OUTPUT is still
+    exactly the true heavy-hitter set.
+
+    Guarantee chain: any token with global relative frequency
+    >= 1/support_denom has, in at least one partition (pigeonhole),
+    local relative frequency >= 1/support_denom > 1/capacity; a
+    Misra-Gries summary of `capacity` counters never evicts an item
+    with local frequency > n_p/capacity, so the UNION of per-partition
+    candidate sets contains every true hitter regardless of data
+    placement. The exact second pass counts ONLY candidates (semi join
+    on a broadcast of <= capacity x partitions words) and filters by
+    the true threshold, removing all false positives. The result is
+    deterministic and partition-layout invariant even though each
+    partition's intermediate candidate set is not.
+
+    vs the plain groupBy formulation (queries.text.text_frequent_terms,
+    same output): that shuffles one row per DISTINCT token; this
+    shuffles only the candidates — the win when the vocabulary is
+    huge (URLs, n-grams) and the hitters few. Python cost is one
+    Arrow-batched mapInPandas over the exploded tokens.
+    """
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    words = df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for w in pdf["word"]:
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < capacity:
+                    counters[w] = 1
+                else:
+                    # decrement-all step; drop zeros
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame({"word": list(counters.keys())})
+
+    cand = words.mapInPandas(mg, "word string").distinct()
+    counted = (
+        words.join(F.broadcast(cand), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = words.agg(F.count("*").alias("n"))
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * support_denom >= F.col("n"))
+        .select(
+            "word",
+            "cnt",
+            F.expr("(cnt * 1000000) div n").alias("support_ppm"),
+        )
+    )

@@ -397,3 +397,30 @@ def text_frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(cnt * 1000000) div n").alias("support_ppm"),
         )
     )
+
+
+@register(
+    "text_heavy_hitters_sketch",
+    oracle=f"""
+    WITH w AS (
+        SELECT unnest({_WORDS}) AS word FROM documents
+    ),
+    cnt AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+    tot AS (SELECT SUM(cnt) AS n FROM cnt)
+    SELECT word, cnt, (cnt * 1000000) // t.n AS support_ppm
+    FROM cnt, tot t
+    WHERE cnt * 200 >= t.n
+    """,
+)
+def text_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via Misra-Gries candidate pruning + exact verify
+    (operators.text.heavy_hitters_sketch): identical output to
+    text_frequent_terms — the oracle is literally the same SQL — but
+    the shuffle carries only sketch candidates instead of the full
+    vocabulary. The sketch-with-exact-verify pattern that stays
+    oracle-checkable: intermediate candidate sets are partition-
+    dependent, the final set is provably the true hitters."""
+    return X.heavy_hitters_sketch(
+        spread(T(spark, sf_dir, "documents")), "text", support_denom=200,
+        capacity=400,
+    )

@@ -248,3 +248,10 @@ def test_tpch_q21_rewrites_exists_to_one_aggregate(spark):
     aggregate rewrite — no cartesian/nested-loop self-join."""
     plan = plan_of(REGISTRY["q107_tpch_q21"].fn(spark, SF_ORACLE), "simple")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_heavy_hitters_candidates_broadcast_semi(spark):
+    """The sketch path's exact pass must count only candidates: a
+    broadcast LeftSemi prune feeding the word aggregate."""
+    plan = plan_of(REGISTRY["text_heavy_hitters_sketch"].fn(spark, SF_ORACLE))
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
