@@ -546,3 +546,41 @@ def test_line_dedup_keep_first(spark):
     assert out[1] == ("a b c d", 3, 2, 1)
     assert out[2] == ("x y", 2, 1, 1)
     assert out[3] == ("zz", 1, 1, 0)
+
+
+def test_pagerank_matches_python_reference(spark):
+    """pagerank_int must equal a dict-loop Python evaluation of the
+    same integer recurrence on a fixed nontrivial graph (hub, chain,
+    self-loop, dangling sink, duplicate edge collapsed by distinct)."""
+    from gpu_olap_engine_spark.operators.graph import pagerank_int
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (3, 3), (2, 4), (1, 2)]
+    dedup = sorted(set(edges))
+    nodes = sorted({u for e in dedup for u in e})
+    outdeg = {}
+    for u, _ in dedup:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    rank = {v: 1_000_000 for v in nodes}
+    for _ in range(3):
+        s = {v: 0 for v in nodes}
+        for u, v in dedup:
+            s[v] += rank[u] // outdeg[u]
+        rank = {v: 150_000 + (85 * s[v]) // 100 for v in nodes}
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node_id"]: r["rank_micro"] for r in pagerank_int(df, iters=3).collect()
+    }
+    assert got == rank
+
+
+def test_heavy_hitters_partition_invariant(spark):
+    """MG intermediate candidates depend on placement; the final
+    verified set must not — 1-partition and 7-partition inputs agree."""
+    from gpu_olap_engine_spark.operators.text import heavy_hitters_sketch
+
+    rows = [(i, ("hot " * 50 if i % 10 == 0 else f"w{i} x{i} y{i}"))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {tuple(r) for r in heavy_hitters_sketch(df.repartition(1), "text").collect()}
+    b = {tuple(r) for r in heavy_hitters_sketch(df.repartition(7), "text").collect()}
+    assert a == b and any(w == "hot" for w, _, _ in a)
