@@ -570,3 +570,79 @@ def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q108_curation_v2",
+    # line-dedup CTE chain is the proven twin of
+    # operators.dedup.line_dedup_keep_first (width 5).
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents
+    ),
+    seg AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(list_slice(w, i * 5 + 1, i * 5 + 5), ' ') AS seg,
+               doc_id * 1000000 + i AS ord_key
+        FROM words,
+             unnest(generate_series(0,
+                 greatest(CAST(ceil(len(w) / 5.0) AS BIGINT), 1) - 1)) AS t(i)
+    ),
+    firsts AS (SELECT seg, MIN(ord_key) AS fk FROM seg GROUP BY seg),
+    kept AS (
+        SELECT s.doc_id, s.pos, s.seg
+        FROM seg s JOIN firsts f ON s.seg = f.seg AND s.ord_key = f.fk
+    ),
+    ka AS (
+        SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ),
+    base AS (SELECT doc_id, COUNT(*) AS n_segments FROM seg GROUP BY doc_id),
+    cleaned AS (
+        SELECT b.doc_id,
+               COALESCE(k.clean_text, '') AS clean_text,
+               b.n_segments,
+               b.n_segments - COALESCE(k.n_kept, 0) AS n_removed
+        FROM base b LEFT JOIN ka k USING (doc_id)
+    ),
+    gated AS (
+        SELECT c.doc_id, d.lang, c.n_removed,
+               CAST(len(string_split_regex(lower(trim(c.clean_text)), '\s+'))
+                    AS BIGINT) AS n_tokens
+        FROM cleaned c JOIN documents d USING (doc_id)
+        WHERE c.n_removed * 10 <= c.n_segments * 3
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_removed) AS BIGINT) AS total_removed
+    FROM gated WHERE n_tokens >= 20
+    GROUP BY lang
+    """,
+)
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation pipeline v2 over the round-5 operators: line-level
+    keep-first dedup cleans each document, documents that lose more
+    than 30% of their segments (boilerplate-heavy) are dropped, the
+    survivors pass a minimum-length gate ON THE CLEANED text, and the
+    result rolls up per language. Proves the segment-granular dedup
+    composes lazily with gates and rollups exactly like q55 does for
+    the doc-granular path — one plan, no intermediate
+    materialization."""
+    docs = T(spark, sf_dir, "documents")
+    cleaned = D.line_dedup_keep_first(docs, "doc_id", "text", width=5)
+    gated = (
+        cleaned.withColumnRenamed("id", "doc_id")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .filter(F.col("n_removed") * 10 <= F.col("n_segments") * 3)
+        .withColumn(
+            "n_tokens", F.size(tokenize(F.col("clean_text"))).cast("long")
+        )
+        .filter(F.col("n_tokens") >= 20)
+    )
+    return gated.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_removed").cast("long").alias("total_removed"),
+    )
