@@ -422,3 +422,97 @@ def test_fuzz_line_dedup_agrees(spark, duck, width):
         ).fetchall()
     }
     assert got == want
+
+
+@given(nk=st.integers(min_value=0, max_value=24))
+@settings(**SETTINGS)
+def test_fuzz_tpch_q21_nation(spark, duck, lineitem, nk):
+    """The Q21 aggregate rewrite (n_supp >= 2, n_late_supp == 1) must
+    equal the literal EXISTS / NOT EXISTS formulation for ANY target
+    nation — the equivalence proof of the decorrelation, fuzzed."""
+    sup = spark.read.parquet(f"{SF_ORACLE}/supplier.parquet")
+    nat = spark.read.parquet(f"{SF_ORACLE}/nation.parquet").filter(
+        F.col("n_nationkey") == nk
+    )
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    late = F.col("l_returnflag") == "R"
+    stats = lineitem.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+    )
+    got = {
+        (r["s_name"], r["numwait"])
+        for r in lineitem.filter(late)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(stats, F.col("l_orderkey") == F.col("ok"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(
+            sup.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .collect()
+    }
+    want = set(
+        duck.sql(
+            f"""
+            SELECT s_name, COUNT(*) FROM supplier, lineitem l1, orders, nation
+            WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+              AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_returnflag = 'R')
+              AND s_nationkey = n_nationkey AND n_nationkey = {nk}
+            GROUP BY s_name
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+@given(brand=st.integers(min_value=1, max_value=25),
+       size=st.integers(min_value=2, max_value=50))
+@settings(**SETTINGS)
+def test_fuzz_tpch_q17_threshold(spark, duck, lineitem, brand, size):
+    """Q17's decorrelated pre-aggregate must equal the correlated
+    scalar-AVG subquery for arbitrary brand/size gates (including
+    empty part sets -> NULL sum on both engines)."""
+    part = spark.read.parquet(f"{SF_ORACLE}/part.parquet").filter(
+        (F.col("p_brand") == f"Brand#{brand}") & (F.col("p_size") < size)
+    )
+    avg_q = lineitem.groupBy(F.col("l_partkey").alias("ap")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+            / F.count("*")
+        ).alias("aq")
+    )
+    got = (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_q, F.col("l_partkey") == F.col("ap"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("aq"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double"))
+            .alias("s")
+        )
+        .collect()[0]["s"]
+    )
+    want = duck.sql(
+        f"""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey AND p_brand = 'Brand#{brand}'
+          AND p_size < {size}
+          AND l_quantity < 0.2 * (
+              SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                     / COUNT(*)
+              FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        """
+    ).fetchone()[0]
+    assert got == want
