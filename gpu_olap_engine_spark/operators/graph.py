@@ -290,8 +290,13 @@ def pagerank_int(
             )
             .localCheckpoint(eager=False)
         )
+    # materialize the final ranks (|V| rows — the result size anyway)
+    # so the persisted edge/node relations can be released immediately
+    # instead of leaking cache blocks for the session's lifetime
     out = rank.select(
         F.col("id").cast("long").alias("node_id"),
         F.col("r").cast("long").alias("rank_micro"),
-    )
+    ).localCheckpoint(eager=True)
+    e.unpersist()
+    nodes.unpersist()
     return out

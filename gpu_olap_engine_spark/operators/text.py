@@ -161,6 +161,14 @@ def heavy_hitters_sketch(
 
     from pyspark.sql import functions as F  # noqa: PLC0415
 
+    if capacity <= support_denom:
+        # the pigeonhole step needs 1/support_denom > 1/capacity, or a
+        # true hitter sitting exactly at threshold can be evicted
+        raise ValueError(
+            f"capacity ({capacity}) must exceed support_denom "
+            f"({support_denom}) for the no-false-negative guarantee"
+        )
+
     words = df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
 
     def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
