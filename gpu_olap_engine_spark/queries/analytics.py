@@ -465,3 +465,73 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rolling_sum"),
         F.count("*").over(w).alias("rolling_n"),
     )
+
+
+@register(
+    "q111_linear_regression",
+    oracle="""
+    WITH j AS (
+        SELECT c.c_mktsegment AS segment, c.c_acctbal AS x,
+               o.o_totalprice AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    m AS (
+        SELECT segment, COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(floor(x * x * 100) AS BIGINT)) AS DOUBLE) / 100
+                   AS sxx,
+               CAST(SUM(CAST(floor(y * y * 100) AS BIGINT)) AS DOUBLE) / 100
+                   AS syy,
+               CAST(SUM(CAST(floor(x * y * 100) AS BIGINT)) AS DOUBLE) / 100
+                   AS sxy
+        FROM j GROUP BY segment
+    )
+    SELECT segment, n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+               AS intercept,
+           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+    FROM m
+    """,
+)
+def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS regression family (regr_slope / regr_intercept / regr_r2)
+    of order value against customer balance per market segment,
+    derived from exact moment sums — the built-in regr_* aggregates
+    accumulate doubles in partition order and cannot hash-match across
+    engines; the moment formulation is deterministic AND the
+    distributed-friendly one (moments combine associatively, exactly
+    like q59's stddev/covar and q89's mergeable partials). Every
+    division happens once, in the same literal expression order on
+    both engines."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+    m = j.groupBy("segment").agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast("decimal(18,4)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(18,4)")).cast("double").alias("sy"),
+        (F.sum(F.floor(x * x * 100).cast("long")).cast("double") / 100).alias("sxx"),
+        (F.sum(F.floor(y * y * 100).cast("long")).cast("double") / 100).alias("syy"),
+        (F.sum(F.floor(x * y * 100).cast("long")).cast("double") / 100).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "segment",
+        "n",
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        (
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("r2"),
+    )

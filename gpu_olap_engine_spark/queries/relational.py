@@ -979,3 +979,55 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by(F.col("c_name"), key).alias("poorest"),
         F.max("c_acctbal").alias("top_bal"),
     )
+
+
+@register(
+    "q109_grouping_flags",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+           COUNT(*) AS cnt, {o_dsum('o_totalprice')} AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() flags on a rollup: the ANSI mechanism that
+    distinguishes a subtotal row's NULL from a genuine NULL group
+    value — without it, rollup output is ambiguous the moment a
+    grouping column is nullable. Completes q18's rollup with the
+    introspection half."""
+    o = T(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_prio"),
+        F.count("*").alias("cnt"),
+        dsum("o_totalprice", "total"),
+    )
+
+
+@register(
+    "q110_bit_bool_aggs",
+    oracle="""
+    SELECT o_orderpriority,
+           bit_and(o_orderkey) AS k_and,
+           bit_or(o_orderkey) AS k_or,
+           bit_xor(o_orderkey) AS k_xor,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_totalprice > 400000) AS any_big
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise and boolean aggregate family (bit_and/or/xor,
+    bool_and/or): order-independent by algebra, so they need no
+    determinism scaffolding; one partial+final pass like any other
+    aggregate. The flag-mask rollup shape feature stores use."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bit_and("o_orderkey").alias("k_and"),
+        F.bit_or("o_orderkey").alias("k_or"),
+        F.bit_xor("o_orderkey").alias("k_xor"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_big"),
+    )
