@@ -535,3 +535,48 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((n * sxx - sx * sx) * (n * syy - sy * sy))
         ).alias("r2"),
     )
+
+
+@register(
+    "q112_gaps_islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '2024-01-01',
+                         CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d
+        FROM events
+    ),
+    t AS (
+        SELECT user_id, d,
+               d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+        FROM days
+    )
+    SELECT user_id, CAST(MIN(d) AS BIGINT) AS start_day,
+           CAST(MAX(d) AS BIGINT) AS end_day, COUNT(*) AS n_days
+    FROM t GROUP BY user_id, grp
+    """,
+)
+def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active days per
+    user, via the classic d - row_number() constant-per-island trick —
+    one window pass + one aggregate, both on the user key (a single
+    shuffle; island detection never compares rows pairwise). The
+    retention/streak analysis every activity warehouse runs; days are
+    integers from a fixed epoch so both engines group identically."""
+    ev = T(spark, sf_dir, "events")
+    days = (
+        ev.select(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    t = days.withColumn("grp", F.col("d") - F.row_number().over(w))
+    return t.groupBy("user_id", "grp").agg(
+        F.min("d").cast("long").alias("start_day"),
+        F.max("d").cast("long").alias("end_day"),
+        F.count("*").alias("n_days"),
+    ).drop("grp")
