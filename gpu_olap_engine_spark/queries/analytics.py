@@ -580,3 +580,46 @@ def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("d").cast("long").alias("end_day"),
         F.count("*").alias("n_days"),
     ).drop("grp")
+
+
+@register(
+    "q113_cohort_retention",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '2024-01-01',
+                         CAST(CAST(ts AS TIMESTAMP) AS DATE)) // 7 AS week
+        FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY user_id)
+    SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM act a JOIN cohort c USING (user_id)
+    GROUP BY c.cohort_week, a.week - c.cohort_week
+    """,
+)
+def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity week,
+    counted per week offset — the growth-analytics staple. Two
+    aggregates on the user key plus one user-key join (the cohort
+    relation is |users| rows, broadcastable far past 100 TB of
+    events); weeks are integer arithmetic from a fixed epoch so both
+    engines bucket identically."""
+    ev = T(spark, sf_dir, "events")
+    act = (
+        ev.select(
+            "user_id",
+            F.expr(
+                "datediff(cast(ts as date), date'2024-01-01') div 7"
+            ).alias("week"),
+        )
+        .distinct()
+    )
+    cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        act.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
