@@ -351,3 +351,94 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pagerank_int(edges, iters=3)
+
+
+_H15 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+@register(
+    "q114_table_checksum",
+    oracle=f"""
+    WITH rows_ AS (
+        SELECT o_orderpriority,
+               {_H15.format(x="concat_ws('|', o_orderkey, o_custkey,"
+                              " o_orderstatus, o_orderpriority,"
+                              " CAST(CAST(o_orderdate AS DATE) AS VARCHAR),"
+                              " CAST(CAST(o_totalprice AS DECIMAL(18,2))"
+                              "      AS VARCHAR))")} AS h
+        FROM orders
+    )
+    SELECT o_orderpriority, COUNT(*) AS row_cnt,
+           bit_xor(h) AS checksum
+    FROM rows_ GROUP BY o_orderpriority
+    """,
+)
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-audit checksums: per-group row count + order-independent
+    XOR of a canonical per-row digest (md5 over a '|'-joined canonical
+    string form; doubles via DECIMAL(18,2) so both engines print the
+    same text). The replication/migration validation primitive — two
+    copies of a 100 TB table compare via |groups| tiny rows instead of
+    a row-level diff. XOR aggregation is commutative/associative, so
+    it is partial+final like any sum and insensitive to partitioning.
+    Caveat (by construction): XOR cannot see a row REPLACED by two
+    copies of another existing row; pair it with row_cnt, which
+    catches multiplicity changes."""
+    from gpu_olap_engine_spark.operators.dedup import base_hash
+
+    o = T(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+        F.col("o_orderdate").cast("date").cast("string"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+    )
+    return o.select("o_orderpriority", base_hash(canon).alias("h")).groupBy(
+        "o_orderpriority"
+    ).agg(F.count("*").alias("row_cnt"), F.bit_xor("h").alias("checksum"))
+
+
+@register(
+    "q115_pseudonymized_join",
+    oracle=f"""
+    WITH po AS (
+        SELECT {_H15.format(x="concat('pepper-', o_custkey)")} AS pk,
+               o_totalprice
+        FROM orders
+    ),
+    pc AS (
+        SELECT {_H15.format(x="concat('pepper-', c_custkey)")} AS pk,
+               c_nationkey
+        FROM customer
+    )
+    SELECT c_nationkey, COUNT(*) AS n_orders,
+           {o_dsum('o_totalprice')} AS total
+    FROM po JOIN pc USING (pk)
+    GROUP BY c_nationkey
+    """,
+)
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-preserving join keys: both sides replace the raw
+    customer key with a peppered digest BEFORE the join, so the
+    analytical result (orders per nation) is computed without the raw
+    identifier ever co-locating with the fact rows — the
+    pseudonymization-at-rest pattern GDPR-style pipelines run. The
+    join stays a plain equi-join on the digest (same shuffle shape,
+    same AQE/broadcast choices); digest = md5 prefix as elsewhere so
+    the oracle is definitionally identical."""
+    from gpu_olap_engine_spark.operators.dedup import base_hash
+
+    o = T(spark, sf_dir, "orders").select(
+        base_hash(F.concat(F.lit("pepper-"), F.col("o_custkey"))).alias("pk"),
+        "o_totalprice",
+    )
+    c = T(spark, sf_dir, "customer").select(
+        base_hash(F.concat(F.lit("pepper-"), F.col("c_custkey"))).alias("pk"),
+        "c_nationkey",
+    )
+    return o.join(c, "pk").groupBy("c_nationkey").agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice", "total")
+    )
