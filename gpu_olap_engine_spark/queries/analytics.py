@@ -623,3 +623,54 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "q116_bucket_assign_scale",
+    oracle="""
+    WITH cuts AS (
+        SELECT quantile_cont(o_totalprice,
+                             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+               AS cs
+        FROM orders
+    ),
+    assigned AS (
+        SELECT o_totalprice,
+               1 + len(list_filter(cs, c -> o_totalprice > c)) AS bucket
+        FROM orders, cuts
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS cnt,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM assigned GROUP BY bucket
+    """,
+)
+def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of q92's equi-depth histogram, made concrete:
+    NINE cut points (continuous deciles — the q64-proven
+    percentile/quantile_cont parity) broadcast as one row, and bucket
+    assignment becomes a narrow per-row lookup (count of cut points
+    below the value) — NO global NTILE sort window anywhere in the
+    plan. At scale the cut points come from the q41 sketch instead of
+    the exact percentile; the assignment side — the expensive part —
+    is already the scan-shaped narrow pass shown here. Bucket
+    populations are approximately equal (boundary ties stay low),
+    which is exactly the sketch-path semantics."""
+    o = T(spark, sf_dir, "orders")
+    cuts = o.agg(
+        F.expr(
+            "percentile(o_totalprice,"
+            " array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))"
+        ).alias("cs")
+    )
+    assigned = o.crossJoin(F.broadcast(cuts)).select(
+        "o_totalprice",
+        (
+            F.lit(1)
+            + F.size(F.filter("cs", lambda c: F.col("o_totalprice") > c))
+        ).cast("long").alias("bucket"),
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count("*").alias("cnt"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )

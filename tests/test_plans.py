@@ -255,3 +255,12 @@ def test_heavy_hitters_candidates_broadcast_semi(spark):
     broadcast LeftSemi prune feeding the word aggregate."""
     plan = plan_of(REGISTRY["text_heavy_hitters_sketch"].fn(spark, SF_ORACLE))
     assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+
+
+def test_bucket_assignment_has_no_global_sort(spark):
+    """q116, the scale form of the equi-depth histogram: bucket
+    assignment must be a broadcast + narrow lookup — no rangepartition
+    sort exchange, no window over one partition."""
+    plan = plan_of(REGISTRY["q116_bucket_assign_scale"].fn(spark, SF_ORACLE))
+    assert "Exchange rangepartitioning" not in plan
+    assert "Window" not in plan
