@@ -432,3 +432,26 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+from gpu_olap_engine_spark.queries import REGISTRY as _REG  # noqa: E402
+
+
+@register(
+    "dedup_span_stats_hashed",
+    # IDENTICAL oracle to dedup_span_stats: hashing only changes the
+    # shuffle-key representation, never the counts — and an xxhash64
+    # collision (odds ~2^-64 per gram pair), if one ever occurred,
+    # would surface right here as a value mismatch.
+    oracle=_REG["dedup_span_stats"].oracle,
+)
+def dedup_span_stats_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_span_stats with the documented 100 TB key swap applied:
+    the (doc, gram) pre-aggregation and the gram-total shuffle carry
+    an 8-byte xxhash64 instead of the ~50-byte gram string — same
+    rows moved, ~6x narrower shuffle payload on the widest exchange.
+    Shares the string-keyed entry's oracle verbatim (see oracle
+    comment)."""
+    return D.duplicated_span_stats(
+        T(spark, sf_dir, "documents"), "doc_id", "text", k=8, hash_keys=True
+    )
