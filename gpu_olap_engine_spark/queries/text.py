@@ -424,3 +424,63 @@ def text_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread(T(spark, sf_dir, "documents")), "text", support_denom=200,
         capacity=400,
     )
+
+
+@register(
+    "text_drift_chi2",
+    oracle="""
+    WITH o AS (
+        SELECT source, lang, COUNT(*) AS o FROM documents GROUP BY source, lang
+    ),
+    srcs AS (SELECT source, SUM(o) AS rt FROM o GROUP BY source),
+    langs AS (SELECT lang, SUM(o) AS ct FROM o GROUP BY lang),
+    grand AS (SELECT SUM(o) AS n FROM o),
+    grid AS (
+        SELECT s.source, l.lang, s.rt, l.ct, g.n,
+               COALESCE(o.o, 0) AS obs
+        FROM srcs s CROSS JOIN langs l CROSS JOIN grand g
+        LEFT JOIN o ON o.source = s.source AND o.lang = l.lang
+    ),
+    terms AS (
+        SELECT source,
+               CAST(floor(
+                   (obs - CAST(rt * ct AS DOUBLE) / n)
+                   * (obs - CAST(rt * ct AS DOUBLE) / n)
+                   / (CAST(rt * ct AS DOUBLE) / n) * 1000000
+               ) AS BIGINT) AS tq
+        FROM grid
+    )
+    SELECT source, CAST(SUM(tq) AS DOUBLE) / 1000000 AS chi2_contrib,
+           COUNT(*) AS n_cells
+    FROM terms GROUP BY source
+    """,
+)
+def text_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring: each source's contribution to
+    the chi-squared homogeneity statistic of the language distribution
+    (observed vs expected-under-independence counts over the FULL
+    source x lang grid, zero cells included). The pipeline-health
+    check that catches a crawler segment going off-distribution.
+    Expected counts are one double division written identically on
+    both engines; per-cell terms are quantized to 1e-6 before the sum
+    so accumulation order cannot matter. All inputs are two tiny
+    aggregates of one count pass — |sources| + |langs| rows broadcast
+    everywhere, nothing rescans the corpus."""
+    docs = T(spark, sf_dir, "documents")
+    o = docs.groupBy("source", "lang").agg(F.count("*").alias("o"))
+    srcs = o.groupBy("source").agg(F.sum("o").alias("rt"))
+    langs = o.groupBy("lang").agg(F.sum("o").alias("ct"))
+    grand = o.agg(F.sum("o").alias("n"))
+    grid = (
+        srcs.crossJoin(F.broadcast(langs))
+        .crossJoin(F.broadcast(grand))
+        .join(o, ["source", "lang"], "left")
+        .withColumn("obs", F.coalesce(F.col("o"), F.lit(0)))
+    )
+    e = (F.col("rt") * F.col("ct")).cast("double") / F.col("n")
+    term = (F.col("obs") - e) * (F.col("obs") - e) / e
+    tq = F.floor(term * 1_000_000).cast("long")
+    return grid.select("source", tq.alias("tq")).groupBy("source").agg(
+        (F.sum("tq").cast("double") / 1_000_000).alias("chi2_contrib"),
+        F.count("*").alias("n_cells"),
+    )
