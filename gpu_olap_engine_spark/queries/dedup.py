@@ -455,3 +455,54 @@ def dedup_span_stats_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicated_span_stats(
         T(spark, sf_dir, "documents"), "doc_id", "text", k=8, hash_keys=True
     )
+
+
+@register(
+    "dedup_minhash_lsh_blocked",
+    oracle=f"""
+    WITH {_SH.strip().rstrip()},
+    {_sig_sql()},
+    {_banded_sql()},
+    bl AS (SELECT doc_id, lang FROM documents),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a
+        JOIN bl la ON la.doc_id = a.doc_id
+        JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        JOIN bl lb ON lb.doc_id = b.doc_id AND lb.lang = la.lang
+    ),
+    {_JACCARD_TAIL}
+    SELECT c.id_a, c.id_b,
+           CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) AS jaccard
+    FROM cand c
+    JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+    JOIN sizes na ON c.id_a = na.doc_id
+    JOIN sizes nb ON c.id_b = nb.doc_id
+    WHERE CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) >= 0.5
+    """,
+)
+def dedup_minhash_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup with LANGUAGE blocking composed into the
+    band join key: cross-language candidates are never generated (a
+    curation policy choice — near-dups across languages are a
+    different problem — AND a scale lever: the band-key space splits
+    per block, shrinking candidate volume and band skew before the
+    shuffle). Same verify threshold as dedup_minhash_lsh; the result
+    is its same-language subset, computed without ever materializing
+    the cross-language candidates a post-filter would."""
+    from gpu_olap_engine_spark.operators.dedup import (
+        _shingles_cached,
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    sh = _shingles_cached(docs, "doc_id", "text", 3)
+    sig = minhash_signatures(sh).join(
+        docs.select(F.col("doc_id").alias("id"), "lang"), "id"
+    )
+    pairs = lsh_candidate_pairs(sig, block_col="lang")
+    return jaccard_verify(sh, pairs).filter(F.col("jaccard") >= 0.5)
