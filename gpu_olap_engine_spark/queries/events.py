@@ -491,3 +491,118 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "subtree_total"),
         )
     )
+
+
+@register(
+    "q117_gapfill_interpolate",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT CAST(min({_US} - ({_US} % 3600000000)) / 1000000 AS BIGINT) AS lo,
+               CAST(max({_US} - ({_US} % 3600000000)) / 1000000 AS BIGINT) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, 3600)) AS hour_start FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (
+        SELECT CAST(({_US} - ({_US} % 3600000000)) / 1000000 AS BIGINT)
+                   AS hour_start,
+               event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    dense AS (
+        SELECT s.hour_start, t.event_type, a.v
+        FROM spine s CROSS JOIN types t
+        LEFT JOIN actual a
+          ON a.hour_start = s.hour_start AND a.event_type = t.event_type
+    ),
+    carried AS (
+        SELECT *,
+            LAST_VALUE(CASE WHEN v IS NOT NULL THEN hour_start END IGNORE NULLS)
+                OVER (PARTITION BY event_type ORDER BY hour_start
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ph,
+            LAST_VALUE(v IGNORE NULLS)
+                OVER (PARTITION BY event_type ORDER BY hour_start
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+            FIRST_VALUE(CASE WHEN v IS NOT NULL THEN hour_start END IGNORE NULLS)
+                OVER (PARTITION BY event_type ORDER BY hour_start
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nh,
+            FIRST_VALUE(v IGNORE NULLS)
+                OVER (PARTITION BY event_type ORDER BY hour_start
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
+        FROM dense
+    )
+    SELECT hour_start, event_type,
+           CASE WHEN v IS NOT NULL THEN v
+                ELSE pv + (nv - pv) * (CAST(hour_start - ph AS DOUBLE)
+                                       / CAST(nh - ph AS DOUBLE))
+           END AS filled_value,
+           v IS NULL AS is_gap
+    FROM carried
+    """,
+)
+def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill by LINEAR INTERPOLATION (the TimescaleDB
+    ``interpolate()`` analog, next to q51's zero-fill and the LOCF
+    carry q93 demonstrates): hourly mean value per event type on a
+    dense spine; every missing hour gets the line between its nearest
+    present neighbors (NULL before the first / after the last
+    observation — both engines agree by construction). Two
+    ignore-nulls carries per direction over ONE per-type sort; the
+    interpolation expression is written in the identical operation
+    order on both engines so the doubles match bitwise."""
+    ev = _with_us(T(spark, sf_dir, "events"))
+    hour = F.expr("(us - us % 3600000000) div 1000000")
+    actual = ev.groupBy(
+        hour.alias("hour_start"), F.col("event_type")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            / F.count("*")
+        ).alias("v")
+    )
+    bounds = ev.agg(
+        F.min(hour).alias("lo"), F.max(hour).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("hour_start")
+    )
+    types = ev.select("event_type").distinct()
+    dense = (
+        spine.crossJoin(F.broadcast(types))
+        .join(actual, ["hour_start", "event_type"], "left")
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    present_h = F.when(F.col("v").isNotNull(), F.col("hour_start"))
+    carried = dense.select(
+        "hour_start",
+        "event_type",
+        "v",
+        F.last(present_h, ignorenulls=True).over(wp).alias("ph"),
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.first(present_h, ignorenulls=True).over(wn).alias("nh"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("hour_start") - F.col("ph")).cast("double")
+        / (F.col("nh") - F.col("ph")).cast("double")
+    )
+    return carried.select(
+        "hour_start",
+        "event_type",
+        F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp).alias(
+            "filled_value"
+        ),
+        F.col("v").isNull().alias("is_gap"),
+    )
