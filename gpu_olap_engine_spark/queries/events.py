@@ -606,3 +606,117 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("v").isNull().alias("is_gap"),
     )
+
+
+@register(
+    "q118_downsample_lttb",
+    oracle=f"""
+    WITH pts AS (
+        SELECT event_type, event_id, {_US} AS us, value,
+               ({_US} // 1000000) // 43200 AS bucket
+        FROM events
+    ),
+    bavg AS (
+        SELECT event_type, bucket,
+               CAST(SUM(us) AS DOUBLE) / COUNT(*) AS ax,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+                   AS ay
+        FROM pts GROUP BY event_type, bucket
+    ),
+    scored AS (
+        SELECT p.*,
+               pa.ax AS pax, pa.ay AS pay, na.ax AS nax, na.ay AS nay,
+               abs((pa.ax - na.ax) * (p.value - pa.ay)
+                   - (pa.ax - p.us) * (na.ay - pa.ay)) AS area
+        FROM pts p
+        LEFT JOIN bavg pa
+          ON pa.event_type = p.event_type AND pa.bucket = p.bucket - 1
+        LEFT JOIN bavg na
+          ON na.event_type = p.event_type AND na.bucket = p.bucket + 1
+    ),
+    ranked AS (
+        SELECT *,
+            ROW_NUMBER() OVER (
+                PARTITION BY event_type, bucket
+                ORDER BY CASE WHEN pax IS NULL OR nax IS NULL THEN NULL
+                              ELSE area END DESC NULLS LAST,
+                         us, event_id
+            ) AS rn
+        FROM scored
+    )
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket, event_id,
+           CAST(us AS BIGINT) AS us, value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visualization-grade downsampling: one representative point per
+    (event type, 12-hour bucket) by the PARALLEL LTTB variant —
+    largest-triangle selection where both anchors are the NEIGHBOR
+    BUCKETS' centroids instead of the sequentially-chosen points (the
+    sequential dependency is what makes classic LTTB unparallelizable;
+    the centroid-anchored form is the standard distributed
+    approximation). Edge buckets (no neighbor on one side) fall back
+    to the earliest point, deterministically. One bucket-keyed
+    aggregate + two broadcastable centroid joins + one per-bucket
+    window — no sequential pass anywhere."""
+    ev = _with_us(T(spark, sf_dir, "events"))
+    pts = ev.select(
+        "event_type",
+        "event_id",
+        "us",
+        "value",
+        F.expr("(us div 1000000) div 43200").alias("bucket"),
+    )
+    bavg = pts.groupBy("event_type", "bucket").agg(
+        (F.sum("us").cast("double") / F.count("*")).alias("ax"),
+        (
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            / F.count("*")
+        ).alias("ay"),
+    )
+    pa = bavg.select(
+        F.col("event_type").alias("pt"), (F.col("bucket") + 1).alias("pb"),
+        F.col("ax").alias("pax"), F.col("ay").alias("pay"),
+    )
+    na = bavg.select(
+        F.col("event_type").alias("nt"), (F.col("bucket") - 1).alias("nb"),
+        F.col("ax").alias("nax"), F.col("ay").alias("nay"),
+    )
+    scored = (
+        pts.join(
+            pa,
+            (pts["event_type"] == pa["pt"]) & (pts["bucket"] == pa["pb"]),
+            "left",
+        )
+        .join(
+            na,
+            (pts["event_type"] == na["nt"]) & (pts["bucket"] == na["nb"]),
+            "left",
+        )
+        .withColumn(
+            "area",
+            F.abs(
+                (F.col("pax") - F.col("nax")) * (F.col("value") - F.col("pay"))
+                - (F.col("pax") - F.col("us")) * (F.col("nay") - F.col("pay"))
+            ),
+        )
+    )
+    w = Window.partitionBy("event_type", "bucket").orderBy(
+        F.when(
+            F.col("pax").isNull() | F.col("nax").isNull(), F.lit(None)
+        ).otherwise(F.col("area")).desc_nulls_last(),
+        "us",
+        "event_id",
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("bucket").cast("long").alias("bucket"),
+            "event_id",
+            F.col("us").cast("long").alias("us"),
+            "value",
+        )
+    )
