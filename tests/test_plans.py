@@ -264,3 +264,12 @@ def test_bucket_assignment_has_no_global_sort(spark):
     plan = plan_of(REGISTRY["q116_bucket_assign_scale"].fn(spark, SF_ORACLE))
     assert "Exchange rangepartitioning" not in plan
     assert "Window" not in plan
+
+
+def test_lttb_downsample_is_equi_joined(spark):
+    """q118's centroid anchors must attach via equi-joins (bucket +-1
+    arithmetic in the key) — no nested-loop/cartesian anywhere."""
+    plan = plan_of(REGISTRY["q118_downsample_lttb"].fn(spark, SF_ORACLE), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # centroid relations broadcast
