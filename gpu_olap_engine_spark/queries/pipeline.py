@@ -646,3 +646,58 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.sum("n_removed").cast("long").alias("total_removed"),
     )
+
+
+@register(
+    "q119_rendezvous_sharding",
+    oracle=r"""
+    WITH assign AS (
+        SELECT doc_id,
+               (SELECT s FROM unnest(generate_series(0, 15)) AS t(s)
+                ORDER BY (('0x' || substr(md5(doc_id || '-' || s), 1, 15))::BIGINT)
+                         DESC, s
+                LIMIT 1) AS shard
+        FROM documents
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM assign GROUP BY shard
+    """,
+)
+def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding over 16 shards:
+    each key goes to the shard maximizing hash(key, shard) — the
+    assignment that moves only ~1/(n+1) of keys when a shard is added
+    (vs ~all keys under mod-n), i.e. the stable-repartitioning
+    primitive for growing a 100 TB layout without a full rewrite
+    (stability property unit-tested). Pure expression arithmetic: the
+    16 candidate hashes are an unrolled array max — no explode, no
+    join, no shuffle before the final count."""
+    docs = T(spark, sf_dir, "documents")
+    from gpu_olap_engine_spark.operators.dedup import base_hash
+
+    scored = F.array(
+        *[
+            F.struct(
+                base_hash(
+                    F.concat(F.col("doc_id").cast("string"), F.lit(f"-{s}"))
+                ).alias("h"),
+                # negative shard id as tiebreak: array_max picks the
+                # LOWEST shard on (astronomically unlikely) hash ties,
+                # matching the oracle's ORDER BY h DESC, s LIMIT 1
+                F.lit(-s).alias("neg_s"),
+            )
+            for s in range(16)
+        ]
+    )
+    shard = (-F.array_max(scored)["neg_s"]).cast("long")
+    return (
+        docs.select("doc_id", shard.alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+    )

@@ -584,3 +584,37 @@ def test_heavy_hitters_partition_invariant(spark):
     a = {tuple(r) for r in heavy_hitters_sketch(df.repartition(1), "text").collect()}
     b = {tuple(r) for r in heavy_hitters_sketch(df.repartition(7), "text").collect()}
     assert a == b and any(w == "hot" for w, _, _ in a)
+
+
+def test_rendezvous_stability_under_shard_growth(spark):
+    """The property that justifies HRW over mod-n: growing 16 -> 17
+    shards must reassign only ~1/17 of keys (mod-n moves ~16/17)."""
+    from gpu_olap_engine_spark.operators.dedup import base_hash
+    from pyspark.sql import functions as F
+
+    df = spark.range(3000).select(F.col("id").alias("k"))
+
+    def assign(n):
+        scored = F.array(
+            *[
+                F.struct(
+                    base_hash(
+                        F.concat(F.col("k").cast("string"), F.lit(f"-{s}"))
+                    ).alias("h"),
+                    F.lit(-s).alias("neg_s"),
+                )
+                for s in range(n)
+            ]
+        )
+        return df.select("k", (-F.array_max(scored)["neg_s"]).alias(f"s{n}"))
+
+    moved = (
+        assign(16)
+        .join(assign(17), "k")
+        .filter(F.col("s16") != F.col("s17"))
+        .count()
+    )
+    frac = moved / 3000
+    # expectation 1/17 ~= 0.0588; allow generous slack, but far below
+    # the ~0.94 a mod-n rehash would move
+    assert 0.02 < frac < 0.12, frac
