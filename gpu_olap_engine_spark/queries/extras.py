@@ -442,3 +442,90 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(c, "pk").groupBy("c_nationkey").agg(
         F.count("*").alias("n_orders"), dsum("o_totalprice", "total")
     )
+
+
+@register(
+    "q120_referential_audit",
+    oracle="""
+    WITH rels AS (
+        SELECT 'lineitem->orders' AS rel,
+               (SELECT COUNT(*) FROM lineitem) AS n_child,
+               (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS n_child_keys,
+               (SELECT COUNT(*) FROM orders) AS n_parent,
+               (SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS n_orphan
+        UNION ALL
+        SELECT 'orders->customer',
+               (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+               (SELECT COUNT(*) FROM customer),
+               (SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'customer->nation',
+               (SELECT COUNT(*) FROM customer),
+               (SELECT COUNT(DISTINCT c_nationkey) FROM customer),
+               (SELECT COUNT(*) FROM nation),
+               (SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+        UNION ALL
+        SELECT 'lineitem->part',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(DISTINCT l_partkey) FROM lineitem),
+               (SELECT COUNT(*) FROM part),
+               (SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+    )
+    SELECT rel, CAST(n_child AS BIGINT) AS n_child,
+           CAST(n_child_keys AS BIGINT) AS n_child_keys,
+           CAST(n_parent AS BIGINT) AS n_parent,
+           CAST(n_orphan AS BIGINT) AS n_orphan
+    FROM rels
+    """,
+)
+def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across four FK relationships: child
+    rows, distinct child keys, parent rows, and orphans (children with
+    no parent — anti-join counts). The data-quality gate a warehouse
+    runs after every load; each orphan count is one anti-join that
+    Spark plans as a broadcast/shuffle hash anti depending on parent
+    size — never a per-row subquery. Fixture integrity itself is part
+    of what is being asserted (orphans are 0 here; the parent/child/
+    key counts carry the non-trivial signal)."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    p = T(spark, sf_dir, "part")
+
+    def audit(rel, child, ckey, parent, pkey):
+        return child.agg(
+            F.lit(rel).alias("rel"),
+            F.count("*").alias("n_child"),
+            F.countDistinct(ckey).alias("n_child_keys"),
+        ).crossJoin(parent.agg(F.count("*").alias("n_parent"))).crossJoin(
+            child.join(
+                parent, child[ckey] == parent[pkey], "left_anti"
+            ).agg(F.count("*").alias("n_orphan"))
+        )
+
+    rows = [
+        audit("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+        audit("orders->customer", o, "o_custkey", c, "c_custkey"),
+        audit("customer->nation", c, "c_nationkey", n, "n_nationkey"),
+        audit("lineitem->part", li, "l_partkey", p, "p_partkey"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "rel",
+        F.col("n_child").cast("long").alias("n_child"),
+        F.col("n_child_keys").cast("long").alias("n_child_keys"),
+        F.col("n_parent").cast("long").alias("n_parent"),
+        F.col("n_orphan").cast("long").alias("n_orphan"),
+    )
