@@ -484,3 +484,50 @@ def text_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("tq").cast("double") / 1_000_000).alias("chi2_contrib"),
         F.count("*").alias("n_cells"),
     )
+
+
+@register(
+    "text_bpe_pair_counts",
+    oracle=f"""
+    WITH w AS (
+        SELECT unnest({_WORDS}) AS word FROM documents
+    ),
+    pairs AS (
+        SELECT substr(word, i, 2) AS pair
+        FROM w, unnest(generate_series(1, len(word) - 1)) AS t(i)
+        WHERE len(word) >= 2
+    ),
+    cnt AS (SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY pair),
+    tot AS (SELECT SUM(cnt) AS n FROM cnt)
+    SELECT pair, cnt, (cnt * 1000000) // t.n AS freq_ppm
+    FROM cnt, tot t
+    WHERE cnt * 100 >= t.n
+    """,
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-induction step 1: adjacent character-pair frequencies
+    across the corpus (the statistic BPE training greedily merges on),
+    reported for pairs at >= 1% of all pair occurrences. The full BPE
+    loop is this count -> merge -> recount iterated; the count is the
+    distributed-heavy part (one word explode + one pair explode + a
+    pair-keyed combine), the merge rewrites are narrow per-word maps.
+    Corpus total rides a 1-row broadcast like text_frequent_terms."""
+    docs = spread(T(spark, sf_dir, "documents"))
+    words = docs.select(F.explode(X.tokenize(F.col("text"))).alias("word")).filter(
+        F.length("word") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    cnt = pairs.groupBy("pair").agg(F.count("*").alias("cnt"))
+    tot = cnt.agg(F.sum("cnt").alias("n"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * 100 >= F.col("n"))
+        .select("pair", "cnt", F.expr("(cnt * 1000000) div n").alias("freq_ppm"))
+    )
