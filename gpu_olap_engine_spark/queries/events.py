@@ -720,3 +720,53 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
+
+
+@register(
+    "q121_time_weighted_avg",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, {_US} AS us, value FROM events
+    ),
+    seg AS (
+        SELECT user_id, value, us,
+               LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt
+        FROM e
+    )
+    SELECT user_id,
+           COUNT(nxt) AS n_segments,
+           CAST(SUM(nxt - us) AS BIGINT) AS held_us,
+           CAST(SUM(CAST(floor(value * (nxt - us) / 1000000 * 10000) AS BIGINT))
+                AS DOUBLE) / 10000
+           / (CAST(SUM(nxt - us) AS DOUBLE) / 1000000) AS twap
+    FROM seg WHERE nxt IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (step/LOCF weighting — the TimescaleDB
+    ``time_weight('LOCF')`` analog): each observation holds its value
+    until the user's next event; TWAP = sum(value * held-seconds) /
+    total held-seconds. One LEAD over the per-user sort supplies the
+    segment durations (a user's final observation has no duration and
+    is excluded, per the open-ended-interval convention); weighted
+    terms are quantized to 1e-4 before summation so accumulation
+    order cannot matter. The financial/IoT aggregate class that plain
+    AVG silently gets wrong under irregular sampling."""
+    ev = _with_us(T(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seg = ev.select(
+        "user_id", "value", "us", F.lead("us").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    # associate exactly as the oracle: ((value * dur_us) / 1e6) * 1e4
+    term_q = F.floor(
+        F.col("value") * (F.col("nxt") - F.col("us")) / 1_000_000 * 10_000
+    ).cast("long")
+    return seg.groupBy("user_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.col("nxt") - F.col("us")).cast("long").alias("held_us"),
+        (
+            (F.sum(term_q).cast("double") / 10_000)
+            / (F.sum(F.col("nxt") - F.col("us")).cast("double") / 1_000_000)
+        ).alias("twap"),
+    )
