@@ -674,3 +674,58 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
     )
+
+
+@register(
+    "q122_feature_scaling",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(floor(value * value * 100) AS BIGINT)) AS DOUBLE)
+                   / 100 AS sxx,
+               MIN(value) AS lo,
+               MAX(value) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           (e.value - m.sx / m.n)
+               / sqrt((m.sxx - m.sx * m.sx / m.n) / (m.n - 1)) AS zscore,
+           (e.value - m.lo) / (m.hi - m.lo) AS minmax01
+    FROM events e JOIN m USING (event_type)
+    """,
+)
+def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level feature scaling — the ML-preprocessing pass that
+    standardizes a column per group: z-score from decimal-exact moment
+    sums (q59's technique, here producing PER-ROW output) and min-max
+    [0,1] normalization, in one broadcast join of |groups| statistic
+    rows back onto the fact. Every arithmetic step is written in the
+    identical operation order on both engines. At 100 TB this is a
+    scan + broadcast — the statistics pass and the scaling pass never
+    shuffle the fact table."""
+    ev = T(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sx"),
+        (
+            F.sum(F.floor(F.col("value") * F.col("value") * 100).cast("long"))
+            .cast("double")
+            / 100
+        ).alias("sxx"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    z = (F.col("value") - sx / n) / F.sqrt((sxx - sx * sx / n) / (n - 1))
+    mm = (F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            z.alias("zscore"),
+            mm.alias("minmax01"),
+        )
+    )
