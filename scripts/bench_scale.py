@@ -81,6 +81,12 @@ SUITE = [
     "dedup_lines_keep_first",
     "q97_rolling_time_window",
     "q103_tpch_q8",
+    # continuation-session heavy shapes: the Python-boundary sketch
+    # path, both time-series fills, and the downsampler
+    "text_heavy_hitters_sketch",
+    "q117_gapfill_interpolate",
+    "q118_downsample_lttb",
+    "q121_time_weighted_avg",
 ]
 
 
