@@ -264,3 +264,44 @@ def dedup_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the documents fixture — the ingestion
+    shape of a crawler pipeline: new parquet shards appear in a
+    directory and flow through curation incrementally."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def ingest_corpus_stream(docs: DataFrame, path: str, checkpoint_dir: str):
+    """Incremental corpus ingestion: content-fingerprint exact dedup
+    ON ARRIVAL, then append the curated rows to a parquet store.
+
+    This is how the batch dedup operators run in production — the
+    corpus is not re-deduplicated from scratch per crawl; new shards
+    dedup against state. Fingerprint = md5 prefix of the normalized
+    text (the q114/q115 digest), so two byte-identical documents in
+    different shards collapse to the arrival-order first. State here
+    is the full fingerprint set (no watermark: document streams have
+    no event time and corpus dedup is exact by contract); at 100 TB
+    the state store is RocksDB-backed and sharded by the fingerprint —
+    the same key the batch path shuffles on. Restart-safe via the
+    checkpoint; the append sink plus dropDuplicates gives exactly-once
+    curated rows under availableNow replays."""
+    from gpu_olap_engine_spark.operators.dedup import base_hash  # noqa: PLC0415
+
+    curated = docs.withColumn(
+        "fingerprint", base_hash(F.lower(F.trim(F.col("text"))))
+    ).dropDuplicates(["fingerprint"])
+    return (
+        curated.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )

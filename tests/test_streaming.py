@@ -236,3 +236,39 @@ def test_sliding_window_covers_each_event_twice(spark):
         spark.table("sw").agg(F.sum("cnt").alias("s")).collect()[0]["s"]
     )
     assert emitted == 2 * total  # every event belongs to exactly 2 windows
+
+
+def test_corpus_ingest_stream_matches_batch_dedup(spark, tmp_path):
+    """Streaming corpus ingestion (fingerprint dedup on arrival) must
+    land exactly the batch-distinct row count, and a second
+    availableNow run over the same input must add nothing (checkpoint
+    makes the ingest idempotent)."""
+    from pyspark.sql import functions as F
+
+    from gpu_olap_engine_spark.operators.dedup import base_hash
+    from gpu_olap_engine_spark.streaming.pipelines import (
+        ingest_corpus_stream,
+        read_documents_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    docs = read_documents_stream(spark, sf)
+    q = ingest_corpus_stream(docs, out, ckpt).start()
+    q.awaitTermination(120)
+
+    batch = spark.read.parquet(f"{sf}/documents.parquet")
+    want = (
+        batch.select(base_hash(F.lower(F.trim(F.col("text")))).alias("fp"))
+        .distinct()
+        .count()
+    )
+    got = spark.read.parquet(out)
+    assert got.count() == want
+    assert got.select("fingerprint").distinct().count() == want
+
+    # replay: same input, same checkpoint -> no new rows
+    q2 = ingest_corpus_stream(read_documents_stream(spark, sf), out, ckpt).start()
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == want
