@@ -235,7 +235,8 @@ def ancestor_closure(
 
 
 def pagerank_int(
-    edges: DataFrame, src: str = "src", dst: str = "dst", iters: int = 3
+    edges: DataFrame, src: str = "src", dst: str = "dst", iters: int = 3,
+    weight: str | None = None
 ) -> DataFrame:
     """Fixed-iteration PageRank in exact integer micro-units.
 
@@ -261,7 +262,18 @@ def pagerank_int(
     class beyond the reference's surface (its engine is single-query;
     see README.md:354-378 extension analog).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    if weight is None:
+        e = edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst")
+        ).distinct().withColumn("w", F.lit(1).cast("long"))
+    else:
+        # weighted: contribution r(u) * w_uv div W_u (exact int64;
+        # r < 2.4e6 micro-units, so w_uv sums below ~2^41 stay safe)
+        e = edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("long").alias("w"),
+        )
     e = e.persist()
     nodes = (
         e.select(F.col("src").alias("id"))
@@ -269,13 +281,13 @@ def pagerank_int(
         .distinct()
         .persist()
     )
-    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    ew = e.join(outdeg, "src")  # (src, dst, deg)
+    outdeg = e.groupBy("src").agg(F.sum("w").alias("deg"))
+    ew = e.join(outdeg, "src")  # (src, dst, w, deg)
     rank = nodes.select("id", F.lit(1_000_000).cast("long").alias("r"))
     for _ in range(iters):
         contrib = (
             ew.join(rank, ew["src"] == rank["id"])
-            .select("dst", F.expr("r div deg").alias("c"))
+            .select("dst", F.expr("r * w div deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )

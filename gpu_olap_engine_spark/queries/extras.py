@@ -529,3 +529,61 @@ def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_parent").cast("long").alias("n_parent"),
         F.col("n_orphan").cast("long").alias("n_orphan"),
     )
+
+
+_WPR_STEP = """
+        SELECT n.id,
+               CAST(150000 + (85 * COALESCE(SUM(r.r * e.w // d.deg), 0)) // 100
+                    AS BIGINT) AS r
+        FROM nodes n
+        LEFT JOIN edges e ON e.dst = n.id
+        LEFT JOIN {prev} r ON r.id = e.src
+        LEFT JOIN outdeg d ON d.src = e.src
+        GROUP BY n.id
+"""
+
+
+@register(
+    "q123_pagerank_weighted",
+    oracle=f"""
+    WITH edges AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               COUNT(DISTINCT o.o_orderkey) AS w
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ),
+    nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    outdeg AS (SELECT src, SUM(w) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+    r1 AS ({_WPR_STEP.format(prev="r0")}),
+    r2 AS ({_WPR_STEP.format(prev="r1")}),
+    r3 AS ({_WPR_STEP.format(prev="r2")})
+    SELECT CAST(id AS BIGINT) AS node_id, r AS rank_micro FROM r3
+    """,
+)
+def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED PageRank over the nation trade graph: edge weight =
+    distinct orders linking the nation pair, so rank mass flows
+    proportionally to trade volume (r * w div W_u per edge — exact
+    int64) instead of uniformly per neighbor as in q98. The form a
+    real influence analysis uses; same per-iteration join+aggregate
+    shape, same unrolled-CTE oracle with the weighted contribution."""
+    from gpu_olap_engine_spark.operators.graph import pagerank_int
+
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    edges = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.countDistinct("o_orderkey").alias("w"))
+    )
+    return pagerank_int(edges, iters=3, weight="w")
