@@ -770,3 +770,73 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum(F.col("nxt") - F.col("us")).cast("double") / 1_000_000)
         ).alias("twap"),
     )
+
+
+@register(
+    "q124_gapfill_locf",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT CAST(min({_US} - ({_US} % 3600000000)) / 1000000 AS BIGINT) AS lo,
+               CAST(max({_US} - ({_US} % 3600000000)) / 1000000 AS BIGINT) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, 3600)) AS hour_start FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (
+        SELECT CAST(({_US} - ({_US} % 3600000000)) / 1000000 AS BIGINT)
+                   AS hour_start,
+               event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    dense AS (
+        SELECT s.hour_start, t.event_type, a.v
+        FROM spine s CROSS JOIN types t
+        LEFT JOIN actual a
+          ON a.hour_start = s.hour_start AND a.event_type = t.event_type
+    )
+    SELECT hour_start, event_type,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value,
+           v IS NULL AS is_gap
+    FROM dense
+    """,
+)
+def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill by LOCF (last observation carried forward — the
+    TimescaleDB ``locf()`` analog), completing the fill trio beside
+    q51's zero-fill and q117's linear interpolation: one ignore-nulls
+    carry over the per-type sort; hours before the first observation
+    stay NULL on both engines. The fill a metrics store uses when the
+    series is a STATE (gauge) rather than a rate."""
+    ev = _with_us(T(spark, sf_dir, "events"))
+    hour = F.expr("(us - us % 3600000000) div 1000000")
+    actual = ev.groupBy(hour.alias("hour_start"), F.col("event_type")).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            / F.count("*")
+        ).alias("v")
+    )
+    bounds = ev.agg(F.min(hour).alias("lo"), F.max(hour).alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("hour_start")
+    )
+    types = ev.select("event_type").distinct()
+    dense = spine.crossJoin(F.broadcast(types)).join(
+        actual, ["hour_start", "event_type"], "left"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return dense.select(
+        "hour_start",
+        "event_type",
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("v").isNull().alias("is_gap"),
+    )
