@@ -516,3 +516,89 @@ def test_fuzz_tpch_q17_threshold(spark, duck, lineitem, brand, size):
         """
     ).fetchone()[0]
     assert got == want
+
+
+@given(k=st.integers(min_value=2, max_value=12))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fuzz_bucket_assignment_agrees(spark, duck, orders, k):
+    """q116's sketch-path bucket assignment must agree with DuckDB for
+    ANY quantile grid (k buckets, k-1 continuous cut points) — guards
+    the percentile/quantile_cont parity and the strict-> comparison."""
+    qs = [i / k for i in range(1, k)]
+    qlist = ",".join(f"{q!r}D" for q in qs)
+    cuts = orders.agg(
+        F.expr(f"percentile(o_totalprice, array({qlist}))").alias("cs")
+    )
+    got = {
+        (r["bucket"], r["cnt"])
+        for r in orders.crossJoin(F.broadcast(cuts))
+        .select(
+            (1 + F.size(F.filter("cs", lambda c: F.col("o_totalprice") > c)))
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    dq = ",".join(repr(q) for q in qs)
+    want = set(
+        duck.sql(
+            f"""
+            WITH cuts AS (
+                SELECT quantile_cont(o_totalprice, [{dq}]) AS cs FROM orders
+            )
+            SELECT 1 + len(list_filter(cs, c -> o_totalprice > c)) AS b,
+                   COUNT(*)
+            FROM orders, cuts GROUP BY b
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+@given(n=st.integers(min_value=2, max_value=24))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fuzz_rendezvous_assignment_agrees(spark, duck, orders, n):
+    """HRW shard assignment must agree with the SQL twin for ANY shard
+    count — guards the (hash DESC, shard ASC) argmax encoding."""
+    from gpu_olap_engine_spark.operators.dedup import base_hash
+
+    keys = orders.select(F.col("o_orderkey").alias("k")).filter(
+        F.col("k") < 2000
+    )
+    scored = F.array(
+        *[
+            F.struct(
+                base_hash(
+                    F.concat(F.col("k").cast("string"), F.lit(f"-{s}"))
+                ).alias("h"),
+                F.lit(-s).alias("neg_s"),
+            )
+            for s in range(n)
+        ]
+    )
+    got = {
+        r["k"]: r["shard"]
+        for r in keys.select(
+            "k", (-F.array_max(scored)["neg_s"]).alias("shard")
+        ).collect()
+    }
+    want = {
+        r[0]: r[1]
+        for r in duck.sql(
+            f"""
+            WITH keys AS (
+                SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 2000
+            )
+            SELECT k,
+                   (SELECT s FROM unnest(generate_series(0, {n - 1})) AS t(s)
+                    ORDER BY (('0x' || substr(md5(k || '-' || s), 1, 15))::BIGINT)
+                             DESC, s
+                    LIMIT 1)
+            FROM keys
+            """
+        ).fetchall()
+    }
+    assert got == want
