@@ -60,6 +60,18 @@ SHOW = [
         "q107_tpch_q21",
         "Q21 EXISTS pair as one per-order aggregate, no self-join nested loop",
     ),
+    (
+        "q116_bucket_assign_scale",
+        "sketch-path bucketing: broadcast cut points, no global sort/window",
+    ),
+    (
+        "q118_downsample_lttb",
+        "parallel LTTB: centroid anchors broadcast, per-bucket window only",
+    ),
+    (
+        "text_heavy_hitters_sketch",
+        "MG sketch: candidates broadcast back as LeftSemi prune",
+    ),
 ]
 
 
