@@ -602,3 +602,107 @@ def test_fuzz_rendezvous_assignment_agrees(spark, duck, orders, n):
         ).fetchall()
     }
     assert got == want
+
+
+@given(width=st.sampled_from([900, 1800, 3600, 7200, 14400]))
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fuzz_interpolation_agrees(spark, duck, width):
+    """q117's interpolation machinery must agree with the SQL twin for
+    ANY bucket width (gap structure changes completely with width) —
+    guards the ignore-nulls carries and the interpolation expression's
+    operation-order alignment."""
+    from pyspark.sql.window import Window
+
+    us = "epoch_us(CAST(ts AS TIMESTAMP))"
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = ev.withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
+    wus = width * 1_000_000
+    bucket = F.expr(f"(us - us % {wus}) div 1000000")
+    actual = ev.groupBy(bucket.alias("b"), "event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            / F.count("*")
+        ).alias("v")
+    )
+    bounds = ev.agg(F.min(bucket).alias("lo"), F.max(bucket).alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(width))).alias("b")
+    ).crossJoin(F.broadcast(ev.select("event_type").distinct()))
+    dense = spine.join(actual, ["b", "event_type"], "left")
+    wp = Window.partitionBy("event_type").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wn = Window.partitionBy("event_type").orderBy("b").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    ph = F.last(F.when(F.col("v").isNotNull(), F.col("b")), True).over(wp)
+    pv = F.last("v", True).over(wp)
+    nh = F.first(F.when(F.col("v").isNotNull(), F.col("b")), True).over(wn)
+    nv = F.first("v", True).over(wn)
+    interp = pv + (nv - pv) * (
+        (F.col("b") - ph).cast("double") / (nh - ph).cast("double")
+    )
+    got = {
+        (r["b"], r["event_type"]): r["f"]
+        for r in dense.select(
+            "b",
+            "event_type",
+            F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp).alias("f"),
+        ).collect()
+    }
+    want = {
+        (r[0], r[1]): r[2]
+        for r in duck.sql(
+            f"""
+            WITH bounds AS (
+                SELECT ({us} - ({us} % {wus})) // 1000000 AS lo_raw FROM events
+            ),
+            bb AS (SELECT MIN(lo_raw) AS lo, MAX(lo_raw) AS hi FROM bounds),
+            spine AS (
+                SELECT unnest(generate_series(lo, hi, {width})) AS b FROM bb
+            ),
+            types AS (SELECT DISTINCT event_type FROM events),
+            actual AS (
+                SELECT ({us} - ({us} % {wus})) // 1000000 AS b, event_type,
+                       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                           / COUNT(*) AS v
+                FROM events GROUP BY 1, 2
+            ),
+            dense AS (
+                SELECT s.b, t.event_type, a.v
+                FROM spine s CROSS JOIN types t
+                LEFT JOIN actual a ON a.b = s.b AND a.event_type = t.event_type
+            ),
+            c AS (
+                SELECT *,
+                    LAST_VALUE(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+                        OVER (PARTITION BY event_type ORDER BY b
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS ph,
+                    LAST_VALUE(v IGNORE NULLS)
+                        OVER (PARTITION BY event_type ORDER BY b
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS pv,
+                    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+                        OVER (PARTITION BY event_type ORDER BY b
+                              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                        AS nh,
+                    FIRST_VALUE(v IGNORE NULLS)
+                        OVER (PARTITION BY event_type ORDER BY b
+                              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                        AS nv
+                FROM dense
+            )
+            SELECT b, event_type,
+                   CASE WHEN v IS NOT NULL THEN v
+                        ELSE pv + (nv - pv) * (CAST(b - ph AS DOUBLE)
+                                               / CAST(nh - ph AS DOUBLE))
+                   END
+            FROM c
+            """
+        ).fetchall()
+    }
+    assert got == want
