@@ -153,6 +153,16 @@ def main(data_dir: str = "/root/testdata/sf0.001") -> None:
     print("TPC-H Q8 market share (q103):")
     print(registry["q103_tpch_q8"].fn(engine.spark, data_dir).toPandas())
 
+    # --- time-series toolkit: the fill trio + TWAP ---
+    print("\n10. Time-series fills and TWAP:")
+    interp = registry["q117_gapfill_interpolate"].fn(engine.spark, data_dir)
+    n_gap = interp.filter("is_gap").count()
+    print(f"interpolation filled {n_gap} gap hours "
+          f"of {interp.count()} spine cells")
+    twap = registry["q121_time_weighted_avg"].fn(engine.spark, data_dir)
+    print("time-weighted averages (3 heaviest users):")
+    print(twap.orderBy("held_us", ascending=False).limit(3).toPandas())
+
     engine.spark.stop()
 
 
