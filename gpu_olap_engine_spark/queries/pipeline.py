@@ -701,3 +701,58 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("long").alias("max_doc"),
         )
     )
+
+
+@register(
+    "q125_quality_budget_selection",
+    oracle="""
+    WITH ranked AS (
+        SELECT lang, doc_id, n_chars,
+               SUM(n_chars) OVER (
+                   PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_chars,
+               SUM(n_chars) OVER (PARTITION BY lang) AS total_chars
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(CASE WHEN cum_chars * 2 <= total_chars THEN 1 END) AS n_kept,
+           CAST(SUM(CASE WHEN cum_chars * 2 <= total_chars
+                         THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+           CAST(MAX(total_chars) AS BIGINT) AS total_chars,
+           COUNT(*) AS n_docs
+    FROM ranked GROUP BY lang
+    """,
+)
+def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained selection (nucleus-style): per language,
+    keep the highest-mass documents until the cumulative mass reaches
+    half the stratum's total — the "spend X% of the token budget on
+    the best data" knob a curation pipeline exposes. One running-sum
+    window per stratum (unique (mass, id) order), integer comparison
+    `cum * 2 <= total` so the cut is exact on both engines; the
+    selection threshold per stratum arrives with the same window pass,
+    no second scan. Here mass = n_chars; swap in any quality score
+    with the same plan."""
+    docs = T(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("lang")
+    ranked = docs.select(
+        "lang",
+        "n_chars",
+        F.sum("n_chars").over(w).alias("cum_chars"),
+        F.sum("n_chars").over(wt).alias("total_chars"),
+    )
+    keep = F.col("cum_chars") * 2 <= F.col("total_chars")
+    return ranked.groupBy("lang").agg(
+        F.count(F.when(keep, 1)).alias("n_kept"),
+        F.sum(F.when(keep, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("kept_chars"),
+        F.max("total_chars").cast("long").alias("total_chars"),
+        F.count("*").alias("n_docs"),
+    )
