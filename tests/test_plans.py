@@ -273,3 +273,10 @@ def test_lttb_downsample_is_equi_joined(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan  # centroid relations broadcast
+
+
+def test_quality_budget_single_shuffle(spark):
+    """q125: running-sum and stratum-total windows share the lang
+    partitioning — the whole selection costs ONE exchange."""
+    df = REGISTRY["q125_quality_budget_selection"].fn(spark, SF_ORACLE)
+    assert shuffle_count(df) == 1
