@@ -280,3 +280,14 @@ def test_quality_budget_single_shuffle(spark):
     partitioning — the whole selection costs ONE exchange."""
     df = REGISTRY["q125_quality_budget_selection"].fn(spark, SF_ORACLE)
     assert shuffle_count(df) == 1
+
+
+def test_bench_suites_reference_registered_queries():
+    """Every name in bench.py's HEADLINE set and bench_scale's SUITE
+    must exist in the registry — a rename that breaks the driver's
+    bench run should fail here first, not in the round artifact."""
+    import bench
+    from scripts.bench_scale import SUITE
+
+    missing = [n for n in bench.HEADLINE + SUITE if n not in REGISTRY]
+    assert not missing, missing
