@@ -104,3 +104,30 @@ def test_rows_only_driver_canonicalizable(spark, name):
     query must therefore emit only sortable column types."""
     pdf = REGISTRY[name].fn(spark, SF_ORACLE).toPandas()
     normalize(pdf)  # must not raise
+
+
+def test_every_oracle_sql_binds_in_duckdb():
+    """EXPLAIN-bind every registered oracle against the fixture views:
+    a SQL typo or schema drift fails here in seconds instead of
+    surfacing mid-sweep. (The full value comparison is the
+    parametrized harness above; this is the fast structural guard.)"""
+    import duckdb
+
+    from gpu_olap_engine_spark.queries import load_all
+    from gpu_olap_engine_spark.queries.tables import TABLES
+    from tests.conftest import SF_ORACLE
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_ORACLE}/{t}.parquet'"
+        )
+    bad = []
+    for name, q in load_all().items():
+        if not q.oracle:
+            continue
+        try:
+            con.sql(f"EXPLAIN {q.oracle}")
+        except Exception as e:  # noqa: BLE001
+            bad.append((name, str(e).splitlines()[0]))
+    assert not bad, bad
