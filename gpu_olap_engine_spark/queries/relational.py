@@ -1031,3 +1031,47 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
         F.bool_or(F.col("o_totalprice") > 400000).alias("any_big"),
     )
+
+
+@register(
+    "q126_copurchase_pairs",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.pk AS part_a, b.pk AS part_b
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+    )
+    SELECT part_a, part_b, COUNT(*) AS n_orders
+    FROM pairs GROUP BY part_a, part_b
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought together in >= 2
+    orders — the frequent-itemset support count behind
+    recommendations. The within-order self-join's fan-out is bounded
+    by basket size (<= 7 lineitems per order here, choose-2 of it),
+    so the pair explosion is per-key quadratic in a SMALL constant,
+    never corpus-quadratic — the same bounded-group argument as the
+    per-doc reassembly ops; the heavy lifting is the pair-keyed
+    count with map-side combine. At 100 TB giant baskets (the one
+    risk) get capped or item-bucketed before pairing."""
+    li = T(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(
+            F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b")
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
