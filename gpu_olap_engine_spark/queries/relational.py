@@ -1075,3 +1075,64 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
+
+
+@register(
+    "q127_association_lift",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    n_orders AS (SELECT COUNT(DISTINCT ok) AS n FROM op),
+    item AS (SELECT pk, COUNT(*) AS n_item FROM op GROUP BY pk),
+    pairs AS (
+        SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS n_ab
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT p.part_a, p.part_b, p.n_ab,
+           (p.n_ab * t.n * 1000000) // (ia.n_item * ib.n_item) AS lift_ppm
+    FROM pairs p
+    JOIN item ia ON ia.pk = p.part_a
+    JOIN item ib ON ib.pk = p.part_b
+    CROSS JOIN n_orders t
+    """,
+)
+def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule LIFT over the q126 co-occurrence pairs:
+    lift = P(a,b) / (P(a) P(b)) = n_ab * N / (n_a * n_b), reported in
+    exact integer ppm so both engines agree bit-for-bit (>1e6 means
+    the parts attract, <1e6 they repel). Item supports are a
+    broadcastable |parts|-row relation joined back onto the supported
+    pairs; the corpus total rides the usual 1-row broadcast. The
+    complete frequent-itemset -> association-metric path a
+    recommender's batch layer runs."""
+    li = T(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n_orders = op.agg(F.countDistinct("ok").alias("n"))
+    item = op.groupBy("pk").agg(F.count("*").alias("n_item"))
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    ia = item.select(F.col("pk").alias("part_a"), F.col("n_item").alias("na"))
+    ib = item.select(F.col("pk").alias("part_b"), F.col("n_item").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.expr("(n_ab * n * 1000000) div (na * nb)").alias("lift_ppm"),
+        )
+    )
