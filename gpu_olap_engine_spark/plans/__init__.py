@@ -44,6 +44,34 @@ def assert_no_cartesian(df: DataFrame) -> None:
         raise AssertionError("plan contains CartesianProduct:\n" + plan)
 
 
+def scan_metrics(df: DataFrame) -> list[dict[str, int]]:
+    """Measured (not inferred) scan-node metrics: runs the query, then
+    reads numOutputRows / numFiles off each leaf scan of the executed
+    plan. numOutputRows counts rows the scan actually DECODED — i.e.
+    after parquet row-group/page skipping from pushed filters — so the
+    layout tools' skip claims (clustered / z-ordered writes) are
+    checkable as numbers, not prose. Uses collect() (not a noop write)
+    because writers run a separate execution whose metrics would not
+    land on this DataFrame's plan — call on a filtered/aggregated df
+    whose result is small."""
+    df.collect()
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    out = []
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        if "Scan" not in leaf.nodeName():
+            continue
+        m = leaf.metrics()
+        rec: dict[str, int] = {}
+        for name in ("numOutputRows", "numFiles"):
+            try:
+                rec[name] = m.apply(name).value()
+            except Exception:  # noqa: BLE001 - metric absent on this node
+                pass
+        out.append(rec)
+    return out
+
+
 def shuffle_count(df: DataFrame) -> int:
     """Number of exchanges in the plan — the scale currency. Compare
     against expectation when composing operators."""

@@ -57,6 +57,7 @@ def load_all() -> dict[str, Query]:
             relational,
             scalar_suites,
             similarity,
+            storage,
             text,
             tpch,
             udfs,

@@ -1,0 +1,141 @@
+"""Storage-layer queries: snapshot-table MERGE and z-ordered layout.
+
+These make the round-6 storage features *gated behaviors* (driver
+oracle-checks the results) rather than unit-tested utilities only:
+
+* q128 builds a snapshot table (sources.table_format) from `orders`,
+  MERGEs an update+insert batch into it, and aggregates the merged
+  snapshot; the oracle recomputes the merge relationally (anti-join +
+  union) in DuckDB. Proves the commit-log MERGE path end-to-end.
+* q129 writes `orders` z-order-clustered on (o_custkey, o_totalprice)
+  (sources.write_zordered), reads it back through a 2-D box predicate,
+  and returns the matching rows; the oracle runs the same predicate on
+  the source. Proves the Morton layout round-trips bit-exactly; the
+  locality/row-group-skip effect is asserted in tests/test_bucketing.
+
+The reference has no mutation or layout surface (parser.rs:18-21 is
+SELECT-only; results never persist, README.md:288-315) — both
+capabilities are additions a 100 TB deployment cannot run without.
+
+Both queries materialize their (small) result and return it as a
+local DataFrame so the scratch table directory can be removed before
+returning — a lazily-evaluated result over deleted files would fail
+at the driver's collect.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpu_olap_engine_spark.queries import register
+from gpu_olap_engine_spark.queries.tables import T
+from gpu_olap_engine_spark.sources import table_format as tf
+from gpu_olap_engine_spark.sources import write_zordered
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Collect a small result and rebuild it schema-identically, so the
+    caller can delete the scratch files the lazy plan referenced."""
+    return df.sparkSession.createDataFrame(df.collect(), schema=df.schema)
+
+
+@register(
+    "q128_table_merge_snapshot",
+    oracle="""
+    WITH updates AS (
+        SELECT * REPLACE (o_totalprice * 2 AS o_totalprice)
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT * REPLACE (o_orderkey + 100000000 AS o_orderkey)
+        FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    merged AS (
+        SELECT o.* FROM orders o
+        WHERE NOT EXISTS (
+            SELECT 1 FROM updates u WHERE u.o_orderkey = o.o_orderkey
+        )
+        UNION ALL
+        SELECT * FROM updates
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_price
+    FROM merged
+    GROUP BY o_orderstatus
+    """,
+)
+def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-table MERGE end-to-end: create a commit-log table from
+    `orders`, merge a batch that reprices every 10th order (matched ->
+    replace) and inserts late-arriving orders under shifted keys
+    (unmatched -> insert) as ONE atomic commit, then aggregate the
+    merged snapshot. The whole mutation path — txn file write, manifest
+    publish, file-granular rewrite — sits between the source scan and
+    the checked result, so a wrong merge cannot hash-match the oracle's
+    relational recomputation. Doubling a double and the decimal-cast
+    sum are bit-exact on both engines (tables.py conventions)."""
+    orders = T(spark, sf_dir, "orders")
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    ).unionByName(
+        orders.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 100_000_000
+        )
+    )
+    scratch = tempfile.mkdtemp(prefix="q128_tf_")
+    try:
+        path = f"{scratch}/orders_t"
+        tf.create_table(orders, path)
+        tf.merge_into(spark, path, updates, ["o_orderkey"])
+        merged = tf.read_snapshot(spark, path)
+        return _materialize(
+            merged.groupBy("o_orderstatus").agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@register(
+    "q129_zorder_pruned_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 200
+      AND o_totalprice BETWEEN 50000 AND 100000
+    """,
+)
+def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout round-trip under a 2-D box predicate: write
+    `orders` Morton-clustered on (o_custkey, o_totalprice), read back
+    through BETWEEN predicates on BOTH dimensions, return the matching
+    rows. Correctness gate for the layout tool (the code is metadata
+    only — any normalization bug that leaked into data would
+    hash-mismatch here); the scan-efficiency effect (matching rows
+    concentrated in few files, row groups elsewhere skipped via
+    footer stats + pushed filters) is asserted separately in
+    tests/test_bucketing.py::test_zorder_concentrates_box_query."""
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    scratch = tempfile.mkdtemp(prefix="q129_z_")
+    try:
+        write_zordered(
+            orders, scratch + "/z", ["o_custkey", "o_totalprice"], target_files=8
+        )
+        back = spark.read.parquet(scratch + "/z").filter(
+            F.col("o_custkey").between(100, 200)
+            & F.col("o_totalprice").between(50000.0, 100000.0)
+        )
+        return _materialize(back)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -170,3 +170,40 @@ def test_zordered_write_localizes_all_dimensions(spark, tmp_path):
     # value has heavy-tailed outliers, so "no locality" lands around
     # 0.6-0.9 of global, still ~2x+ looser than the z-ordered layout)
     assert cv > 2 * zv, f"clustered value span {cv:.2f} vs z-order {zv:.2f}"
+
+
+def test_zorder_box_query_skips_row_groups(spark, tmp_path):
+    """Measured skip, not just layout stats: a 2-D box predicate over a
+    z-ordered table must DECODE far fewer rows than the same predicate
+    over a randomly-laid-out copy of the same data. scan_metrics reads
+    numOutputRows off the executed scan node — rows surviving parquet
+    row-group/page skipping from the pushed min/max filters — so this
+    asserts the end-to-end pruning machinery (Morton layout -> footer
+    stats -> pushdown -> skip), the behavior q129 relies on at scale."""
+    from pyspark.sql import functions as F
+
+    from gpu_olap_engine_spark.plans import scan_metrics
+    from gpu_olap_engine_spark.sources import write_zordered
+
+    n = 200_000
+    base = spark.range(n, numPartitions=8).select(
+        (F.col("id") % 1000).alias("x"),
+        ((F.col("id") * 7919) % 1000).alias("y"),
+    )
+    zpath, rpath = str(tmp_path / "z"), str(tmp_path / "r")
+    write_zordered(base, zpath, ["x", "y"], target_files=16)
+    base.repartition(16).write.parquet(rpath)  # round-robin: no locality
+
+    pred = "x BETWEEN 100 AND 199 AND y BETWEEN 100 AND 199"
+    zrows = scan_metrics(spark.read.parquet(zpath).filter(pred))[0]
+    rrows = scan_metrics(spark.read.parquet(rpath).filter(pred))[0]
+    assert rrows["numOutputRows"] == n  # random layout decodes everything
+    # the box is 1% of the key space; a 16-file z-order layout confines
+    # it to a handful of row groups — at least 4x fewer decoded rows
+    assert zrows["numOutputRows"] * 4 <= rrows["numOutputRows"], (
+        f"z-order decoded {zrows['numOutputRows']} of {n} rows"
+    )
+    # same answer both ways (the layout must never change results)
+    zc = spark.read.parquet(zpath).filter(pred).count()
+    rc = spark.read.parquet(rpath).filter(pred).count()
+    assert zc == rc > 0

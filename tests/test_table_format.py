@@ -1,0 +1,221 @@
+"""Snapshot-isolated table format: the ACID contract tests.
+
+The reference has no mutation surface (parser.rs:18-21 rejects
+non-SELECT); these tests pin the guarantees our commit-log format adds
+on top of plain parquet: atomic commits, snapshot-isolated readers,
+crash-safety mid-transaction, optimistic-concurrency conflicts,
+file-granular MERGE/DELETE rewrites, time travel, and vacuum.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gpu_olap_engine_spark.sources import table_format as tf
+
+
+def _mk(spark, tmp_path, n=100, parts=4):
+    path = str(tmp_path / "t")
+    df = spark.range(n, numPartitions=parts).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    tf.create_table(df, path)
+    return path
+
+
+def _rows(spark, path, version=None):
+    return {
+        (r["k"], r["v"])
+        for r in tf.read_snapshot(spark, path, version).collect()
+    }
+
+
+def test_create_and_read_roundtrip(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    assert tf.latest_version(path) == 0
+    assert _rows(spark, path) == {(i, i * 10) for i in range(100)}
+
+
+def test_append_adds_version_without_rewrite(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    before = set(tf._load_manifest(path, 0)["files"])
+    extra = spark.range(100, 110).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    tf.append_table(extra, path)
+    after = tf._load_manifest(path, 1)["files"]
+    assert before <= set(after)  # old files carried over byte-identical
+    assert _rows(spark, path) == {(i, i * 10) for i in range(110)}
+
+
+def test_merge_replaces_matched_and_inserts_new(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    updates = spark.createDataFrame(
+        [(5, -1), (7, -2), (200, -3)], "k long, v long"
+    )
+    stats = tf.merge_into(spark, path, updates, ["k"])
+    assert not stats["skipped"] and stats["version"] == 1
+    expect = {(i, i * 10) for i in range(100) if i not in (5, 7)}
+    expect |= {(5, -1), (7, -2), (200, -3)}
+    assert _rows(spark, path) == expect
+
+
+def test_merge_rewrites_only_touched_files(spark, tmp_path):
+    # keys 0..24 land in partition-0's file; a merge matching only
+    # key 3 must rewrite exactly one file and carry the rest over
+    path = _mk(spark, tmp_path, n=100, parts=4)
+    m0 = tf._load_manifest(path, 0)
+    assert len(m0["files"]) == 4
+    updates = spark.createDataFrame([(3, -1)], "k long, v long")
+    stats = tf.merge_into(spark, path, updates, ["k"])
+    assert stats["files_rewritten"] == 1
+    assert stats["files_untouched"] == 3
+    m1 = tf._load_manifest(path, 1)
+    assert len(set(m0["files"]) & set(m1["files"])) == 3
+
+
+def test_delete_where_is_file_granular(spark, tmp_path):
+    path = _mk(spark, tmp_path, n=100, parts=4)
+    deleted = tf.delete_where(spark, path, "k >= 90")
+    assert deleted == 10
+    assert _rows(spark, path) == {(i, i * 10) for i in range(90)}
+    # only the file(s) holding k>=90 were rewritten
+    m0, m1 = tf._load_manifest(path, 0), tf._load_manifest(path, 1)
+    assert len(set(m0["files"]) & set(m1["files"])) == 3
+
+
+def test_time_travel_reads_old_versions(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    tf.delete_where(spark, path, "k < 50")
+    tf.merge_into(
+        spark,
+        path,
+        spark.createDataFrame([(60, -6)], "k long, v long"),
+        ["k"],
+    )
+    assert _rows(spark, path, 0) == {(i, i * 10) for i in range(100)}
+    assert _rows(spark, path, 1) == {(i, i * 10) for i in range(50, 100)}
+    assert (60, -6) in _rows(spark, path, 2)
+    assert [h["op"] for h in tf.history(path)] == ["create", "delete", "merge"]
+
+
+def test_concurrent_reader_sees_consistent_snapshot(spark, tmp_path):
+    """A DataFrame pinned to version N still evaluates to version N's
+    exact content after later commits — data files are immutable and
+    commits only add manifests."""
+    path = _mk(spark, tmp_path)
+    reader = tf.read_snapshot(spark, path)  # pinned to v0's files
+    tf.merge_into(
+        spark,
+        path,
+        spark.createDataFrame([(0, -100)], "k long, v long"),
+        ["k"],
+    )
+    tf.delete_where(spark, path, "k > 10")
+    got = {(r["k"], r["v"]) for r in reader.collect()}
+    assert got == {(i, i * 10) for i in range(100)}
+
+
+def test_crash_before_publish_leaves_old_version(spark, tmp_path, monkeypatch):
+    """Crash-mid-commit: data files written, manifest never published.
+    Readers still see the old version; vacuum removes the orphan."""
+    path = _mk(spark, tmp_path)
+
+    def boom(*a, **kw):
+        raise OSError("simulated crash between data write and commit")
+
+    monkeypatch.setattr(tf, "_publish", boom)
+    with pytest.raises(OSError, match="simulated crash"):
+        tf.merge_into(
+            spark,
+            path,
+            spark.createDataFrame([(1, -1)], "k long, v long"),
+            ["k"],
+        )
+    monkeypatch.undo()
+    assert tf.latest_version(path) == 0
+    assert _rows(spark, path) == {(i, i * 10) for i in range(100)}
+    # the aborted txn left orphan data dirs; vacuum reaps exactly those
+    data = os.path.join(path, "data")
+    assert len(os.listdir(data)) > 1
+    removed = tf.vacuum_table(path)
+    assert removed >= 1
+    assert _rows(spark, path) == {(i, i * 10) for i in range(100)}
+
+
+def test_commit_conflict_detected_and_retry_succeeds(spark, tmp_path):
+    """Two writers race for the same version: exactly one wins, the
+    loser gets CommitConflict and succeeds on retry against the new
+    latest — with both updates present at the end."""
+    path = _mk(spark, tmp_path)
+    u1 = spark.createDataFrame([(1, -1)], "k long, v long")
+    u2 = spark.createDataFrame([(2, -2)], "k long, v long")
+
+    real_publish = tf._publish
+    state = {"interleaved": False}
+
+    def racing_publish(p, version, manifest):
+        if not state["interleaved"]:
+            state["interleaved"] = True
+            # writer B commits version 1 first, between A's read and link
+            tf.merge_into(spark, p, u2, ["k"])
+        real_publish(p, version, manifest)
+
+    tf._publish = racing_publish
+    try:
+        with pytest.raises(tf.CommitConflict):
+            tf.merge_into(spark, path, u1, ["k"])
+    finally:
+        tf._publish = real_publish
+    assert tf.latest_version(path) == 1  # B's commit
+    tf.merge_into(spark, path, u1, ["k"])  # A retries cleanly
+    rows = _rows(spark, path)
+    assert (1, -1) in rows and (2, -2) in rows
+
+
+def test_app_id_gives_exactly_once_merge(spark, tmp_path):
+    """The (ledger_key, batch_id) pair rides in the SAME manifest as
+    the data: a redelivered batch is skipped, so replay cannot
+    double-apply — the atomicity upsert_parquet's separate ledger file
+    could not provide."""
+    path = _mk(spark, tmp_path, n=10)
+    u = spark.createDataFrame([(3, -3)], "k long, v long")
+    s1 = tf.merge_into(spark, path, u, ["k"], app_id=("qA", 0))
+    assert not s1["skipped"]
+    s2 = tf.merge_into(spark, path, u, ["k"], app_id=("qA", 0))  # replay
+    assert s2["skipped"]
+    assert tf.latest_version(path) == 1
+    # a different query's batch 0 is NOT confused with qA's
+    s3 = tf.merge_into(
+        spark,
+        path,
+        spark.createDataFrame([(4, -4)], "k long, v long"),
+        ["k"],
+        app_id=("qB", 0),
+    )
+    assert not s3["skipped"]
+
+
+def test_compact_and_vacuum(spark, tmp_path):
+    path = _mk(spark, tmp_path, n=100, parts=8)
+    tf.compact_table(spark, path, target_files=2)
+    m = tf._load_manifest(path, 1)
+    assert len(m["files"]) == 2
+    assert _rows(spark, path) == {(i, i * 10) for i in range(100)}
+    removed = tf.vacuum_table(path, keep_versions=1)
+    assert removed == 1  # v0's txn dir dropped
+    with pytest.raises(FileNotFoundError):
+        tf._load_manifest(path, 0)  # history pruned
+    assert _rows(spark, path) == {(i, i * 10) for i in range(100)}
+
+
+def test_empty_table_after_full_delete_keeps_schema(spark, tmp_path):
+    path = _mk(spark, tmp_path, n=10)
+    deleted = tf.delete_where(spark, path, "k >= 0")
+    assert deleted == 10
+    df = tf.read_snapshot(spark, path)
+    assert df.columns == ["k", "v"]
+    assert df.count() == 0
