@@ -16,6 +16,8 @@ from gpu_olap_engine_spark.streaming.pipelines import (
     running_user_totals,
     session_counts,
     stream_upsert_user_totals,
+    stream_upsert_user_totals_txn,
+    txn_upsert_totals_sink,
     upsert_totals_sink,
     windowed_counts,
 )
@@ -29,5 +31,7 @@ __all__ = [
     "enrich_with_dimension",
     "purchases_with_recent_views",
     "stream_upsert_user_totals",
+    "stream_upsert_user_totals_txn",
+    "txn_upsert_totals_sink",
     "upsert_totals_sink",
 ]

@@ -256,6 +256,83 @@ def stream_upsert_user_totals(events: DataFrame, path: str, checkpoint_dir: str)
     )
 
 
+def txn_upsert_totals_sink(table_path: str, ledger_key: str):
+    """Transactional foreachBatch sink over the snapshot table format:
+    the additive per-user merge AND the applied-batch-id ledger commit
+    in ONE atomic manifest publish (table_format.merge_into app_id).
+
+    This closes the at-least-once window ``upsert_totals_sink``
+    documents: there, a crash between the parquet merge and the
+    separate ledger-file write lets a replayed batch double-count.
+    Here the crash points collapse to two cases, both safe:
+    * before the manifest link publishes — NOTHING is visible (the
+      txn's data files are unreferenced orphans for vacuum); the
+      replayed batch applies exactly once;
+    * after the link — the batch id is already in the manifest; the
+      replayed batch is skipped.
+    Data loss is impossible for the same reason: the source's
+    checkpoint only advances after foreachBatch returns, so an
+    unapplied batch is always redelivered.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from gpu_olap_engine_spark.sources import table_format as tf  # noqa: PLC0415
+
+        spark = batch_df.sparkSession
+        delta = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"), F.sum("value").alias("total_value")
+        )
+        existing = tf.read_snapshot(spark, table_path)
+        updates = (
+            delta.alias("d")
+            .join(existing.alias("e"), "user_id", "left")
+            .select(
+                "user_id",
+                (
+                    F.col("d.n_events") + F.coalesce(F.col("e.n_events"), F.lit(0))
+                ).alias("n_events"),
+                (
+                    F.col("d.total_value")
+                    + F.coalesce(F.col("e.total_value"), F.lit(0.0))
+                ).alias("total_value"),
+            )
+        )
+        tf.merge_into(
+            spark, table_path, updates, ["user_id"], app_id=(ledger_key, batch_id)
+        )
+
+    return sink
+
+
+def stream_upsert_user_totals_txn(
+    events: DataFrame, table_path: str, checkpoint_dir: str
+):
+    """Exactly-once incremental materialization: per-micro-batch user
+    totals merged into a snapshot table (sources.table_format), batch
+    id recorded in the same atomic commit — see txn_upsert_totals_sink.
+    Creates the (empty) table on first use so every batch takes the
+    same merge path. Returns the started StreamingQuery (availableNow).
+    """
+    from gpu_olap_engine_spark.sources import table_format as tf  # noqa: PLC0415
+
+    spark = events.sparkSession
+    try:
+        tf.latest_version(table_path)
+    except ValueError:
+        schema = events.groupBy("user_id").agg(
+            F.count("*").alias("n_events"), F.sum("value").alias("total_value")
+        ).schema
+        tf.create_table(spark.createDataFrame([], schema), table_path)
+    return (
+        events.writeStream.foreachBatch(
+            txn_upsert_totals_sink(table_path, checkpoint_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """Stateful exact dedup on event_id within the watermark horizon
     (dropDuplicatesWithinWatermark): the streaming analog of exact
