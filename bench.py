@@ -113,11 +113,20 @@ MICRO_GROUPS = {
         "micro_join_skewed_50pct_default",
         "micro_filter_scan_100m",
     ],
+    # DuckDB measured on THIS box, same shapes, same min-of-N protocol:
+    # the baseline's CPU numbers (BASELINE.md: join 18.3 s, group-by
+    # 78 M rows/s) are the reference README's prose with no hardware
+    # stated — these rows make the "x DuckDB" comparisons two
+    # measurements on one machine instead of ours vs. unbacked prose.
+    "duckdb": [
+        "duckdb_join_100m",
+        "duckdb_groupby_100m",
+    ],
     "bucketed": [
         "micro_join_bucketed_100m_x_100m",
     ],
 }
-GROUP_ORDER = ("join100", "light", "bucketed")
+GROUP_ORDER = ("join100", "light", "duckdb", "bucketed")
 ALL_MICROS = [n for g in GROUP_ORDER for n in MICRO_GROUPS[g]]
 # Adaptive reps: at least MIN_REPS (round-4 protocol), up to MAX_REPS
 # while the budget allows and the timings have not converged. A fresh
@@ -237,10 +246,67 @@ def _micro_frames(spark, group: str, ms: float):
     raise ValueError(group)
 
 
+def run_duckdb_child(runs_path: str, budget: float) -> None:
+    """Child-process entry for the DuckDB comparison rows: the same
+    generated join/group-by shapes, timed in-process with DuckDB on
+    the same cores, min-of-reps with the same convergence rule. Runs
+    in a child for the same crash isolation the Spark micros get."""
+    import duckdb  # noqa: PLC0415
+
+    deadline = time.monotonic() + budget
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    ms = float(os.environ.get("SPARK_GRAFT_MICRO_SCALE", "1.0"))
+    n = max(int(100_000_000 * ms), 1000)
+
+    con = duckdb.connect()
+    con.execute(f"PRAGMA threads={cpus}")
+    micros = [
+        (
+            "duckdb_join_100m",
+            f"SELECT count(*) AS c FROM "
+            f"(SELECT range AS k, range * 2 AS va FROM range({n})) a JOIN "
+            f"(SELECT range AS k, range * 3 AS vb FROM range({n})) b USING (k)",
+        ),
+        (
+            "duckdb_groupby_100m",
+            f"SELECT count(*) AS c FROM (SELECT range % 100000 AS k, "
+            f"count(*) AS cnt, sum(range) AS s FROM range({n}) GROUP BY k)",
+        ),
+    ]
+    # warmup: compile/alloc paths once at 1/1000 scale
+    con.sql(
+        "SELECT count(*) FROM range(100000) a JOIN range(100000) b"
+        " ON a.range = b.range"
+    ).fetchall()
+    with open(runs_path, "a") as out:
+        runs: dict[str, list[float]] = {name: [] for name, _ in micros}
+        for rep in range(MAX_REPS):
+            for name, sql in micros:
+                r = runs[name]
+                if rep > 0:
+                    proj = min(r) if len(r) >= 2 else r[0] / 4
+                    if time.monotonic() + proj > deadline:
+                        continue
+                if rep >= MIN_REPS and all(
+                    x <= min(r) * (1 + CONVERGED_PCT) + 0.2 for x in r[-2:]
+                ):
+                    continue
+                t0 = time.perf_counter()
+                con.sql(sql).fetchall()
+                t = time.perf_counter() - t0
+                r.append(t)
+                out.write(json.dumps({"name": name, "t": round(t, 3)}) + "\n")
+                out.flush()
+                os.fsync(out.fileno())
+
+
 def run_micro_child(group: str, runs_path: str, budget: float) -> None:
     """Child-process entry: run one micro group with its own Spark
     session, flushing every completed rep to `runs_path` immediately
     (JSONL) so a mid-run JVM death loses nothing already measured."""
+    if group == "duckdb":
+        run_duckdb_child(runs_path, budget)
+        return
     deadline = time.monotonic() + budget
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     ms = float(os.environ.get("SPARK_GRAFT_MICRO_SCALE", "1.0"))
@@ -273,6 +339,19 @@ def run_micro_child(group: str, runs_path: str, budget: float) -> None:
     spark.range(100_000).select(F.col("id").alias("k")).join(
         spark.range(100_000).select(F.col("id").alias("k")), "k"
     ).agg(F.count("*")).collect()
+    # mid-size warm pass (round-6, targeting rep-1/min <= 1.2): even
+    # with the heap pre-touched, the first 100M-row rep ran 1.4-1.9x
+    # the warm floor (r5 artifact: 8.26 s vs 5.53) — shuffle spill
+    # dirs, netty buffer pools, and the off-heap sort allocations are
+    # first-touched lazily too. A 20M-row pass through the same
+    # shuffle-join path (~1-2 s, untimed) warms them at 1/5 scale.
+    warm = max(int(20_000_000 * float(os.environ.get("SPARK_GRAFT_MICRO_SCALE", "1.0"))), 100_000)
+    wa = spark.range(warm, numPartitions=32).select(F.col("id").alias("k"))
+    wa.join(
+        spark.range(warm, numPartitions=32).select(F.col("id").alias("k")), "k"
+    ).select(F.count("*").alias("c")).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     try:
         if group == "bucketed":
@@ -462,7 +541,12 @@ def main() -> None:
     # largest share; light needs almost nothing; bucketed inherits
     # every earlier group's slack anyway (shares are of the REMAINING
     # wall at each launch).
-    group_weight = {"join100": 0.45, "light": 0.15, "bucketed": 0.40}
+    group_weight = {
+        "join100": 0.40,
+        "light": 0.13,
+        "duckdb": 0.15,
+        "bucketed": 0.32,
+    }
     for gi, group in enumerate(GROUP_ORDER):
         remaining = deadline - time.monotonic()
         if remaining < 45:

@@ -4,11 +4,18 @@
 tests/test_oracle.py pins the harness at sf0.01 (the driver's gate);
 this script runs the SAME exact comparison (row count + column names +
 bit-exact values, order-insensitive) at any fixture dir — the round
-evidence that every registry entry stays green at sf0.1, not just at
-the sampled scale.
+evidence that every registry entry stays green at sf0.1 and at the
+~sf1 replica (scripts/bench_scale.py --keep generates it), not just
+at the sampled scale.
 
 Usage: python3 scripts/oracle_sweep.py [sf_dir] [-k substring]
+           [--out summary.json] [--max-oracle-sec N]
 Prints one line per query and a final JSON summary line.
+
+--max-oracle-sec guards the sf1 runs: a DuckDB oracle that exceeds
+the budget is interrupted and recorded as "oracle_slow" (with its
+Spark row count) rather than silently skipped — the summary separates
+those from real failures.
 """
 
 from __future__ import annotations
@@ -16,6 +23,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 import traceback
 
@@ -29,12 +37,46 @@ from gpu_olap_engine_spark.queries.tables import TABLES
 from gpu_olap_engine_spark.session import get_spark
 
 
+def _oracle_with_budget(duck, sql: str, limit_s: float | None):
+    """Run the oracle, interrupting DuckDB if it exceeds the budget.
+    Returns (df, timed_out)."""
+    if not limit_s:
+        return duck.sql(sql).df(), False
+    done = threading.Event()
+    fired = threading.Event()
+
+    def watchdog():
+        if not done.wait(limit_s):
+            fired.set()
+            duck.interrupt()
+
+    th = threading.Thread(target=watchdog, daemon=True)
+    th.start()
+    try:
+        return duck.sql(sql).df(), False
+    except Exception:
+        if fired.is_set():
+            return None, True
+        raise
+    finally:
+        done.set()
+        th.join()
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    argv = sys.argv[1:]
+
+    def opt(name, default=None):
+        if name in argv:
+            return argv[argv.index(name) + 1]
+        return default
+
+    pat = opt("-k", "")
+    out_path = opt("--out")
+    max_oracle = float(opt("--max-oracle-sec", "0")) or None
+    skip_vals = {opt(n) for n in ("-k", "--out", "--max-oracle-sec") if opt(n)}
+    args = [a for a in argv if not a.startswith("-") and a not in skip_vals]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
-    pat = ""
-    if "-k" in sys.argv:
-        pat = sys.argv[sys.argv.index("-k") + 1]
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "16")
     # SPARK_GRAFT_SHUFFLE: sweep under a different partition layout
     # (e.g. 3) to prove results are partition-count invariant.
@@ -43,7 +85,11 @@ def main() -> None:
     from tests.test_oracle import assert_frames_match  # reuse the exact comparator
 
     spark = get_spark(
-        EngineConfig(shuffle_partitions=shuffle), master=f"local[{cpus}]"
+        EngineConfig(
+            shuffle_partitions=shuffle,
+            extra_confs={"spark.driver.extraJavaOptions": "-Xlog:disable"},
+        ),
+        master=f"local[{cpus}]",
     )
     spark.sparkContext.setLogLevel("ERROR")
     duck = duckdb.connect()
@@ -54,6 +100,7 @@ def main() -> None:
 
     registry = load_all()
     results: dict[str, str] = {}
+    secs: dict[str, float] = {}
     for name in sorted(registry):
         if pat and pat not in name:
             continue
@@ -65,29 +112,39 @@ def main() -> None:
                 results[name] = "rows_only"
                 status = f"rows_only ({len(spark_pdf)} rows)"
             else:
-                duck_pdf = duck.sql(q.oracle).df()
-                assert_frames_match(spark_pdf, duck_pdf, name)
-                results[name] = "pass"
-                status = f"pass ({len(spark_pdf)} rows)"
+                duck_pdf, slow = _oracle_with_budget(duck, q.oracle, max_oracle)
+                if slow:
+                    results[name] = "oracle_slow"
+                    status = (
+                        f"oracle_slow (>{max_oracle:.0f}s; spark "
+                        f"{len(spark_pdf)} rows ok)"
+                    )
+                else:
+                    assert_frames_match(spark_pdf, duck_pdf, name)
+                    results[name] = "pass"
+                    status = f"pass ({len(spark_pdf)} rows)"
         except Exception as e:  # noqa: BLE001 - report and continue
             results[name] = f"FAIL: {e}"
             status = "FAIL"
             traceback.print_exc(limit=3)
-        print(f"{name:40s} {status}  [{time.perf_counter() - t0:.1f}s]", flush=True)
+        secs[name] = round(time.perf_counter() - t0, 1)
+        print(f"{name:40s} {status}  [{secs[name]}s]", flush=True)
 
     n_pass = sum(1 for v in results.values() if v == "pass")
     n_fail = sum(1 for v in results.values() if v.startswith("FAIL"))
-    print(
-        json.dumps(
-            {
-                "sf_dir": sf_dir,
-                "pass": n_pass,
-                "fail": n_fail,
-                "rows_only": sum(1 for v in results.values() if v == "rows_only"),
-                "failed": [k for k, v in results.items() if v.startswith("FAIL")],
-            }
-        )
-    )
+    summary = {
+        "sf_dir": sf_dir,
+        "shuffle_partitions": shuffle,
+        "pass": n_pass,
+        "fail": n_fail,
+        "rows_only": sum(1 for v in results.values() if v == "rows_only"),
+        "oracle_slow": [k for k, v in results.items() if v == "oracle_slow"],
+        "failed": [k for k, v in results.items() if v.startswith("FAIL")],
+    }
+    print(json.dumps(summary))
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump({**summary, "status": results, "sec": secs}, f, indent=1)
     spark.stop()
     sys.exit(1 if n_fail else 0)
 
