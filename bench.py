@@ -97,11 +97,10 @@ HEADLINE = [
     "mm_decode_features",
 ]
 
-# Micro groups, each run in its own child process. Group order is the
-# launch order: the 100M x 100M joins (the baseline-headline shape and
-# the round-3/4 casualty) go first, into the freshest box; the bucketed
-# group (largest transient: two 100M-row table writes) goes last so a
-# budget squeeze drops it before anything else.
+# Micro groups, each run in its own child process. Launch order is
+# GROUP_ORDER below; the bucketed group (largest transient: two
+# 100M-row table writes) goes last so a budget squeeze drops it
+# before anything else.
 MICRO_GROUPS = {
     "join100": [
         "micro_join_int_100m_x_100m",
@@ -126,7 +125,14 @@ MICRO_GROUPS = {
         "micro_join_bucketed_100m_x_100m",
     ],
 }
-GROUP_ORDER = ("join100", "light", "duckdb", "bucketed")
+# duckdb runs FIRST: it is the lightest group, exits fully (memory
+# back to the OS) before any child JVM inflates a 24 GB heap, and a
+# measured r6 run showed the reverse order poisons it — after the
+# Spark children, DuckDB's join rep hit 73.6 s vs an 11 s isolated
+# floor (reclaim pressure), eating the group's whole budget. join100
+# (the baseline-headline shape) still gets a box no other JVM has
+# touched, since each group's JVM dies before the next starts.
+GROUP_ORDER = ("duckdb", "join100", "light", "bucketed")
 ALL_MICROS = [n for g in GROUP_ORDER for n in MICRO_GROUPS[g]]
 # Adaptive reps: at least MIN_REPS (round-4 protocol), up to MAX_REPS
 # while the budget allows and the timings have not converged. A fresh
@@ -260,6 +266,8 @@ def run_duckdb_child(runs_path: str, budget: float) -> None:
 
     con = duckdb.connect()
     con.execute(f"PRAGMA threads={cpus}")
+    # count(*) result: no ordering to preserve; drops a pipeline break
+    con.execute("SET preserve_insertion_order=false")
     micros = [
         (
             "duckdb_join_100m",
@@ -273,9 +281,12 @@ def run_duckdb_child(runs_path: str, budget: float) -> None:
             f"count(*) AS cnt, sum(range) AS s FROM range({n}) GROUP BY k)",
         ),
     ]
-    # warmup: compile/alloc paths once at 1/1000 scale
+    # warmup: a 10M-row join (~1 s) faults DuckDB's allocator pools
+    # before the timed reps — measured cold-rep spread without it was
+    # 14-32 s against an 11 s converged floor
+    wn = max(n // 10, 1000)
     con.sql(
-        "SELECT count(*) FROM range(100000) a JOIN range(100000) b"
+        f"SELECT count(*) FROM range({wn}) a JOIN range({wn}) b"
         " ON a.range = b.range"
     ).fetchall()
     with open(runs_path, "a") as out:
@@ -343,9 +354,10 @@ def run_micro_child(group: str, runs_path: str, budget: float) -> None:
     # with the heap pre-touched, the first 100M-row rep ran 1.4-1.9x
     # the warm floor (r5 artifact: 8.26 s vs 5.53) — shuffle spill
     # dirs, netty buffer pools, and the off-heap sort allocations are
-    # first-touched lazily too. A 20M-row pass through the same
-    # shuffle-join path (~1-2 s, untimed) warms them at 1/5 scale.
-    warm = max(int(20_000_000 * float(os.environ.get("SPARK_GRAFT_MICRO_SCALE", "1.0"))), 100_000)
+    # first-touched lazily too. A 50M-row pass through the same
+    # shuffle-join path (~3 s, untimed) warms them at half scale
+    # (20M was measured insufficient: rep-1/min stayed 1.43).
+    warm = max(int(50_000_000 * float(os.environ.get("SPARK_GRAFT_MICRO_SCALE", "1.0"))), 100_000)
     wa = spark.range(warm, numPartitions=32).select(F.col("id").alias("k"))
     wa.join(
         spark.range(warm, numPartitions=32).select(F.col("id").alias("k")), "k"
@@ -542,10 +554,10 @@ def main() -> None:
     # every earlier group's slack anyway (shares are of the REMAINING
     # wall at each launch).
     group_weight = {
+        "duckdb": 0.20,
         "join100": 0.40,
-        "light": 0.13,
-        "duckdb": 0.15,
-        "bucketed": 0.32,
+        "light": 0.12,
+        "bucketed": 0.35,
     }
     for gi, group in enumerate(GROUP_ORDER):
         remaining = deadline - time.monotonic()
@@ -557,10 +569,15 @@ def main() -> None:
         later = sum(group_weight[g] for g in GROUP_ORDER[gi:])
         # floor of 75s: enough for session start + the cold rep-1 pass
         # that guarantees each micro's row (the child only gates reps
-        # >= 2 on its deadline, so a floored child still lands rep 1)
+        # >= 2 on its deadline, so a floored child still lands rep 1).
+        # duckdb gets a 150s floor: its cold rep-1 spread (14-32 s
+        # measured against an 11 s floor) needs 3 reps of each shape
+        # to converge, and its weight share lands under the generic
+        # floor anyway — the slack comes out of the joins' surplus.
+        floor = 150.0 if group == "duckdb" else 75.0
         child_budget = max(
             min(remaining * group_weight[group] / later - 10, remaining - 15),
-            75.0,
+            floor,
         )
         state["notes"].append(f"{group}: budget {child_budget:.0f}s")
         cmd = [

@@ -12,6 +12,8 @@ oracle-checks the results) rather than unit-tested utilities only:
   and returns the matching rows; the oracle runs the same predicate on
   the source. Proves the Morton layout round-trips bit-exactly; the
   locality/row-group-skip effect is asserted in tests/test_bucketing.
+* q130 mutates a snapshot table twice (DELETE, compact) and reads
+  VERSION 0 back — time travel gated against the untouched source.
 
 The reference has no mutation or layout surface (parser.rs:18-21 is
 SELECT-only; results never persist, README.md:288-315) — both
@@ -95,6 +97,46 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged = tf.read_snapshot(spark, path)
         return _materialize(
             merged.groupBy("o_orderstatus").agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@register(
+    "q130_table_time_travel",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel as a gated behavior: create a snapshot table from
+    `orders`, DELETE half of it (version 1), compact the survivor
+    files (version 2) — then read VERSION 0 and aggregate. The oracle
+    aggregates the untouched source, so any leakage of the later
+    mutations into the old snapshot (a rewritten file, wrong manifest
+    resolution, a compaction touching referenced files) hash-
+    mismatches. The reference cannot express any of this (SELECT-only
+    parser, parser.rs:18-21; results never persist)."""
+    orders = T(spark, sf_dir, "orders")
+    scratch = tempfile.mkdtemp(prefix="q130_tt_")
+    try:
+        path = f"{scratch}/orders_t"
+        tf.create_table(orders, path)
+        tf.delete_where(spark, path, "o_orderkey % 2 = 0")
+        tf.compact_table(spark, path, target_files=2)
+        v0 = tf.read_snapshot(spark, path, version=0)
+        return _materialize(
+            v0.groupBy("o_orderpriority").agg(
                 F.count("*").alias("n_orders"),
                 F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
                 .cast("double")
