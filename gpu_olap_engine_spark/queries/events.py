@@ -437,11 +437,15 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q94_hierarchy_rollup",
     oracle=f"""
-    WITH RECURSIVE anc AS (
-        SELECT o_orderkey AS node, o_orderkey // 3 AS anc
+    WITH RECURSIVE e AS (
+        SELECT o_orderkey AS node, o_orderkey // 3 AS parent
         FROM orders WHERE o_orderkey > 0
+    ),
+    anc AS (
+        SELECT node, parent AS anc FROM e WHERE node != parent
         UNION ALL
-        SELECT a.node, a.anc // 3 FROM anc a WHERE a.anc > 0
+        SELECT a.node, e.parent FROM anc a JOIN e ON a.anc = e.node
+        WHERE e.node != e.parent
     ),
     pairs AS (
         SELECT node, anc FROM anc
@@ -459,12 +463,19 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical (recursive) aggregate: subtree size and value
     rollup over a ternary order hierarchy (parent(k) = k div 3 — a
-    data-driven edge table, walked, not computed in closed form). The
-    recursive-CTE query class: the oracle uses WITH RECURSIVE; the
-    Spark side builds the ancestor closure by pointer doubling
+    data-driven edge table, WALKED, not computed in closed form: an
+    ancestor chain exists only through intermediate nodes that exist
+    as orders). The recursive-CTE query class: the oracle's WITH
+    RECURSIVE joins the same edge table per step — NOT the arithmetic
+    recursion anc -> anc // 3, which silently diverges on sparse key
+    spaces by walking through keys no order has (the round-6 sf1
+    replica, with its 1e9-stride replica offsets, caught exactly that
+    oracle bug: node 1's subtree counted 1.5M arithmetically vs 150k
+    walked). The Spark side builds the closure by pointer doubling
     (operators.graph.ancestor_closure — ceil(log2 depth) distributed
-    join rounds, 4 for this ~11-deep tree), then one join + aggregate.
-    The closure is |nodes| x avg-depth rows; at 100 TB the doubling
+    join rounds: 4 for the dense fixture's ~11-deep tree; the count
+    fixpoint, not a precomputed depth, decides termination). The
+    closure is |nodes| x avg-depth rows; at 100 TB the doubling
     rounds are the whole point — a per-level loop would take depth
     sequential shuffles."""
     from gpu_olap_engine_spark.operators.graph import (  # noqa: PLC0415

@@ -231,6 +231,12 @@ def merge_into(
     ledger entry are visible or neither is — a redelivered batch whose
     id is already recorded is skipped. Raises CommitConflict if a
     concurrent writer commits first (caller retries on the new latest).
+
+    Semantics notes: rows in `updates` sharing a key ALL land (replace-
+    with-provided-rows, not Delta's multiple-match error — pre-aggregate
+    if one-row-per-key matters). `updates`' lineage is consumed up to
+    three times (key derivation for the semi/anti joins + the write);
+    callers with an expensive update pipeline should persist() it.
     """
     v = latest_version(path)
     manifest = _load_manifest(path, v)

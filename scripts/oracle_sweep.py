@@ -94,9 +94,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     duck = duckdb.connect()
     for t in TABLES:
-        duck.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        # driver fixtures are single files; the sf1 replica's tables
+        # are Spark-written DIRECTORIES of part files — glob those
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        duck.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     registry = load_all()
     results: dict[str, str] = {}
