@@ -851,3 +851,228 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("filled_value"),
         F.col("v").isNull().alias("is_gap"),
     )
+
+
+@register(
+    "q131_asof_join_forward",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT event_id, user_id, {_US} AS us,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_probe
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ), carried AS (
+        SELECT event_id, user_id, is_probe,
+               FIRST_VALUE(CASE WHEN is_probe = 0 THEN event_id END IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                         ORDER BY us, 1 - is_probe, event_id
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS matched_view_id
+        FROM tagged
+    )
+    SELECT event_id AS purchase_id, user_id,
+           CAST(matched_view_id AS DOUBLE) AS matched_view_id
+    FROM carried WHERE is_probe = 1
+    """,
+)
+def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each 'purchase' matched to the user's
+    EARLIEST 'view' at-or-after it (the mirror of q34's backward
+    match — e.g. "next quote after the trade"). Same union-style
+    single-shuffle plan: tag both streams, one sort per user
+    partition, carry the first build-side id backward over a
+    CURRENT ROW .. UNBOUNDED FOLLOWING frame. Ties (view.ts ==
+    purchase.ts) order probe-first so >= semantics include the
+    simultaneous view. Reference has only inner/outer equi-joins
+    (logical_plan.rs:52-58); neither as-of direction exists there."""
+    ev = _with_us(
+        T(spark, sf_dir, "events").filter(F.col("event_type").isin("view", "purchase"))
+    )
+    tagged = ev.withColumn(
+        "is_probe", F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us"), (F.lit(1) - F.col("is_probe")), F.col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = tagged.withColumn(
+        "matched_view_id",
+        F.first(
+            F.when(F.col("is_probe") == 0, F.col("event_id")), ignorenulls=True
+        ).over(w),
+    )
+    return carried.filter(F.col("is_probe") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("matched_view_id").cast("double").alias("matched_view_id"),
+    )
+
+
+# 5-minute tolerance for the nearest-match as-of (microseconds).
+_ASOF_TOL_US = 300_000_000
+
+
+@register(
+    "q132_asof_join_nearest",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT event_id, user_id, {_US} AS us,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_probe
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ), carried AS (
+        SELECT event_id, user_id, us, is_probe,
+               LAST_VALUE(CASE WHEN is_probe = 0 THEN event_id END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY us, is_probe, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS back_id,
+               LAST_VALUE(CASE WHEN is_probe = 0 THEN us END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY us, is_probe, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS back_us,
+               FIRST_VALUE(CASE WHEN is_probe = 0 THEN event_id END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY us, 1 - is_probe, event_id
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS fwd_id,
+               FIRST_VALUE(CASE WHEN is_probe = 0 THEN us END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY us, 1 - is_probe, event_id
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS fwd_us
+        FROM tagged
+    )
+    SELECT event_id AS purchase_id, user_id,
+           CAST(CASE
+             WHEN back_us IS NOT NULL AND us - back_us <= {_ASOF_TOL_US}
+                  AND (fwd_us IS NULL OR fwd_us - us > {_ASOF_TOL_US}
+                       OR us - back_us <= fwd_us - us)
+               THEN back_id
+             WHEN fwd_us IS NOT NULL AND fwd_us - us <= {_ASOF_TOL_US}
+               THEN fwd_id
+             ELSE NULL
+           END AS DOUBLE) AS matched_view_id
+    FROM carried WHERE is_probe = 1
+    """,
+)
+def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-within-tolerance as-of join: each 'purchase' matched to
+    the temporally CLOSEST 'view' within +/-5 minutes, earlier wins
+    ties — the sensor-fusion / trade-vs-quote alignment semantics
+    (pandas merge_asof direction='nearest' + tolerance). Composed
+    from the q34 backward carry and the q131 forward carry in ONE
+    window pass per direction over the same shuffled layout — two
+    sorts, one shuffle, no self-join, so the 100 TB cost is identical
+    to a plain as-of. All delta arithmetic is integer microseconds."""
+    ev = _with_us(
+        T(spark, sf_dir, "events").filter(F.col("event_type").isin("view", "purchase"))
+    )
+    tagged = ev.withColumn(
+        "is_probe", F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "is_probe", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us"), (F.lit(1) - F.col("is_probe")), F.col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    is_view = F.col("is_probe") == 0
+    carried = (
+        tagged.withColumn(
+            "back_id", F.last(F.when(is_view, F.col("event_id")), True).over(wb)
+        )
+        .withColumn("back_us", F.last(F.when(is_view, F.col("us")), True).over(wb))
+        .withColumn(
+            "fwd_id", F.first(F.when(is_view, F.col("event_id")), True).over(wf)
+        )
+        .withColumn("fwd_us", F.first(F.when(is_view, F.col("us")), True).over(wf))
+    )
+    tol = F.lit(_ASOF_TOL_US)
+    d_back = F.col("us") - F.col("back_us")
+    d_fwd = F.col("fwd_us") - F.col("us")
+    matched = (
+        F.when(
+            F.col("back_us").isNotNull()
+            & (d_back <= tol)
+            & (F.col("fwd_us").isNull() | (d_fwd > tol) | (d_back <= d_fwd)),
+            F.col("back_id"),
+        )
+        .when(F.col("fwd_us").isNotNull() & (d_fwd <= tol), F.col("fwd_id"))
+        .otherwise(F.lit(None))
+    )
+    return carried.filter(F.col("is_probe") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        matched.cast("double").alias("matched_view_id"),
+    )
+
+
+# Attribution lookback window (microseconds): 6 hours.
+_ATTR_LOOKBACK_US = 21_600_000_000
+
+
+@register(
+    "q133_touch_attribution",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type, {_US} AS us FROM events
+    ),
+    p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+    t AS (SELECT * FROM ev WHERE event_type <> 'purchase')
+    SELECT p.event_id AS purchase_id, p.user_id,
+           arg_min(t.event_type, t.us::HUGEINT * 100000000 + t.event_id)
+               AS first_touch,
+           arg_max(t.event_type, t.us::HUGEINT * 100000000 + t.event_id)
+               AS last_touch,
+           COUNT(*) AS n_touches
+    FROM p JOIN t
+      ON t.user_id = p.user_id
+     AND t.us <= p.us AND t.us >= p.us - {_ATTR_LOOKBACK_US}
+    GROUP BY 1, 2
+    """,
+)
+def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-touch attribution: for every purchase, the FIRST and
+    LAST non-purchase touch inside a 6-hour lookback, plus the
+    touch count — the first-touch/last-touch credit assignment a
+    growth pipeline computes per conversion. Implemented as a
+    time-BUCKETED candidate equi-join (bucket = lookback width, probe
+    joins buckets b and b-1) exactly like the q91 interval join, so
+    candidates are bounded by per-user activity in ~12 hours, never the
+    full history; min_by/max_by on the (us, event_id) struct keeps
+    tie-breaks deterministic on both engines. Purchases with an empty
+    lookback are excluded (inner semantics, documented)."""
+    ev = _with_us(T(spark, sf_dir, "events"))
+    lb = F.lit(_ATTR_LOOKBACK_US)
+    bucket = (F.col("us") / lb).cast("long")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("us").alias("p_us"),
+        )
+        .withColumn("b", (F.col("p_us") / lb).cast("long"))
+        .withColumn("probe_b", F.explode(F.array(F.col("b"), F.col("b") - 1)))
+    )
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("t_type"),
+        F.col("us").alias("t_us"),
+        bucket.alias("t_b"),
+    )
+    cand = p.join(
+        t,
+        (F.col("t_user") == F.col("user_id")) & (F.col("t_b") == F.col("probe_b")),
+    ).filter(
+        (F.col("t_us") <= F.col("p_us"))
+        & (F.col("t_us") >= F.col("p_us") - lb)
+    )
+    key = F.struct(F.col("t_us"), F.col("t_id"))
+    return cand.groupBy("purchase_id", "user_id").agg(
+        F.min_by(F.col("t_type"), key).alias("first_touch"),
+        F.max_by(F.col("t_type"), key).alias("last_touch"),
+        F.count("*").alias("n_touches"),
+    )
