@@ -181,3 +181,57 @@ def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(back)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@register(
+    "q134_table_skipping_evolved",
+    oracle="""
+    WITH snap AS (
+        SELECT o_totalprice, CAST(NULL AS VARCHAR) AS channel FROM orders
+        UNION ALL
+        SELECT o_totalprice, 'late' AS channel
+        FROM orders WHERE o_orderkey % 13 = 0
+    )
+    SELECT channel,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_price
+    FROM snap
+    WHERE o_totalprice < 50000
+    GROUP BY channel
+    """,
+)
+def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest data skipping + schema evolution, gated end-to-end:
+    create a snapshot table from `orders` range-clustered on
+    o_totalprice (tight per-file stat ranges), evolve its schema by
+    appending a 'late' batch carrying a NEW `channel` column
+    (merge_schema=True — pre-evolution rows must surface NULL), then
+    read through a price predicate that the manifest prunes at file
+    level AND applies row-level, aggregating by the evolved column.
+    A stats bug that over-prunes loses rows; an evolution bug that
+    misaligns columns or drops the NULL backfill changes the group
+    keys — either hash-mismatches the oracle's relational twin. File-
+    level skip counts are asserted in tests/test_table_format.py."""
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    late = orders.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+        "channel", F.lit("late")
+    )
+    scratch = tempfile.mkdtemp(prefix="q134_ds_")
+    try:
+        path = f"{scratch}/orders_t"
+        tf.create_table(orders.repartitionByRange(8, "o_totalprice"), path)
+        tf.append_table(late, path, merge_schema=True)
+        snap = tf.read_snapshot(
+            spark, path, predicate=[("o_totalprice", "<", 50000.0)]
+        )
+        return _materialize(
+            snap.groupBy("channel").agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -45,6 +45,27 @@ matching keys (found with a semi-join on ``input_file_name``), not
 the table. A production deployment would shard the file list into
 Iceberg-style manifest files once it exceeds a few million entries;
 the commit protocol is unchanged by that.
+
+Data skipping (Delta/Iceberg-style): every committed file carries
+per-column min/max/null-count stats in the manifest, harvested from
+the parquet FOOTERS at commit time (metadata-only — no data pass; on
+a cluster each executor would report the footers of the files it just
+wrote). ``read_snapshot(..., predicate=[(col, op, lit), ...])``
+drops files whose stat range provably excludes the conjunction
+BEFORE Spark ever lists them — at 100 TB this is the difference
+between a point lookup touching O(selectivity) files and planning a
+million-file scan. ``merge_into`` uses the same stats to pre-prune
+its touched-file search to files whose key range intersects the
+update batch. Pruning is conservative: a file with missing stats (or
+a string column, where parquet footer truncation can make the stored
+max an unsafe bound) is always kept, so results never change — only
+the file list shrinks.
+
+Schema evolution: ``append_table(..., merge_schema=True)`` widens the
+table schema with the batch's new columns (additive only — a changed
+dtype for an existing name is rejected). Old files are read through
+the widened schema, so pre-evolution rows surface NULL for the new
+columns, and time travel to old versions still sees the old schema.
 """
 
 from __future__ import annotations
@@ -132,6 +153,143 @@ def _write_txn_files(df: DataFrame, path: str) -> list[str]:
     return out
 
 
+def _stat_value(v):
+    """JSON-safe (tag, value) for a footer min/max. Tag 'n' compares
+    numerically, 'd' lexicographically over ISO-8601 (zero-padded, so
+    string order == time order). Strings return tag 's' and are stored
+    for introspection but never used to prune: parquet writers may
+    truncate long string bounds, which keeps min a valid lower bound
+    but can make the stored max smaller than the true max."""
+    import datetime  # noqa: PLC0415
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float)):
+        # ints stay exact: Python's mixed int/float comparisons are
+        # mathematically correct, floats would misprune near 2**53
+        return ("n", v)
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return ("d", v.isoformat())
+    if isinstance(v, bytes):
+        try:
+            v = v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, str):
+        return ("s", v)
+    return None
+
+
+def _stats_for(path: str, files: list[str]) -> dict[str, dict]:
+    """Per-file column stats from parquet footers (metadata-only read;
+    the cluster analog is each writer task reporting the footers it
+    just produced). Shape per file::
+
+        {"rows": n, "cols": {name: {"t": tag, "lo": x, "hi": y,
+                                    "nulls": n_null}}}
+
+    A column missing from "cols" (nested, all-null, unsupported type,
+    or absent footer stats) is simply never pruned on."""
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    out: dict[str, dict] = {}
+    for rel in files:
+        md = pq.ParquetFile(os.path.join(path, rel)).metadata
+        cols: dict[str, dict] = {}
+        bad: set[str] = set()
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                name = c.path_in_schema
+                if "." in name or name in bad:
+                    continue
+                st = c.statistics
+                if st is None or not st.has_min_max:
+                    bad.add(name)
+                    cols.pop(name, None)
+                    continue
+                lo, hi = _stat_value(st.min), _stat_value(st.max)
+                if lo is None or hi is None or lo[0] != hi[0]:
+                    bad.add(name)
+                    cols.pop(name, None)
+                    continue
+                nulls = st.null_count if st.has_null_count else None
+                prev = cols.get(name)
+                if prev is None:
+                    cols[name] = {
+                        "t": lo[0], "lo": lo[1], "hi": hi[1], "nulls": nulls,
+                    }
+                else:
+                    prev["lo"] = min(prev["lo"], lo[1])
+                    prev["hi"] = max(prev["hi"], hi[1])
+                    prev["nulls"] = (
+                        None if (prev["nulls"] is None or nulls is None)
+                        else prev["nulls"] + nulls
+                    )
+        out[rel] = {"rows": md.num_rows, "cols": cols}
+    return out
+
+
+# Predicate conjuncts accepted by read_snapshot / _file_may_match:
+# (column, op, literal) with op in _OPS. Evaluated against file stat
+# ranges three-valued: True = file may contain a matching row.
+_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _file_may_match(fstats: dict | None, predicate) -> bool:
+    """Conservative file-level test: False only when the stats PROVE no
+    row in the file satisfies every conjunct."""
+    import datetime  # noqa: PLC0415
+
+    if not fstats:
+        return True
+    if fstats.get("rows") == 0:
+        return False
+    for col, op, lit in predicate:
+        if op not in _OPS:
+            raise ValueError(f"unsupported predicate op: {op!r}")
+        cs = fstats.get("cols", {}).get(col)
+        if cs is None or cs["t"] == "s":
+            continue  # no safe bounds -> cannot exclude
+        if cs["t"] == "d":
+            if isinstance(lit, (datetime.date, datetime.datetime)):
+                lit = lit.isoformat()
+            lit = str(lit)
+        elif cs["t"] == "n":
+            if not isinstance(lit, (int, float)) or isinstance(lit, bool):
+                raise ValueError(
+                    f"numeric column {col!r} needs a numeric literal, "
+                    f"got {lit!r}"
+                )
+        lo, hi = cs["lo"], cs["hi"]
+        excluded = (
+            (op == "=" and not (lo <= lit <= hi))
+            or (op == "<" and lo >= lit)
+            or (op == "<=" and lo > lit)
+            or (op == ">" and hi <= lit)
+            or (op == ">=" and hi < lit)
+        )
+        if excluded:
+            return False
+    return True
+
+
+def prune_files(
+    path: str, version: int | None, predicate
+) -> tuple[list[str], int]:
+    """(surviving manifest-relative files, total files in the
+    snapshot) for a conjunctive predicate — the data-skipping planner,
+    exposed for tests and for scan-efficiency introspection."""
+    v = latest_version(path) if version is None else version
+    manifest = _load_manifest(path, v)
+    stats = manifest.get("stats", {})
+    kept = [
+        f for f in manifest["files"]
+        if _file_may_match(stats.get(f), predicate)
+    ]
+    return kept, len(manifest["files"])
+
+
 def create_table(df: DataFrame, path: str) -> int:
     """Create a snapshot table at `path` from `df` (version 0)."""
     if _list_versions(path):
@@ -148,39 +306,98 @@ def create_table(df: DataFrame, path: str) -> int:
             "files": files,
             "schema": df.schema.jsonValue(),
             "app_ids": {},
+            "stats": _stats_for(path, files),
         },
     )
     return 0
 
 
 def read_snapshot(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    predicate=None,
 ) -> DataFrame:
     """Read one committed version (latest by default — time travel by
     passing an older `version`). The returned DataFrame is pinned to
     that snapshot's immutable files: later commits never change what
     it reads (vacuum of still-referenced versions is the only way to
-    invalidate it)."""
+    invalidate it).
+
+    `predicate=[(col, op, literal), ...]` (AND of conjuncts, op in
+    =/</<=/>/>=) activates manifest-level data skipping: files whose
+    footer-stat ranges provably exclude the conjunction are dropped
+    from the scan plan entirely, and the predicate is ALSO applied
+    row-level to the surviving files, so the result equals filtering
+    the full snapshot — only cheaper."""
     v = latest_version(path) if version is None else version
     manifest = _load_manifest(path, v)
     schema = StructType.fromJson(manifest["schema"])
-    files = [os.path.join(path, f) for f in manifest["files"]]
+    if predicate:
+        rel, _total = prune_files(path, v, predicate)
+    else:
+        rel = manifest["files"]
+    files = [os.path.join(path, f) for f in rel]
     if not files:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*files)
+        df = spark.createDataFrame([], schema)
+    else:
+        df = spark.read.schema(schema).parquet(*files)
+    if predicate:
+        for col, op, lit in predicate:
+            c = F.col(col)
+            df = df.filter(
+                {"=": c == lit, "<": c < lit, "<=": c <= lit,
+                 ">": c > lit, ">=": c >= lit}[op]
+            )
+    return df
 
 
-def append_table(df: DataFrame, path: str) -> int:
-    """Append rows as a new version (no rewrite of existing files)."""
+def append_table(df: DataFrame, path: str, merge_schema: bool = False) -> int:
+    """Append rows as a new version (no rewrite of existing files).
+
+    With `merge_schema=True` the batch may carry columns the table has
+    never seen: the table schema is widened additively in the same
+    commit, old files read through the widened schema surface NULL for
+    the new columns, and time travel to earlier versions still sees
+    the old schema. A changed dtype for an existing column is rejected
+    either way (evolution is add-only, like Delta's mergeSchema). The
+    batch may also OMIT existing columns — they land as NULL."""
     v = latest_version(path)
     manifest = _load_manifest(path, v)
-    files = _write_txn_files(df, path)
+    table_schema = StructType.fromJson(manifest["schema"])
+    by_name = {f.name: f for f in table_schema.fields}
+    added = []
+    for f in df.schema.fields:
+        have = by_name.get(f.name)
+        if have is None:
+            added.append(f)
+        elif have.dataType != f.dataType:
+            raise ValueError(
+                f"column {f.name!r} type change "
+                f"{have.dataType.simpleString()} -> "
+                f"{f.dataType.simpleString()} is not supported"
+            )
+    if added and not merge_schema:
+        raise ValueError(
+            f"batch adds columns {[f.name for f in added]}; "
+            "pass merge_schema=True to evolve the table schema"
+        )
+    new_schema = StructType(table_schema.fields + added)
+    aligned = df.select(
+        *[
+            F.col(f.name) if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in new_schema.fields
+        ]
+    )
+    files = _write_txn_files(aligned, path)
     new = {
         "version": v + 1,
         "op": "append",
         "files": manifest["files"] + files,
-        "schema": manifest["schema"],
+        "schema": new_schema.jsonValue(),
         "app_ids": manifest.get("app_ids", {}),
+        "stats": {**manifest.get("stats", {}), **_stats_for(path, files)},
     }
     _publish(path, v + 1, new)
     return v + 1
@@ -245,8 +462,25 @@ def merge_into(
         return {"version": v, "skipped": True, "files_rewritten": 0}
 
     keys = updates.select(*key).distinct()
+    # stats fast-path: a single-column key lets the manifest exclude
+    # files whose key range cannot intersect the update batch BEFORE
+    # the semi-join scan — a selective merge plans O(matched files)
+    # from metadata alone
+    candidates = manifest["files"]
+    stats = manifest.get("stats", {})
+    if len(key) == 1 and stats:
+        row = updates.agg(
+            F.min(key[0]).alias("lo"), F.max(key[0]).alias("hi")
+        ).collect()[0]
+        if row["lo"] is None:
+            candidates = []
+        else:
+            rng = [(key[0], ">=", row["lo"]), (key[0], "<=", row["hi"])]
+            candidates = [
+                f for f in candidates if _file_may_match(stats.get(f), rng)
+            ]
     touched = _touched_files(
-        manifest["files"], path, spark, lambda df: df.join(keys, key, "left_semi")
+        candidates, path, spark, lambda df: df.join(keys, key, "left_semi")
     )
     untouched = [f for f in manifest["files"] if f not in set(touched)]
     if touched:
@@ -265,6 +499,13 @@ def merge_into(
         "files": untouched + files,
         "schema": manifest["schema"],
         "app_ids": app_ids,
+        "stats": {
+            **{
+                f: s for f, s in manifest.get("stats", {}).items()
+                if f not in set(touched)
+            },
+            **_stats_for(path, files),
+        },
     }
     _publish(path, v + 1, new)
     return {
@@ -289,14 +530,25 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
     if touched:
         hit = spark.read.parquet(*[os.path.join(path, f) for f in touched])
         kept = hit.filter(f"NOT ({predicate})")
-        deleted = hit.count() - kept.count()
-        files = _write_txn_files(kept, path)
+        n_kept = kept.count()
+        deleted = hit.count() - n_kept
+        if n_kept:
+            files = _write_txn_files(kept, path)
+        # else: every row in the touched files matched — drop them
+        # from the manifest without writing empty replacements
     new = {
         "version": v + 1,
         "op": "delete",
         "files": [f for f in manifest["files"] if f not in set(touched)] + files,
         "schema": manifest["schema"],
         "app_ids": manifest.get("app_ids", {}),
+        "stats": {
+            **{
+                f: s for f, s in manifest.get("stats", {}).items()
+                if f not in set(touched)
+            },
+            **_stats_for(path, files),
+        },
     }
     _publish(path, v + 1, new)
     return deleted
@@ -318,6 +570,7 @@ def compact_table(spark: SparkSession, path: str, target_files: int) -> int:
             "files": files,
             "schema": manifest["schema"],
             "app_ids": manifest.get("app_ids", {}),
+            "stats": _stats_for(path, files),
         },
     )
     return v + 1

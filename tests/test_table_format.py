@@ -219,3 +219,127 @@ def test_empty_table_after_full_delete_keeps_schema(spark, tmp_path):
     df = tf.read_snapshot(spark, path)
     assert df.columns == ["k", "v"]
     assert df.count() == 0
+
+
+# ---------------------------------------------------------------- stats
+
+
+def test_manifest_records_footer_stats(spark, tmp_path):
+    """Every commit carries per-file min/max/null stats harvested from
+    the parquet footers (metadata-only), keyed by manifest path."""
+    path = _mk(spark, tmp_path, n=100, parts=4)
+    m = tf._load_manifest(path, 0)
+    assert set(m["stats"]) == set(m["files"])
+    total = 0
+    for f in m["files"]:
+        s = m["stats"][f]
+        total += s["rows"]
+        ks = s["cols"]["k"]
+        assert ks["t"] == "n" and 0 <= ks["lo"] <= ks["hi"] <= 99
+        assert ks["nulls"] == 0
+    assert total == 100
+
+
+def test_pruned_read_skips_files_and_matches_full_filter(spark, tmp_path):
+    """Data skipping: spark.range files cover disjoint k ranges, so a
+    point/range predicate provably excludes most files from the plan —
+    and the pruned read returns exactly the full-filter result."""
+    path = _mk(spark, tmp_path, n=1000, parts=8)
+    kept, total = tf.prune_files(path, None, [("k", "=", 3)])
+    assert total == 8 and len(kept) == 1
+    kept, _ = tf.prune_files(path, None, [("k", ">=", 900)])
+    assert len(kept) == 1
+    kept, _ = tf.prune_files(path, None, [("k", "<", 250)])
+    assert len(kept) == 2
+    got = {
+        (r["k"], r["v"])
+        for r in tf.read_snapshot(
+            spark, path, predicate=[("k", ">=", 900), ("k", "<", 905)]
+        ).collect()
+    }
+    assert got == {(i, i * 10) for i in range(900, 905)}
+
+
+def test_pruning_is_conservative_without_stats(spark, tmp_path):
+    """A manifest with no stats (older table / unsupported column)
+    keeps every file — pruning never changes results, only cost."""
+    import json as _json
+
+    path = _mk(spark, tmp_path, n=50, parts=4)
+    mpath = os.path.join(path, "_commits", f"{0:012d}.json")
+    m = tf._load_manifest(path, 0)
+    m.pop("stats")
+    os.unlink(mpath)
+    with open(mpath, "w") as fh:
+        _json.dump(m, fh)
+    kept, total = tf.prune_files(path, None, [("k", "=", 3)])
+    assert len(kept) == total == 4
+    got = tf.read_snapshot(spark, path, predicate=[("k", "=", 3)]).collect()
+    assert [(r["k"], r["v"]) for r in got] == [(3, 30)]
+
+
+def test_merge_stats_fastpath_prunes_candidates(spark, tmp_path):
+    """A selective merge only SCANS files whose key range intersects
+    the update batch: the input_file_name semi-join runs over the
+    stats-pruned candidate list, not the table."""
+    path = _mk(spark, tmp_path, n=1000, parts=8)
+    seen = {}
+    real = tf._touched_files
+
+    def spy(snap_files, p, s, matcher):
+        seen["candidates"] = list(snap_files)
+        return real(snap_files, p, s, matcher)
+
+    tf._touched_files = spy
+    try:
+        u = spark.createDataFrame([(5, -5), (17, -17)], "k long, v long")
+        r = tf.merge_into(spark, path, u, ["k"])
+    finally:
+        tf._touched_files = real
+    assert len(seen["candidates"]) == 1  # ids 0..124 live in one file
+    assert r["files_rewritten"] == 1 and r["files_untouched"] == 7
+    rows = _rows(spark, path)
+    assert (5, -5) in rows and (17, -17) in rows and (6, 60) in rows
+
+
+def test_stats_survive_delete_and_follow_merge(spark, tmp_path):
+    """Untouched files keep their stats across DELETE/MERGE commits;
+    rewritten files get fresh stats — so skipping keeps working on a
+    table that has been mutated many times."""
+    path = _mk(spark, tmp_path, n=1000, parts=8)
+    tf.delete_where(spark, path, "k < 125")  # drops exactly file 1
+    m = tf._load_manifest(path, 1)
+    assert set(m["stats"]) == set(m["files"])
+    kept, total = tf.prune_files(path, None, [("k", "=", 200)])
+    assert total == 7 and len(kept) == 1
+
+
+# ------------------------------------------------------- schema evolution
+
+
+def test_append_merge_schema_widens_and_backfills_null(spark, tmp_path):
+    path = _mk(spark, tmp_path, n=10)
+    batch = spark.createDataFrame([(100, 1000, "en")], "k long, v long, lang string")
+    with pytest.raises(ValueError, match="merge_schema"):
+        tf.append_table(batch, path)
+    tf.append_table(batch, path, merge_schema=True)
+    df = tf.read_snapshot(spark, path)
+    assert df.columns == ["k", "v", "lang"]
+    by_k = {r["k"]: r["lang"] for r in df.collect()}
+    assert by_k[100] == "en" and by_k[0] is None
+    # time travel still sees the pre-evolution schema
+    assert tf.read_snapshot(spark, path, version=0).columns == ["k", "v"]
+
+
+def test_append_missing_columns_land_as_null(spark, tmp_path):
+    path = _mk(spark, tmp_path, n=5)
+    tf.append_table(spark.createDataFrame([(200,)], "k long"), path)
+    r = [x for x in tf.read_snapshot(spark, path).collect() if x["k"] == 200]
+    assert len(r) == 1 and r[0]["v"] is None
+
+
+def test_append_type_change_rejected(spark, tmp_path):
+    path = _mk(spark, tmp_path, n=5)
+    bad = spark.createDataFrame([(1, "x")], "k long, v string")
+    with pytest.raises(ValueError, match="type change"):
+        tf.append_table(bad, path, merge_schema=True)
