@@ -605,3 +605,58 @@ def near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    iters: int = 3,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings, then dropping every vector
+    that has a LOWER-id near-duplicate (cosine >= threshold) in its
+    own cluster. The k-means stage bounds the quadratic: pairs are
+    generated by a cluster-id equi-join, so the cost is sum over
+    clusters of |cluster|^2, never corpus^2 — at 100 TB n_clusters
+    scales with the corpus (the paper uses ~100k clusters for
+    billions of docs) keeping clusters O(10^4) rows, and the
+    per-cluster pairing shuffles once on the cluster id. Keep-lowest-id
+    election is single-pass (no transitive chasing): deterministic,
+    order-independent, and the paper's own policy.
+
+    Returns (vec_id, cluster, is_kept) for EVERY corpus vector.
+    Reference has no similarity surface at all (README.md:288-315);
+    this composes our kmeans_centroids + cosine_similarity primitives.
+    """
+    cents = kmeans_centroids(corpus, id_col, vec_col, n_clusters, iters)
+    m = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        _nearest_centroid(F.col(vec_col), cents).alias("cluster"),
+    )
+    a = m.select(
+        "cluster", F.col("vec_id").alias("id_a"), F.col("vec").alias("av")
+    )
+    b = m.select(
+        "cluster", F.col("vec_id").alias("id_b"), F.col("vec").alias("bv")
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            cosine_similarity(F.col("av"), F.col("bv")) >= F.lit(threshold)
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        m.join(dropped.withColumn("__dup", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("is_kept"),
+        )
+    )

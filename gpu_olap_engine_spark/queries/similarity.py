@@ -168,14 +168,15 @@ def _o_sq_l2(v: str, cv: str) -> str:
         (x, y) -> x + y)"""
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 3, nprobe: int = 2, topk: int = 5) -> str:
-    """DuckDB twin of operators.similarity.kmeans_ivf_topk: the k-means
-    iterations are unrolled into CTE pairs (assign a{i} -> update c{i})
-    over the same exact arithmetic — init = k lowest-vec_id embeddings
-    widened to double, assignment argmin on the ordered IEEE fold with
-    ties to the lowest cluster id, centroid means from exact int64
-    sums of floor(x*1e6) divided as s/1e6/n, empty clusters keeping
-    their previous centroid."""
+def _kmeans_member_ctes(k: int = 8, iters: int = 3) -> list[str]:
+    """Unrolled-CTE k-means shared by the IVF and SemDeDup oracles:
+    CTE pairs (assign a{i} -> update c{i}) over the same exact
+    arithmetic as operators.similarity.kmeans_centroids — init = k
+    lowest-vec_id embeddings widened to double, assignment argmin on
+    the ordered IEEE fold with ties to the lowest cluster id, centroid
+    means from exact int64 sums of floor(x*1e6) divided as s/1e6/n,
+    empty clusters keeping their previous centroid. The final CTE
+    `members` assigns every vector its cluster."""
     ctes = [
         f"""c0 AS (
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ci,
@@ -208,7 +209,7 @@ def _kmeans_oracle(k: int = 8, iters: int = 3, nprobe: int = 2, topk: int = 5) -
             ) GROUP BY c, n
         ) m ON p.ci = m.c
     )""")
-    body = f"""members AS (
+    ctes.append(f"""members AS (
         SELECT vec_id, embedding, ci AS c FROM (
             SELECT e.vec_id, e.embedding, c.ci,
                    ROW_NUMBER() OVER (
@@ -217,8 +218,16 @@ def _kmeans_oracle(k: int = 8, iters: int = 3, nprobe: int = 2, topk: int = 5) -
                    ) AS rn
             FROM embeddings e CROSS JOIN c{iters} c
         ) WHERE rn = 1
-    ),
-    probes AS (
+    )""")
+    return ctes
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3, nprobe: int = 2, topk: int = 5) -> str:
+    """DuckDB twin of operators.similarity.kmeans_ivf_topk — the
+    shared k-means member CTEs plus nprobe cluster probing and exact
+    within-cluster scoring."""
+    ctes = _kmeans_member_ctes(k, iters)
+    body = f"""probes AS (
         SELECT query_id, q_vec, ci AS cluster FROM (
             SELECT e.vec_id AS query_id, e.embedding AS q_vec, c.ci,
                    ROW_NUMBER() OVER (
@@ -463,3 +472,38 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_adc_topk(
         emb, emb.filter(F.col("vec_id") < 5), m=8, k_codes=8, iters=2, k=5
     )
+
+
+def _semdedup_oracle(k: int = 8, iters: int = 3, threshold: float = 0.45) -> str:
+    """SemDeDup twin: shared k-means member CTEs, within-cluster
+    pairwise exact cosine, keep-lowest-id election."""
+    ctes = _kmeans_member_ctes(k, iters)
+    body = f"""pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               a.embedding AS av, b.embedding AS bv
+        FROM members a JOIN members b
+          ON a.c = b.c AND a.vec_id < b.vec_id
+    ),
+    {_TERMS.format(keys="id_a, id_b")},
+    dropped AS (
+        SELECT DISTINCT id_b AS vec_id FROM scored
+        WHERE cosine >= {threshold}
+    )
+    SELECT m.vec_id, m.c AS cluster, d.vec_id IS NULL AS is_kept
+    FROM members m LEFT JOIN dropped d USING (vec_id)"""
+    return "WITH " + ",\n    ".join(ctes) + ",\n    " + body
+
+
+@register("sim_semdedup", oracle=_semdedup_oracle())
+def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540) keep/drop decision for every
+    embedding: deterministic k-means bounds the pairwise cosine pass
+    to within-cluster equi-joined candidates; any vector with a
+    lower-id near-duplicate (cosine >= 0.45, the fixture's planted-
+    pair band) in its cluster is dropped. The full iterative pipeline
+    — centroid fitting, assignment, candidate generation, exact
+    scoring, election — is value-checked against the unrolled SQL
+    twin, so a drift anywhere (centroid arithmetic, tie-breaks,
+    election direction) flips a boolean and hash-mismatches."""
+    emb = T(spark, sf_dir, "embeddings")
+    return S.semdedup(emb, n_clusters=8, iters=3, threshold=0.45)
