@@ -587,3 +587,41 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("o_orderkey").alias("w"))
     )
     return pagerank_int(edges, iters=3, weight="w")
+
+
+@register(
+    "q135_quantified_all",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand, p.p_size, p.p_retailprice
+    FROM part p
+    WHERE p.p_retailprice > ALL (
+        SELECT q.p_retailprice FROM part q
+        WHERE q.p_brand = p.p_brand AND q.p_size < p.p_size
+    )
+    """,
+)
+def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated quantified comparison (`> ALL`): parts strictly
+    pricier than EVERY same-brand part of smaller size (empty
+    comparison set -> qualifies, per SQL ALL semantics). The oracle
+    states the quantified form verbatim; the Spark plan compiles it to
+    ONE window pass — max(price) over (brand ORDER BY size RANGE ..
+    1 PRECEDING) then a row-local comparison — because the naive
+    translation (correlated rescan or inequality self-join) is
+    quadratic per brand and the window is a single shuffle on the
+    same key. Reference's parser has no subqueries at all
+    (parser.rs:24-31)."""
+    from pyspark.sql.window import Window as W
+
+    p = T(spark, sf_dir, "part")
+    w = (
+        W.partitionBy("p_brand")
+        .orderBy("p_size")
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    prev_max = F.max("p_retailprice").over(w)
+    return (
+        p.withColumn("__pm", prev_max)
+        .filter(F.col("__pm").isNull() | (F.col("p_retailprice") > F.col("__pm")))
+        .select("p_partkey", "p_brand", "p_size", "p_retailprice")
+    )

@@ -756,3 +756,50 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("total_chars").cast("long").alias("total_chars"),
         F.count("*").alias("n_docs"),
     )
+
+
+@register(
+    "q136_priority_sample",
+    oracle="""
+    WITH keyed AS (
+        SELECT lang, doc_id, n_chars,
+               (CAST(((doc_id % 1000003) * (2654435761 % 1000003))
+                     % 1000003 + 1 AS DOUBLE) / 1000004.0)
+               / CAST(n_chars AS DOUBLE) AS priority
+        FROM documents
+    )
+    SELECT lang, doc_id, n_chars, priority, rn AS sample_rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY lang ORDER BY priority, doc_id) AS BIGINT) AS rn
+        FROM keyed
+    ) WHERE rn <= 5
+    """,
+)
+def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement per language stratum —
+    Duffield-Lund-Thorup priority sampling: each doc draws a
+    deterministic uniform u from an integer hash of its id and
+    competes with priority u/weight (weight = n_chars, so longer docs
+    are proportionally likelier); the k smallest priorities per
+    stratum are the sample. The data-mixing primitive a training
+    pipeline uses to draw a size-biased corpus slice reproducibly.
+    Every step is exact int64 arithmetic or a single correctly-rounded
+    IEEE division, so both engines produce identical bits — no RNG,
+    no libm transcendentals. One window pass per stratum; at 100 TB
+    the same shape holds (or swap the window for a per-partition
+    top-k heap + merge when k << partition size)."""
+    docs = T(spark, sf_dir, "documents")
+    u = (
+        ((F.col("doc_id") % 1000003) * F.lit(2654435761 % 1000003)) % 1000003 + 1
+    ).cast("double") / F.lit(1000004.0)
+    keyed = docs.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        (u / F.col("n_chars").cast("double")).alias("priority"),
+    )
+    w = Window.partitionBy("lang").orderBy("priority", "doc_id")
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= 5)
+    )
