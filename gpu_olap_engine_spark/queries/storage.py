@@ -235,3 +235,71 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@register(
+    "q137_table_change_feed",
+    oracle="""
+    WITH upd AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    final AS (
+        SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
+        FROM orders o WHERE NOT EXISTS (
+            SELECT 1 FROM upd u WHERE u.o_orderkey = o.o_orderkey
+        )
+        UNION ALL
+        SELECT * FROM upd
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_price
+    FROM final
+    GROUP BY o_orderstatus
+    """,
+)
+def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed round-trip, gated end-to-end: create a
+    snapshot table from `orders`, MERGE a repricing batch, then
+    reconstruct the FINAL state purely as
+    ``state(v0) - feed.deletes + feed.inserts`` (multiset algebra via
+    unionByName + exceptAll — never reading the final snapshot
+    directly) and aggregate it. The oracle computes the final state
+    relationally, so a feed that misses a rewritten file, stamps the
+    wrong side, or leaks a phantom row cannot reconstruct a
+    hash-matching state. This is the incremental-sync primitive: a
+    downstream consumer at 100 TB reads only changed files
+    (manifest diff, metadata-only), not the table."""
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    scratch = tempfile.mkdtemp(prefix="q137_cdf_")
+    try:
+        path = f"{scratch}/orders_t"
+        tf.create_table(orders, path)
+        tf.merge_into(spark, path, updates, ["o_orderkey"])
+        feed = tf.table_changes(spark, path, 0)
+        cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+        ins = feed.filter(F.col("_change_type") == "insert").select(*cols)
+        dels = feed.filter(F.col("_change_type") == "delete").select(*cols)
+        state = (
+            tf.read_snapshot(spark, path, version=0)
+            .select(*cols)
+            .exceptAll(dels)
+            .unionByName(ins)
+        )
+        return _materialize(
+            state.groupBy("o_orderstatus").agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -343,3 +343,43 @@ def test_append_type_change_rejected(spark, tmp_path):
     bad = spark.createDataFrame([(1, "x")], "k long, v string")
     with pytest.raises(ValueError, match="type change"):
         tf.append_table(bad, path, merge_schema=True)
+
+
+# ------------------------------------------------------------ change feed
+
+
+def _multiset(df, cols=("k", "v")):
+    from collections import Counter
+
+    return Counter(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_table_changes_append_only_is_exact_cdc(spark, tmp_path):
+    path = _mk(spark, tmp_path, n=10)
+    tf.append_table(spark.createDataFrame([(100, 1), (101, 2)], "k long, v long"), path)
+    ch = tf.table_changes(spark, path, 0)
+    rows = ch.collect()
+    assert {(r["k"], r["_change_type"], r["_commit_version"]) for r in rows} == {
+        (100, "insert", 1), (101, "insert", 1),
+    }
+    assert tf.table_changes(spark, path, 1).count() == 0
+
+
+def test_table_changes_net_apply_reconstructs_snapshot(spark, tmp_path):
+    """state(to) == state(from) - deletes + inserts as multisets, even
+    across rewriting commits (merge + delete + compact)."""
+    path = _mk(spark, tmp_path, n=100, parts=4)
+    tf.merge_into(
+        spark, path,
+        spark.createDataFrame([(5, -5), (200, -200)], "k long, v long"),
+        ["k"],
+    )
+    tf.delete_where(spark, path, "k >= 90 AND k < 100")
+    tf.compact_table(spark, path, target_files=2)
+    v_hi = tf.latest_version(path)
+    ch = tf.table_changes(spark, path, 0, v_hi)
+    state0 = _multiset(tf.read_snapshot(spark, path, 0))
+    ins = _multiset(ch.filter("_change_type = 'insert'"))
+    dels = _multiset(ch.filter("_change_type = 'delete'"))
+    reconstructed = state0 + ins - dels
+    assert reconstructed == _multiset(tf.read_snapshot(spark, path, v_hi))
