@@ -1076,3 +1076,56 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by(F.col("t_type"), key).alias("last_touch"),
         F.count("*").alias("n_touches"),
     )
+
+
+@register(
+    "q138_transition_matrix",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT event_type AS prev_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY {_US}, event_id
+               ) AS next_type
+        FROM events
+    ),
+    c AS (
+        SELECT prev_type, next_type, COUNT(*) AS n
+        FROM pairs WHERE next_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    ),
+    t AS (SELECT prev_type, SUM(n) AS total FROM c GROUP BY prev_type)
+    SELECT c.prev_type, c.next_type, n,
+           (1000000 * n) // total AS ppm
+    FROM c JOIN t USING (prev_type)
+    """,
+)
+def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey transition matrix: count each consecutive
+    (event_type -> next event_type) pair per user timeline and report
+    row-normalized transition frequency in exact integer ppm — the
+    first-order Markov model a product-analytics pipeline fits over
+    clickstreams. ONE shuffle on user_id for the lead() carry, then a
+    tiny aggregate over |event_types|^2 cells; the normalizing total
+    rides a window over the already-small count relation. Integer
+    floor-division keeps both engines bit-identical (no double
+    ratios). Reference has no window functions at all (SURVEY.md
+    gap); this is the composed form."""
+    ev = _with_us(T(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+    )
+    c = pairs.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("prev_type")
+    return c.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("(1000000 * n) DIV sum(n) OVER (PARTITION BY prev_type)").alias(
+            "ppm"
+        ),
+    )
