@@ -291,3 +291,37 @@ def test_bench_suites_reference_registered_queries():
 
     missing = [n for n in bench.HEADLINE + SUITE if n not in REGISTRY]
     assert not missing, missing
+
+
+def test_asof_variants_single_shuffle_no_self_join(spark):
+    """Forward and nearest as-of joins must stay union+window carries:
+    one hash exchange on user_id, no join of events against itself."""
+    for name in ("q131_asof_join_forward", "q132_asof_join_nearest"):
+        plan = plan_of(REGISTRY[name].fn(spark, SF_ORACLE), "simple")
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, name
+        assert plan.count("Exchange hashpartitioning") == 1, name
+
+
+def test_touch_attribution_is_bucket_blocked_equi(spark):
+    """Lookback attribution generates candidates via the (user,
+    time-bucket) equi-join — never a theta join over full histories."""
+    plan = plan_of(REGISTRY["q133_touch_attribution"].fn(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_semdedup_pairs_are_cluster_equi_joined(spark):
+    """SemDeDup's pairwise cosine pass must be blocked by the cluster
+    equi-join; corpus-quadratic plans are a scale regression."""
+    plan = plan_of(REGISTRY["sim_semdedup"].fn(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_quantified_all_is_window_not_rescan(spark):
+    """`> ALL` compiles to one window pass: no self-join of part, a
+    single running-max specification."""
+    plan = plan_of(REGISTRY["q135_quantified_all"].fn(spark, SF_ORACLE))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
