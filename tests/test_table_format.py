@@ -383,3 +383,46 @@ def test_table_changes_net_apply_reconstructs_snapshot(spark, tmp_path):
     dels = _multiset(ch.filter("_change_type = 'delete'"))
     reconstructed = state0 + ins - dels
     assert reconstructed == _multiset(tf.read_snapshot(spark, path, v_hi))
+
+
+# ------------------------------------------------- CDC apply / incremental sync
+
+
+def test_apply_changes_upserts_and_deletes_atomically(spark, tmp_path):
+    path = _mk(spark, tmp_path, n=20)
+    ups = spark.createDataFrame([(3, -3), (50, -50)], "k long, v long")
+    dels = spark.createDataFrame([(7,), (8,)], "k long")
+    r = tf.apply_changes(spark, path, ups, dels, ["k"])
+    assert not r["skipped"] and tf.latest_version(path) == 1
+    rows = _rows(spark, path)
+    assert (3, -3) in rows and (50, -50) in rows
+    assert not any(k in (7, 8) for k, _ in rows)
+    assert (4, 40) in rows  # untouched survives
+    # replay with same app_id is skipped
+    r2 = tf.apply_changes(spark, path, ups, dels, ["k"], app_id=("c", 5))
+    r3 = tf.apply_changes(spark, path, ups, dels, ["k"], app_id=("c", 5))
+    assert not r2["skipped"] and r3["skipped"]
+
+
+def test_incremental_sync_replicates_and_is_idempotent(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = spark.range(30).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    tf.create_table(df, src)
+    tf.create_table(df.limit(0), dst)
+
+    r1 = tf.incremental_sync(spark, src, dst, ["k"])  # initial full copy
+    assert not r1.get("skipped")
+    assert _rows(spark, dst) == _rows(spark, src)
+
+    tf.merge_into(
+        spark, src, spark.createDataFrame([(5, -5), (99, -99)], "k long, v long"), ["k"]
+    )
+    tf.delete_where(spark, src, "k >= 20 AND k < 25")
+    r2 = tf.incremental_sync(spark, src, dst, ["k"])
+    assert not r2.get("skipped")
+    assert _rows(spark, dst) == _rows(spark, src)
+    # nothing new -> cursor already current, no commit
+    v = tf.latest_version(dst)
+    r3 = tf.incremental_sync(spark, src, dst, ["k"])
+    assert r3.get("skipped") and tf.latest_version(dst) == v
