@@ -781,3 +781,51 @@ def incremental_sync(
     return apply_changes(
         spark, dst_path, upserts, vanished, key, app_id=(ledger, src_v)
     )
+
+
+def compact_small_files(
+    spark: SparkSession, path: str, min_rows: int, target_files: int = 1
+) -> dict:
+    """Incremental OPTIMIZE: coalesce only the files smaller than
+    `min_rows` (found from manifest stats — no data read) into
+    `target_files` consolidated files; every adequately-sized file
+    carries over untouched. This is the steady-state answer to
+    streaming/CDC commit patterns that accrete many small files: each
+    run rewrites O(small files), not the table, so at 100 TB the
+    maintenance cost tracks the ingest rate instead of the table size.
+    No-op (no new version) when fewer than two small files exist."""
+    v = latest_version(path)
+    manifest = _load_manifest(path, v)
+    stats = manifest.get("stats", {})
+    small = [
+        f for f in manifest["files"]
+        if stats.get(f, {}).get("rows", min_rows) < min_rows
+    ]
+    if len(small) < 2:
+        return {"version": v, "skipped": True, "files_compacted": 0}
+    keep = [f for f in manifest["files"] if f not in set(small)]
+    df = spark.read.schema(StructType.fromJson(manifest["schema"])).parquet(
+        *[os.path.join(path, f) for f in small]
+    ).coalesce(target_files)
+    files = _write_txn_files(df, path)
+    _publish(
+        path,
+        v + 1,
+        {
+            "version": v + 1,
+            "op": "compact_small",
+            "files": keep + files,
+            "schema": manifest["schema"],
+            "app_ids": manifest.get("app_ids", {}),
+            "stats": {
+                **{f: s for f, s in stats.items() if f in set(keep)},
+                **_stats_for(path, files),
+            },
+        },
+    )
+    return {
+        "version": v + 1,
+        "skipped": False,
+        "files_compacted": len(small),
+        "files_kept": len(keep),
+    }

@@ -426,3 +426,26 @@ def test_incremental_sync_replicates_and_is_idempotent(spark, tmp_path):
     v = tf.latest_version(dst)
     r3 = tf.incremental_sync(spark, src, dst, ["k"])
     assert r3.get("skipped") and tf.latest_version(dst) == v
+
+
+def test_compact_small_files_rewrites_only_small(spark, tmp_path):
+    """Incremental OPTIMIZE: the big create-time files survive
+    byte-identical; only the drip of tiny append files is coalesced."""
+    path = _mk(spark, tmp_path, n=1000, parts=2)  # 2 big files (~500 rows)
+    for i in range(4):  # 4 one-row appends (streaming-commit pattern)
+        tf.append_table(
+            spark.createDataFrame([(2000 + i, i)], "k long, v long").coalesce(1),
+            path,
+        )
+    before = set(tf._load_manifest(path, tf.latest_version(path))["files"])
+    r = tf.compact_small_files(spark, path, min_rows=100, target_files=1)
+    assert r["files_compacted"] == 4 and r["files_kept"] == 2
+    after = tf._load_manifest(path, tf.latest_version(path))
+    big = {f for f in before if tf._load_manifest(path, 0)["files"].count(f)}
+    assert big <= set(after["files"])  # untouched big files carried over
+    assert len(after["files"]) == 3
+    assert _rows(spark, path) == (
+        {(i, i * 10) for i in range(1000)} | {(2000 + i, i) for i in range(4)}
+    )
+    # second run: nothing small left -> no-op
+    assert tf.compact_small_files(spark, path, min_rows=100)["skipped"]
