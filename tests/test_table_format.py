@@ -449,3 +449,14 @@ def test_compact_small_files_rewrites_only_small(spark, tmp_path):
     )
     # second run: nothing small left -> no-op
     assert tf.compact_small_files(spark, path, min_rows=100)["skipped"]
+
+
+def test_prune_predicate_validation(spark, tmp_path):
+    path = _mk(spark, tmp_path, n=10)
+    with pytest.raises(ValueError, match="unsupported predicate op"):
+        tf.prune_files(path, None, [("k", "!=", 3)])
+    with pytest.raises(ValueError, match="numeric literal"):
+        tf.prune_files(path, None, [("k", "=", "three")])
+    # unknown column: no stats -> conservative keep, not an error
+    kept, total = tf.prune_files(path, None, [("nope", "=", 1)])
+    assert len(kept) == total
