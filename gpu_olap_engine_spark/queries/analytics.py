@@ -729,3 +729,40 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
             mm.alias("minmax01"),
         )
     )
+
+
+@register(
+    "q139_sliding_distinct_users",
+    oracle=f"""
+    WITH shifted AS (
+        SELECT user_id,
+               ({_US} - ({_US} % 600000000)) / 1000000 AS b0
+        FROM events
+    ),
+    assigned AS (
+        SELECT user_id, CAST(b0 AS BIGINT) AS win_start FROM shifted
+        UNION ALL
+        SELECT user_id, CAST(b0 - 600 AS BIGINT) FROM shifted
+    )
+    SELECT win_start, COUNT(DISTINCT user_id) AS n_users
+    FROM assigned GROUP BY win_start
+    """,
+)
+def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling active users: COUNT(DISTINCT user_id) per 20-minute
+    window sliding every 10 — the duplicate-SENSITIVE sliding
+    aggregate (q56 counts rows; a user active in both halves of a
+    window must count once here, so the partial sums of adjacent
+    buckets cannot simply be added). Spark's two-phase distinct
+    (partial dedup on (window, user) before the count shuffle) keeps
+    it one logical pass; at 100 TB swap the exact distinct for q40's
+    HLL sketch per window — this entry is the exact twin that gates
+    that path."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "20 minutes", "10 minutes").alias("w")
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(F.col("w.start").cast("long").alias("win_start"), "n_users")
+    )
