@@ -154,3 +154,43 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select(
         "asset_id", "modality", "n_bytes", feature_csv.alias("feature_csv")
     )
+
+
+@register(
+    "mm_exact_dedup",
+    oracle="""
+    WITH hashed AS (
+        SELECT doc_id AS asset_id, sha256(text) AS content_sha
+        FROM documents
+    )
+    SELECT content_sha,
+           COUNT(*) AS n_copies,
+           MIN(asset_id) AS canonical_asset,
+           CAST(MAX(asset_id) AS BIGINT) AS newest_asset
+    FROM hashed
+    GROUP BY content_sha
+    """,
+)
+def mm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed exact dedup over BINARY payloads: sha-256 each
+    asset's bytes JVM-side (F.sha2 — no Python boundary), group by
+    digest, elect the lowest asset_id as canonical, report every
+    content group (n_copies > 1 marks duplicates; emitting singletons
+    too makes the gate value-check EVERY digest across engines, not
+    just the few planted dups). This is how image/audio stores dedup at 100 TB: the
+    digest shuffle carries 32-byte keys instead of payloads, and the
+    payload column never leaves the scan (column pruning drops it
+    after the hash projection). Both engines emit lowercase hex, so
+    the digest strings compare bit-exactly."""
+    assets = M.synth_assets(T(spark, sf_dir, "documents"))
+    return (
+        assets.select(
+            F.col("asset_id"), F.sha2(F.col("data"), 256).alias("content_sha")
+        )
+        .groupBy("content_sha")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("asset_id").alias("canonical_asset"),
+            F.max("asset_id").alias("newest_asset"),
+        )
+    )
