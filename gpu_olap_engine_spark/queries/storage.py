@@ -303,3 +303,64 @@ def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@register(
+    "q140_table_incremental_sync",
+    oracle="""
+    WITH upd AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice * 3 AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    final AS (
+        SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
+        FROM orders o
+        WHERE NOT EXISTS (
+            SELECT 1 FROM upd u WHERE u.o_orderkey = o.o_orderkey
+        ) AND o.o_orderkey % 11 != 0
+        UNION ALL
+        SELECT * FROM upd WHERE o_orderkey % 11 != 0
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_price
+    FROM final
+    GROUP BY o_orderstatus
+    """,
+)
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full replication chain as one gated behavior: snapshot
+    source from `orders`; first incremental_sync full-copies it into
+    an empty destination; the source then takes a MERGE (reprice every
+    7th order) and a DELETE (every 11th); a second sync moves ONLY the
+    net per-key changes (manifest-diff feed -> keyed CDC apply with
+    the cursor in the destination's own ledger). The oracle computes
+    the final source state relationally and the result is aggregated
+    from the DESTINATION — a sync that loses a delete, double-applies
+    an upsert, or mis-advances its cursor cannot hash-match."""
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 3
+    )
+    scratch = tempfile.mkdtemp(prefix="q140_sync_")
+    try:
+        src, dst = f"{scratch}/src", f"{scratch}/dst"
+        tf.create_table(orders, src)
+        tf.create_table(orders.limit(0), dst)
+        tf.incremental_sync(spark, src, dst, ["o_orderkey"])
+        tf.merge_into(spark, src, updates, ["o_orderkey"])
+        tf.delete_where(spark, src, "o_orderkey % 11 = 0")
+        tf.incremental_sync(spark, src, dst, ["o_orderkey"])
+        return _materialize(
+            tf.read_snapshot(spark, dst).groupBy("o_orderstatus").agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
