@@ -1136,3 +1136,73 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_ab * n * 1000000) div (na * nb)").alias("lift_ppm"),
         )
     )
+
+
+@register(
+    "q141_triangle_count",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    e AS (
+        SELECT DISTINCT a.pk AS a, b.pk AS b
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+    ),
+    tri AS (
+        SELECT ab.a AS x, ab.b AS y, bc.b AS z
+        FROM e ab
+        JOIN e bc ON ab.b = bc.a
+        JOIN e ac ON ab.a = ac.a AND bc.b = ac.b
+    ),
+    member AS (
+        SELECT x AS part FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    )
+    SELECT part, COUNT(*) AS n_triangles
+    FROM member GROUP BY part
+    """,
+)
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counting over the co-purchase graph — the
+    clustering-coefficient numerator of graph analytics (community
+    density, spam/fraud motifs). Edges are oriented low-id -> high-id,
+    so each triangle {x<y<z} is generated EXACTLY once as the wedge
+    (x,y)+(y,z) closed by (x,z): two equi-joins, no dedup pass, no
+    double counting. At 100 TB the standard refinement is identical
+    plan shape with degree ordering instead of id ordering (orient
+    each edge toward the higher-degree endpoint), which provably
+    bounds wedge fan-out by O(sqrt(|E|)) per node; id orientation
+    keeps the oracle exact here. Third graph-analytics family beside
+    components (dedup_clusters) and PageRank (q98)."""
+    li = T(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    e = (
+        op.alias("a")
+        .join(
+            op.alias("b"),
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .select(F.col("a.pk").alias("a"), F.col("b.pk").alias("b"))
+        .distinct()
+    )
+    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
+    tri = (
+        ab.join(bc, F.col("ab.b") == F.col("bc.a"))
+        .join(
+            ac,
+            (F.col("ab.a") == F.col("ac.a")) & (F.col("bc.b") == F.col("ac.b")),
+        )
+        .select(
+            F.col("ab.a").alias("x"), F.col("ab.b").alias("y"),
+            F.col("bc.b").alias("z"),
+        )
+    )
+    member = (
+        tri.select(F.col("x").alias("part"))
+        .unionAll(tri.select(F.col("y").alias("part")))
+        .unionAll(tri.select(F.col("z").alias("part")))
+    )
+    return member.groupBy("part").agg(F.count("*").alias("n_triangles"))
