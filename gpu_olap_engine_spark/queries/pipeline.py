@@ -803,3 +803,59 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("sample_rank") <= 5)
     )
+
+
+@register(
+    "q142_source_concentration",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n_chars, doc_id
+               ) AS rnk
+        FROM documents
+    ),
+    agg AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS total_chars,
+               SUM(rnk * n_chars) AS w
+        FROM ranked GROUP BY source
+    )
+    SELECT source, n_docs, CAST(total_chars AS BIGINT) AS total_chars,
+           CAST(2 * w - (n_docs + 1) * total_chars AS DOUBLE)
+           / CAST(n_docs * total_chars AS DOUBLE) AS gini
+    FROM agg
+    """,
+)
+def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document length per source — the
+    concentration diagnostic a data-mixing pipeline watches (is one
+    source's token budget dominated by a few giant documents?).
+    Computed from the rank-weighted sum identity
+    G = (2*Sum(i*x_i) - (n+1)*Sum(x)) / (n*Sum(x)) with a
+    deterministic (n_chars, doc_id) rank order shared by both
+    engines: every accumulation is exact int64, the single final
+    division is correctly-rounded IEEE, so the doubles match bit for
+    bit. One window pass per source partition + one aggregate — the
+    same single-shuffle shape as q96's winsorize."""
+    docs = T(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source", "n_chars", F.row_number().over(w).alias("rnk")
+    )
+    agg = ranked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.col("rnk") * F.col("n_chars")).alias("w"),
+    )
+    num = (2 * F.col("w") - (F.col("n_docs") + 1) * F.col("total_chars")).cast(
+        "double"
+    )
+    den = (F.col("n_docs") * F.col("total_chars")).cast("double")
+    return agg.select(
+        "source",
+        "n_docs",
+        F.col("total_chars").cast("long").alias("total_chars"),
+        (num / den).alias("gini"),
+    )
