@@ -859,3 +859,61 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_chars").cast("long").alias("total_chars"),
         (num / den).alias("gini"),
     )
+
+
+@register(
+    "q143_mad_outliers",
+    oracle="""
+    WITH m1 AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    d AS (
+        SELECT e.event_type, e.value, m1.med
+        FROM events e JOIN m1 USING (event_type)
+    ),
+    m2 AS (
+        SELECT event_type, any_value(med) AS med,
+               quantile_cont(abs(value - med), 0.5) AS mad
+        FROM d GROUP BY event_type
+    )
+    SELECT m2.event_type, m2.med, m2.mad,
+           COUNT(*) FILTER (WHERE abs(d.value - m2.med) > 3 * m2.mad)
+               AS n_outliers,
+           COUNT(*) AS n_rows
+    FROM d JOIN m2 USING (event_type)
+    GROUP BY m2.event_type, m2.med, m2.mad
+    """,
+)
+def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier gate: per event_type median and median absolute
+    deviation, then the count of values beyond 3 MAD — the
+    data-quality screen that survives heavy tails where mean/stddev
+    gates break. Both engines use the SAME interpolated-median
+    definition (the q64-proven percentile/quantile_cont pairing) and
+    the deviation arithmetic is plain IEEE subtract/abs/multiply, so
+    med/mad/count all match bit-exactly. Plan: one aggregate per
+    statistic with the tiny per-type medians broadcast back — the
+    group count is bounded by |event_type|, so at 100 TB this is two
+    scans + two broadcast joins, no wide shuffle of the fact table."""
+    ev = T(spark, sf_dir, "events").select("event_type", "value")
+    m1 = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    d = ev.join(F.broadcast(m1), "event_type")
+    m2 = d.groupBy("event_type").agg(
+        F.first("med").alias("med"),
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+    )
+    return (
+        d.join(F.broadcast(m2.select("event_type", F.col("mad"))), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(
+                F.when(
+                    F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1
+                )
+            ).alias("n_outliers"),
+            F.count("*").alias("n_rows"),
+        )
+    )
