@@ -325,3 +325,18 @@ def test_quantified_all_is_window_not_rescan(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_triangle_count_is_equi_joined(spark):
+    """Wedge closure must be two equi-joins on vertex ids — never a
+    nested-loop over the edge set."""
+    plan = plan_of(REGISTRY["q141_triangle_count"].fn(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_mad_outliers_broadcasts_group_stats(spark):
+    """The per-type median/MAD relations are broadcast back to the
+    fact scan; the events table itself must never shuffle-join."""
+    plan = plan_of(REGISTRY["q143_mad_outliers"].fn(spark, SF_ORACLE))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
