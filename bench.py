@@ -95,6 +95,19 @@ HEADLINE = [
     "text_fingerprint",
     "mm_inventory",
     "mm_decode_features",
+    # round-6 additions: the new distinct plan shapes — as-of carries,
+    # bucketed attribution, transition matrix, sliding distinct,
+    # cluster-bounded semantic dedup, digest dedup, wedge-closure
+    # triangles, and the exact-arithmetic statistics pair
+    "q132_asof_join_nearest",
+    "q133_touch_attribution",
+    "q138_transition_matrix",
+    "q139_sliding_distinct_users",
+    "q141_triangle_count",
+    "q142_source_concentration",
+    "q143_mad_outliers",
+    "sim_semdedup",
+    "mm_exact_dedup",
 ]
 
 # Micro groups, each run in its own child process. Launch order is
