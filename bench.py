@@ -97,16 +97,17 @@ HEADLINE = [
     "mm_decode_features",
     # round-6 additions: the new distinct plan shapes — as-of carries,
     # bucketed attribution, transition matrix, sliding distinct,
-    # cluster-bounded semantic dedup, digest dedup, wedge-closure
-    # triangles, and the exact-arithmetic statistics pair
+    # digest dedup, and the exact-arithmetic statistics pair.
+    # (q141 triangles and sim_semdedup are deliberately NOT here:
+    # ~22 s + ~25 s at sf0.1 would eat the wall budget the bucketed
+    # micro group needs; both are timed in the sf1 sweep record and
+    # oracle-gated like everything else.)
     "q132_asof_join_nearest",
     "q133_touch_attribution",
     "q138_transition_matrix",
     "q139_sliding_distinct_users",
-    "q141_triangle_count",
     "q142_source_concentration",
     "q143_mad_outliers",
-    "sim_semdedup",
     "mm_exact_dedup",
 ]
 
