@@ -625,3 +625,55 @@ def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__pm").isNull() | (F.col("p_retailprice") > F.col("__pm")))
         .select("p_partkey", "p_brand", "p_size", "p_retailprice")
     )
+
+
+@register(
+    "q144_multiset_checksum",
+    oracle=f"""
+    WITH rows_ AS (
+        SELECT o_orderpriority,
+               {_H15.format(x="concat_ws('|', o_orderkey, o_custkey,"
+                              " o_orderstatus, o_orderpriority,"
+                              " CAST(CAST(o_orderdate AS DATE) AS VARCHAR),"
+                              " CAST(CAST(o_totalprice AS DECIMAL(18,2))"
+                              "      AS VARCHAR))")} % 1099511627776 AS h
+        FROM orders
+    )
+    SELECT o_orderpriority, COUNT(*) AS row_cnt,
+           CAST(SUM(h) AS BIGINT) AS add_checksum,
+           bit_xor(h) AS xor_checksum
+    FROM rows_ GROUP BY o_orderpriority
+    """,
+)
+def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset-sensitive table checksum — closes q114's documented
+    XOR blind spot: ADDITION of per-row digests (folded to 40 bits so
+    the int64 sum is exact in both engines up to ~2^23 rows per group;
+    at larger groups sum modulo a prime with identical wraparound)
+    distinguishes multiplicity changes XOR cannot — a row replaced by
+    a second copy of another existing row shifts the sum even though
+    the XOR and the row count can both collide. Emitting (count, sum,
+    xor) together makes the audit row strictly stronger at the same
+    O(|groups|) comparison cost."""
+    from gpu_olap_engine_spark.operators.dedup import base_hash
+
+    o = T(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+        F.col("o_orderdate").cast("date").cast("string"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+    )
+    h = (base_hash(canon) % F.lit(1099511627776)).alias("h")
+    return (
+        o.select("o_orderpriority", h)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("row_cnt"),
+            F.sum("h").alias("add_checksum"),
+            F.bit_xor("h").alias("xor_checksum"),
+        )
+    )
