@@ -766,3 +766,137 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_users"))
         .select(F.col("w.start").cast("long").alias("win_start"), "n_users")
     )
+
+
+@register(
+    "q145_cumulative_uniques",
+    oracle=f"""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CAST(({_US} - ({_US} % 86400000000)) / 1000000 AS BIGINT))
+                   AS first_day
+        FROM events GROUP BY user_id
+    ),
+    per_day AS (
+        SELECT first_day AS day, COUNT(*) AS new_users
+        FROM firsts GROUP BY first_day
+    )
+    SELECT day, new_users,
+           SUM(new_users) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumulative_users
+    FROM per_day
+    """,
+)
+def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative unique users by day — the growth curve every
+    product dashboard opens with. Each user collapses to their
+    first-seen day (one aggregate), days roll up to new-user counts
+    (tiny), and the running total is a window over |days| rows — so
+    the expensive distinct happens ONCE as a user-keyed aggregate,
+    never per-day (the naive per-day COUNT(DISTINCT ... WHERE ts <=
+    day) rescans the fact table |days| times). All integer: epoch
+    days and counts."""
+    from gpu_olap_engine_spark.queries.events import _with_us  # noqa: PLC0415
+
+    ev = _with_us(T(spark, sf_dir, "events"))
+    day = ((F.col("us") - F.col("us") % 86_400_000_000) / 1_000_000).cast("long")
+    firsts = ev.select("user_id", day.alias("day")).groupBy("user_id").agg(
+        F.min("day").alias("first_day")
+    )
+    per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_day.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cumulative_users")
+    )
+
+
+# Interval half-width for q146's synthetic sessions (microseconds).
+_SESS_HALF_US = 900_000_000  # 15 minutes
+
+
+@register(
+    "q146_interval_union_length",
+    oracle=f"""
+    WITH iv AS (
+        SELECT user_id, {_US} AS s, {_US} + {_SESS_HALF_US} AS e
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > MAX(e) OVER (
+                        PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    OR MAX(e) OVER (
+                        PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       IS NULL
+                    THEN 1 ELSE 0 END AS is_new_island
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id, s, e,
+               SUM(is_new_island) OVER (
+                   PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+        FROM marked
+    ),
+    merged AS (
+        SELECT user_id, island, MIN(s) AS ms, MAX(e) AS me
+        FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(me - ms) AS BIGINT) AS covered_us
+    FROM merged GROUP BY user_id
+    """,
+)
+def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user interval-union coverage: each event opens a 15-minute
+    activity interval; overlapping intervals merge and the TOTAL
+    covered time is reported — the active-time / SLA-coverage /
+    sensor-uptime primitive where naive SUM(length) double-counts
+    overlaps. Classic sweep: an interval starts a new island iff its
+    start exceeds the running MAX(end) of everything before it; the
+    island id is the running sum of those starts; islands collapse to
+    [min(start), max(end)]. ONE shuffle on user_id, two window passes
+    over the same sort, exact integer microseconds throughout."""
+    from gpu_olap_engine_spark.queries.events import _with_us  # noqa: PLC0415
+
+    ev = _with_us(T(spark, sf_dir, "events"))
+    iv = ev.select(
+        "user_id",
+        F.col("us").alias("s"),
+        (F.col("us") + F.lit(_SESS_HALF_US)).alias("e"),
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_max_e = F.max("e").over(wprev)
+    marked = iv.withColumn(
+        "is_new_island",
+        F.when(
+            prev_max_e.isNull() | (F.col("s") > prev_max_e), 1
+        ).otherwise(0),
+    )
+    islands = marked.withColumn("island", F.sum("is_new_island").over(wrun))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum(F.col("me") - F.col("ms")).cast("long").alias("covered_us"),
+    )
