@@ -1129,3 +1129,98 @@ def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ppm"
         ),
     )
+
+
+@register(
+    "q147_linear_attribution",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type, {_US} AS us FROM events
+    ),
+    p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+    t AS (SELECT * FROM ev WHERE event_type <> 'purchase'),
+    touches AS (
+        SELECT p.event_id AS purchase_id, t.event_type AS touch_type,
+               t.event_id AS touch_id,
+               COUNT(*) OVER (PARTITION BY p.event_id) AS n_touches,
+               ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                  ORDER BY t.us, t.event_id) AS touch_rank
+        FROM p JOIN t
+          ON t.user_id = p.user_id
+         AND t.us <= p.us AND t.us >= p.us - {_ATTR_LOOKBACK_US}
+    ),
+    credited AS (
+        SELECT touch_type,
+               (1000000 // n_touches)
+               + CASE WHEN touch_rank = 1 THEN 1000000 % n_touches
+                      ELSE 0 END AS credit_ppm
+        FROM touches
+    )
+    SELECT touch_type,
+           COUNT(*) AS n_touches,
+           SUM(credit_ppm) AS total_credit_ppm
+    FROM credited GROUP BY touch_type
+    """,
+)
+def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every non-purchase touch in the
+    6-hour lookback shares a conversion's credit equally, in exact
+    integer ppm — floor(1e6/n) per touch with the remainder assigned
+    to the EARLIEST touch, so each conversion distributes exactly
+    1,000,000 ppm and the per-channel totals are integers both
+    engines agree on bit-for-bit (no fractional credit drift).
+    Completes the attribution family: q133 gives first/last-touch,
+    this gives the position-independent split. Same time-bucketed
+    candidate equi-join as q133 bounds the join to ~12 h of per-user
+    activity; the credit arithmetic rides two windows over the
+    already-small touch relation."""
+    ev = _with_us(T(spark, sf_dir, "events"))
+    lb = F.lit(_ATTR_LOOKBACK_US)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("us").alias("p_us"),
+        )
+        .withColumn("b", (F.col("p_us") / lb).cast("long"))
+        .withColumn("probe_b", F.explode(F.array(F.col("b"), F.col("b") - 1)))
+    )
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("touch_type"),
+        F.col("us").alias("t_us"),
+        (F.col("us") / lb).cast("long").alias("t_b"),
+    )
+    touches = (
+        p.join(
+            t,
+            (F.col("t_user") == F.col("user_id"))
+            & (F.col("t_b") == F.col("probe_b")),
+        )
+        .filter(
+            (F.col("t_us") <= F.col("p_us"))
+            & (F.col("t_us") >= F.col("p_us") - lb)
+        )
+        .select("purchase_id", "touch_type", "t_id", "t_us")
+    )
+    wn = Window.partitionBy("purchase_id")
+    wr = Window.partitionBy("purchase_id").orderBy("t_us", "t_id")
+    credited = touches.select(
+        "touch_type",
+        F.count("*").over(wn).alias("n_t"),
+        F.row_number().over(wr).alias("rk"),
+    ).select(
+        "touch_type",
+        (
+            F.floor(F.lit(1000000) / F.col("n_t")).cast("long")
+            + F.when(F.col("rk") == 1, F.lit(1000000) % F.col("n_t"))
+            .otherwise(F.lit(0))
+            .cast("long")
+        ).alias("credit_ppm"),
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count("*").alias("n_touches"),
+        F.sum("credit_ppm").alias("total_credit_ppm"),
+    )
