@@ -900,3 +900,105 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_intervals"),
         F.sum(F.col("me") - F.col("ms")).cast("long").alias("covered_us"),
     )
+
+
+@register(
+    "q148_share_of_parent",
+    oracle="""
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS rev
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    ),
+    tot AS (
+        SELECT region, SUM(rev) AS region_rev FROM rev GROUP BY region
+    )
+    SELECT rev.region, rev.nation,
+           CAST(rev.rev AS DOUBLE) AS nation_rev,
+           CAST(floor(1000000.0 * (CAST(rev.rev AS DOUBLE)
+                                   / CAST(tot.region_rev AS DOUBLE)))
+                AS BIGINT) AS share_ppm
+    FROM rev JOIN tot USING (region)
+    """,
+)
+def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent contribution analysis: each nation's revenue as
+    an exact-ppm share of its region's total — the drill-down ratio
+    every OLAP contribution report computes. Revenue accumulates in
+    DECIMAL(18,4) (order-independent exact sums, the repo convention);
+    the share is floor(1e6 * (rev/total)) over the two decimal-exact
+    sums widened to double — one correctly-rounded IEEE divide and
+    multiply, identical bits on both engines at any scale (a decimal
+    floor-division would hit Spark's scale-6 HALF_UP quotient
+    rounding). The parent totals ride a window over
+    the already-aggregated |nation| rows — no second scan of the fact
+    table, and the single fact shuffle is the group-by itself (the
+    dimension chain broadcasts)."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"))
+    )
+    wreg = Window.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        F.col("rev").cast("double").alias("nation_rev"),
+        F.floor(
+            F.lit(1000000.0)
+            * (
+                F.col("rev").cast("double")
+                / F.sum("rev").over(wreg).cast("double")
+            )
+        ).cast("long").alias("share_ppm"),
+    )
+
+
+@register(
+    "q149_rolling_median",
+    oracle=f"""
+    SELECT user_id, event_id,
+           quantile_cont(value, 0.5) OVER (
+               PARTITION BY user_id
+               ORDER BY {_US}, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS rolling_med
+    FROM events
+    WHERE user_id < 100
+    """,
+)
+def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median — the robust time-series smoother a mean-based
+    moving average cannot replace under spikes: interpolated median
+    over a 7-row trailing frame per user timeline. Both engines run
+    the SAME continuous-quantile definition as a true window
+    aggregate (the q64-proven percentile/quantile_cont pairing), so
+    the interpolated values match bit-for-bit. One shuffle on
+    user_id; the per-frame sort state is bounded by the 7-row frame,
+    so the 100 TB cost is the same single exchange as any per-key
+    window."""
+    from gpu_olap_engine_spark.queries.events import _with_us  # noqa: PLC0415
+
+    ev = _with_us(T(spark, sf_dir, "events").filter(F.col("user_id") < 100))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.expr("percentile(value, 0.5)")
+        .over(w)
+        .alias("rolling_med"),
+    )
