@@ -1002,3 +1002,72 @@ def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("rolling_med"),
     )
+
+
+@register(
+    "q150_rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               MAX(CAST(o_orderdate AS DATE)) AS last_order,
+               COUNT(*) AS frequency,
+               SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey, frequency,
+               CAST(monetary AS DOUBLE) AS monetary,
+               CAST(NTILE(5) OVER (ORDER BY last_order, o_custkey)
+                    AS BIGINT) AS r_score,
+               CAST(NTILE(5) OVER (ORDER BY frequency, o_custkey)
+                    AS BIGINT) AS f_score,
+               CAST(NTILE(5) OVER (ORDER BY monetary, o_custkey)
+                    AS BIGINT) AS m_score
+        FROM per_cust
+    )
+    SELECT r_score, f_score, m_score,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(monetary AS DECIMAL(18,4))) AS DOUBLE)
+               AS segment_value
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+)
+def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the marketing-analytics staple: per customer
+    recency (last order date), frequency (order count), monetary
+    (decimal-exact spend), each scored into quintiles by NTILE over a
+    unique (metric, custkey) order so both engines tile identically,
+    then the 125-cell segment grid with customer counts and value.
+    The fact table shuffles ONCE (the per-customer aggregate); the
+    three NTILEs ride over the much smaller customer relation. At
+    100 TB swap the global NTILE for q116's broadcast-cut-points
+    form — this entry is the exact twin that gates that swap."""
+    o = T(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("monetary"),
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        "frequency",
+        F.col("monetary").cast("double").alias("monetary"),
+        F.ntile(5)
+        .over(Window.orderBy("last_order", "o_custkey"))
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("frequency", "o_custkey"))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary", "o_custkey"))
+        .cast("long")
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.col("monetary").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("segment_value"),
+    )
