@@ -1224,3 +1224,79 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_touches"),
         F.sum("credit_ppm").alias("total_credit_ppm"),
     )
+
+
+@register(
+    "q151_lateness_profile",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, {_US} AS us,
+               MAX({_US}) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ((event_id % 1000003) * (2654435761 % 1000003))
+                            % 1000003, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS hwm
+        FROM events
+    ),
+    lat AS (
+        SELECT CASE
+                 WHEN hwm IS NULL OR us >= hwm THEN 'on_time'
+                 WHEN hwm - us < 1000000 THEN 'lt_1s'
+                 WHEN hwm - us < 60000000 THEN 'lt_1m'
+                 WHEN hwm - us < 600000000 THEN 'lt_10m'
+                 ELSE 'ge_10m'
+               END AS band,
+               CASE WHEN hwm IS NULL OR us >= hwm THEN 0
+                    ELSE hwm - us END AS lateness_us
+        FROM seq
+    )
+    SELECT band, COUNT(*) AS n_events,
+           CAST(MAX(lateness_us) AS BIGINT) AS max_lateness_us
+    FROM lat GROUP BY band
+    """,
+)
+def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-lateness profile — the measurement that DESIGNS a
+    watermark: the per-user high-water mark is a running max over
+    already-seen event times in arrival order, and every event's
+    lateness against it is banded (on-time / <1s / <1m / <10m /
+    >=10m). The band counts tell you what `withWatermark` delay
+    bounds state size vs. what fraction of events a given delay
+    would drop. The fixtures record no arrival time (event_id is
+    timestamp-sorted, which would make every event on-time), so
+    arrival order is SIMULATED by a deterministic integer-hash
+    shuffle of the sequence — both engines use the identical
+    permutation, and the lateness arithmetic stays exact integer
+    microseconds. One shuffle on user_id (the same layout the
+    streaming aggregation itself uses)."""
+    ev = _with_us(T(spark, sf_dir, "events"))
+    # mod-reduce BEFORE multiplying: raw id * constant overflows int64
+    # for the sf1 replica's offset ids (wrap in Spark, promote in
+    # DuckDB — either way a divergence)
+    arrival = (
+        (F.col("event_id") % 1000003) * F.lit(2654435761 % 1000003)
+    ) % 1000003
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(arrival, "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hwm = F.max("us").over(w)
+    on_time = hwm.isNull() | (F.col("us") >= hwm)
+    late = hwm - F.col("us")
+    band = (
+        F.when(on_time, "on_time")
+        .when(late < 1_000_000, "lt_1s")
+        .when(late < 60_000_000, "lt_1m")
+        .when(late < 600_000_000, "lt_10m")
+        .otherwise("ge_10m")
+    )
+    lat = ev.select(
+        band.alias("band"),
+        F.when(on_time, F.lit(0)).otherwise(late).alias("lateness_us"),
+    )
+    return lat.groupBy("band").agg(
+        F.count("*").alias("n_events"),
+        F.max("lateness_us").cast("long").alias("max_lateness_us"),
+    )
