@@ -782,9 +782,9 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM firsts GROUP BY first_day
     )
     SELECT day, new_users,
-           SUM(new_users) OVER (ORDER BY day
+           CAST(SUM(new_users) OVER (ORDER BY day
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS cumulative_users
+               AS BIGINT) AS cumulative_users
     FROM per_day
     """,
 )

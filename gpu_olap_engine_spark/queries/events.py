@@ -1095,7 +1095,7 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     t AS (SELECT prev_type, SUM(n) AS total FROM c GROUP BY prev_type)
     SELECT c.prev_type, c.next_type, n,
-           (1000000 * n) // total AS ppm
+           CAST((1000000 * n) // total AS BIGINT) AS ppm
     FROM c JOIN t USING (prev_type)
     """,
 )
@@ -1158,7 +1158,7 @@ def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT touch_type,
            COUNT(*) AS n_touches,
-           SUM(credit_ppm) AS total_credit_ppm
+           CAST(SUM(credit_ppm) AS BIGINT) AS total_credit_ppm
     FROM credited GROUP BY touch_type
     """,
 )

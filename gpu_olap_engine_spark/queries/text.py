@@ -366,7 +366,7 @@ def text_rare_term_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cnt AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
     tot AS (SELECT SUM(cnt) AS n FROM cnt)
-    SELECT word, cnt, (cnt * 1000000) // t.n AS support_ppm
+    SELECT word, cnt, CAST((cnt * 1000000) // t.n AS BIGINT) AS support_ppm
     FROM cnt, tot t
     WHERE cnt * 200 >= t.n
     """,
@@ -407,7 +407,7 @@ def text_frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cnt AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
     tot AS (SELECT SUM(cnt) AS n FROM cnt)
-    SELECT word, cnt, (cnt * 1000000) // t.n AS support_ppm
+    SELECT word, cnt, CAST((cnt * 1000000) // t.n AS BIGINT) AS support_ppm
     FROM cnt, tot t
     WHERE cnt * 200 >= t.n
     """,
@@ -499,7 +499,7 @@ def text_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cnt AS (SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY pair),
     tot AS (SELECT SUM(cnt) AS n FROM cnt)
-    SELECT pair, cnt, (cnt * 1000000) // t.n AS freq_ppm
+    SELECT pair, cnt, CAST((cnt * 1000000) // t.n AS BIGINT) AS freq_ppm
     FROM cnt, tot t
     WHERE cnt * 100 >= t.n
     """,

@@ -34,6 +34,16 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _dtype_kind(series: pd.Series) -> str:
+    """Dtype kind for representation comparison: unify int/uint (the
+    driver's hash does not distinguish int widths/signs), keep
+    int-vs-float distinct (it DOES distinguish those — DuckDB HUGEINT
+    promotion lands as float64 and fails the driver hash even when
+    every value is numerically equal; round-6 regression)."""
+    k = series.dtype.kind
+    return "i" if k in ("i", "u") else k
+
+
 def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
         f"{name}: column names differ: {sorted(spark_pdf.columns)} vs "
@@ -43,6 +53,17 @@ def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: s
         f"{name}: row count {len(spark_pdf)} vs {len(duck_pdf)}"
     )
     s, d = normalize(spark_pdf), normalize(duck_pdf)
+    for col in s.columns:
+        sk, dk = _dtype_kind(s[col]), _dtype_kind(d[col])
+        # Object columns (strings, decimals, Nones) fall through to the
+        # value loop; numeric/bool/datetime kinds must agree exactly or
+        # the driver's representation-sensitive hash diverges.
+        if "O" not in (sk, dk):
+            assert sk == dk, (
+                f"{name}.{col}: dtype-kind mismatch {s[col].dtype} (spark) vs "
+                f"{d[col].dtype} (oracle) — values may be equal but the "
+                f"driver hash is representation-sensitive"
+            )
     for col in s.columns:
         sv, dv = s[col].tolist(), d[col].tolist()
         for i, (a, b) in enumerate(zip(sv, dv)):
