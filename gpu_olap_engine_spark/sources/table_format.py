@@ -168,6 +168,14 @@ def _stat_value(v):
         # ints stay exact: Python's mixed int/float comparisons are
         # mathematically correct, floats would misprune near 2**53
         return ("n", v)
+    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+        # tz-aware footer stats (pyarrow yields these for
+        # TIMESTAMP_MICROS columns) isoformat with a '+00:00' suffix,
+        # which compares lexicographically against naive session-local
+        # literals in the WRONG order — pruning on them silently drops
+        # matching files (merge_into would then commit duplicate keys).
+        # Store-only, never prune.
+        return ("s", v.isoformat())
     if isinstance(v, (datetime.date, datetime.datetime)):
         return ("d", v.isoformat())
     if isinstance(v, bytes):
@@ -252,9 +260,36 @@ def _file_may_match(fstats: dict | None, predicate) -> bool:
         if cs is None or cs["t"] == "s":
             continue  # no safe bounds -> cannot exclude
         if cs["t"] == "d":
-            if isinstance(lit, (datetime.date, datetime.datetime)):
+            if isinstance(lit, datetime.datetime):
+                if lit.tzinfo is not None:
+                    # naive footer bounds vs tz-aware literal is
+                    # ambiguous without a session tz: don't prune on
+                    # this conjunct (row-level filter still applies)
+                    continue
                 lit = lit.isoformat()
-            lit = str(lit)
+            elif isinstance(lit, datetime.date):
+                lit = lit.isoformat()
+            elif isinstance(lit, str):
+                # strict ISO-8601 only: a malformed literal like
+                # '2026/08/14' compares lexicographically in the wrong
+                # order and would wrongly EXCLUDE files — fail loud,
+                # matching the numeric branch
+                try:
+                    datetime.datetime.fromisoformat(lit)
+                except ValueError:
+                    try:
+                        datetime.date.fromisoformat(lit)
+                    except ValueError:
+                        raise ValueError(
+                            f"date/timestamp column {col!r} needs a "
+                            f"date, datetime, or ISO-8601 string "
+                            f"literal, got {lit!r}"
+                        ) from None
+            else:
+                raise ValueError(
+                    f"date/timestamp column {col!r} needs a date, "
+                    f"datetime, or ISO-8601 string literal, got {lit!r}"
+                )
         elif cs["t"] == "n":
             if not isinstance(lit, (int, float)) or isinstance(lit, bool):
                 raise ValueError(
@@ -722,6 +757,12 @@ def apply_changes(
         to_write = (
             upserts if to_write is None else to_write.unionByName(upserts)
         )
+    if not touched and to_write is None and app_id is None:
+        # no-op CDC batch (delete_keys matched nothing, no upserts):
+        # don't commit a version whose file list is identical to the
+        # previous one. With an app_id we DO fall through to a
+        # metadata-only commit so the exactly-once ledger advances.
+        return {"version": v, "skipped": True, "files_rewritten": 0}
     files = _write_txn_files(to_write, path) if to_write is not None else []
     if app_id is not None:
         app_ids[app_id[0]] = app_id[1]

@@ -460,3 +460,117 @@ def test_prune_predicate_validation(spark, tmp_path):
     # unknown column: no stats -> conservative keep, not an error
     kept, total = tf.prune_files(path, None, [("nope", "=", 1)])
     assert len(kept) == total
+
+
+# --------------------------------------------- timestamp-stats safety
+
+
+def test_tz_aware_timestamp_stats_never_prune(spark, tmp_path):
+    """TIMESTAMP_MICROS footers surface as tz-aware datetimes in
+    pyarrow; their isoformat carries '+00:00' which lexicographically
+    mis-orders against naive session-local literals. Such stats must be
+    stored as non-prunable ('s'), so a merge on a timestamp key scans
+    every candidate file instead of silently pruning the match and
+    committing a duplicate key (round-6 advisor repro)."""
+    path = str(tmp_path / "tts")
+    prev_out = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = spark.range(8, numPartitions=4).select(
+            F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 3600)
+            .alias("ts"),
+            F.col("id").alias("v"),
+        )
+        tf.create_table(df, path)
+        m = tf._load_manifest(path, 0)
+        for fstats in m["stats"].values():
+            ts_col = fstats["cols"].get("ts")
+            assert ts_col is None or ts_col["t"] == "s", (
+                "tz-aware timestamp stats must be store-only, got "
+                f"{ts_col}"
+            )
+        # merge on the timestamp key: every candidate file must be
+        # scanned (no stats pruning), and the matched key replaced
+        u = spark.range(1).select(
+            F.timestamp_seconds(F.lit(1700000000) + F.lit(3) * 3600)
+            .alias("ts"),
+            F.lit(-3).cast("long").alias("v"),
+        )
+        r = tf.merge_into(spark, path, u, ["ts"])
+        assert r["files_rewritten"] == 1
+        got = {
+            row["v"]
+            for row in tf.read_snapshot(spark, path).collect()
+        }
+        assert got == {0, 1, 2, -3, 4, 5, 6, 7}
+    finally:
+        if prev_out is None:
+            spark.conf.unset("spark.sql.parquet.outputTimestampType")
+        else:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev_out)
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_date_predicate_literal_validation(spark, tmp_path):
+    """'d'-tagged (date) columns fail loud on malformed literals
+    instead of silently mis-pruning via str() coercion, and skip the
+    conjunct (conservative keep) for ambiguous tz-aware literals."""
+    import datetime
+
+    path = str(tmp_path / "td")
+    df = spark.range(10, numPartitions=2).select(
+        F.date_add(F.lit("2026-01-01").cast("date"), F.col("id").cast("int"))
+        .alias("d"),
+        F.col("id").alias("v"),
+    )
+    tf.create_table(df, path)
+    m = tf._load_manifest(path, 0)
+    assert any(
+        fs["cols"].get("d", {}).get("t") == "d" for fs in m["stats"].values()
+    ), "date column should produce prunable 'd' stats"
+    # valid forms: date, ISO string
+    kept, total = tf.prune_files(path, None, [("d", "=", "2026-01-03")])
+    assert 1 <= len(kept) < total
+    kept2, _ = tf.prune_files(
+        path, None, [("d", "=", datetime.date(2026, 1, 3))]
+    )
+    assert kept2 == kept
+    # malformed string / epoch int: fail loud
+    with pytest.raises(ValueError, match="ISO-8601"):
+        tf.prune_files(path, None, [("d", "=", "2026/01/03")])
+    with pytest.raises(ValueError, match="ISO-8601"):
+        tf.prune_files(path, None, [("d", "=", 1700000000)])
+    # tz-aware literal: ambiguous -> conservative keep of all files
+    aware = datetime.datetime(
+        2026, 1, 3, tzinfo=datetime.timezone.utc
+    )
+    kept3, total3 = tf.prune_files(path, None, [("d", "=", aware)])
+    assert len(kept3) == total3
+
+
+def test_apply_changes_noop_batch_skips_commit(spark, tmp_path):
+    """A CDC batch with no upserts and delete_keys matching nothing
+    must not commit a new identical version (commit churn); with an
+    app_id it still advances the exactly-once ledger."""
+    path = _mk(spark, tmp_path, n=20, parts=2)
+    v0 = tf.latest_version(path)
+    misses = spark.createDataFrame([(999,)], "k long")
+    r = tf.apply_changes(spark, path, None, misses, ["k"])
+    assert r["skipped"] is True and tf.latest_version(path) == v0
+    # with app_id: metadata-only commit advances the ledger
+    r2 = tf.apply_changes(
+        spark, path, None, misses, ["k"], app_id=("job", 7)
+    )
+    assert r2["skipped"] is False and r2["files_rewritten"] == 0
+    v1 = tf.latest_version(path)
+    assert v1 == v0 + 1
+    m = tf._load_manifest(path, v1)
+    assert m["app_ids"]["job"] == 7
+    # replay of the same batch id is skipped by the ledger
+    r3 = tf.apply_changes(
+        spark, path, None, misses, ["k"], app_id=("job", 7)
+    )
+    assert r3["skipped"] is True and tf.latest_version(path) == v1
+    assert _rows(spark, path) == {(i, i * 10) for i in range(20)}
