@@ -599,7 +599,8 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
            UPPER(SUBSTRING(p_name, 1, 8)) AS name_prefix,
            REPLACE(p_brand, 'Brand#', 'B') AS brand_code,
            CAST(LENGTH(p_name) AS BIGINT) AS name_len,
-           CASE WHEN p_type LIKE 'ECO%' THEN 1 ELSE 0 END AS is_economy
+           CAST(CASE WHEN p_type LIKE 'ECO%' THEN 1 ELSE 0 END
+                AS BIGINT) AS is_economy
     FROM part
     """,
 )
