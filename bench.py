@@ -125,6 +125,7 @@ MICRO_GROUPS = {
         "micro_join_int_10m_x_10m",
         "micro_join_skewed_50pct_default",
         "micro_filter_scan_100m",
+        "micro_table_merge_10m",
     ],
     # DuckDB measured on THIS box, same shapes, same min-of-N protocol:
     # the baseline's CPU numbers (BASELINE.md: join 18.3 s, group-by
@@ -262,8 +263,46 @@ def _micro_frames(spark, group: str, ms: float):
                 "micro_filter_scan_100m",
                 r.filter((F.col("id") % 7) == 0).agg(F.count("*").alias("c")),
             ),
+            ("micro_table_merge_10m", _table_merge_run(spark, ms)),
         ]
     raise ValueError(group)
+
+
+def _table_merge_run(spark, ms: float):
+    """Lakehouse-path micro: create a 10M-row snapshot table (16
+    contiguous-range files), MERGE a 100k update batch keyed into a
+    narrow range (stats pruning keeps the rewrite file-granular), then
+    read the new snapshot back — the full create->MERGE->read cycle
+    timed end-to-end. Each rep builds a FRESH table dir (a merge
+    mutates state, so reps cannot share one); the callable is timed by
+    the rep loop in place of a noop write."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from gpu_olap_engine_spark.sources import table_format as tf  # noqa: PLC0415
+
+    n = max(int(10_000_000 * ms), 1000)
+
+    def run() -> None:
+        path = tempfile.mkdtemp(prefix="bench_tm_")
+        try:
+            base = spark.range(n, numPartitions=16).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            )
+            # create_table refuses to reuse a non-empty dir; write into
+            # a child of the fresh tmp dir
+            t = os.path.join(path, "t")
+            tf.create_table(base, t)
+            u = spark.range(max(n // 100, 10)).select(
+                (F.col("id") + n // 2).alias("k"),
+                F.lit(-1).cast("long").alias("v"),
+            )
+            r = tf.merge_into(spark, t, u, ["k"])
+            assert r["files_rewritten"] >= 1
+            assert tf.read_snapshot(spark, t).count() == n
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+
+    return run
 
 
 def run_duckdb_child(runs_path: str, budget: float) -> None:
@@ -385,7 +424,12 @@ def run_micro_child(group: str, runs_path: str, budget: float) -> None:
         else:
             micros = _micro_frames(spark, group, ms)
         runs: dict[str, list[float]] = {name: [] for name, _ in micros}
-        for rep in range(MAX_REPS):
+        # join100 carries the baseline-headline number: when a rep
+        # sequence shows a contention spike (r6: 7.2/15.8/6.6/6.2 —
+        # max/min > 1.5), allow one extra rep beyond the normal cap so
+        # a noisy box cannot pin the min above the true floor.
+        max_reps = MAX_REPS + 1 if group == "join100" else MAX_REPS
+        for rep in range(max_reps):
             for name, df in micros:
                 r = runs[name]
                 # rep 1 always runs (it guarantees the row); later reps
@@ -403,14 +447,21 @@ def run_micro_child(group: str, runs_path: str, budget: float) -> None:
                 # beyond MIN_REPS, keep going only while the timing has
                 # not converged (the JVM was still faulting in memory):
                 # converged = the last TWO runs both sit at the floor
-                if rep >= MIN_REPS and all(
+                spread_bad = (
+                    group == "join100" and r and max(r) > 1.5 * min(r)
+                    and rep < MAX_REPS  # the +1 slot is the last word
+                )
+                if rep >= MIN_REPS and not spread_bad and all(
                     x <= min(r) * (1 + CONVERGED_PCT) + 0.2 for x in r[-2:]
                 ):
                     # +0.2s absolute: sub-second micros jitter past a
                     # pure 10% band and would always run all 5 reps
                     continue
                 t0 = time.perf_counter()
-                df.write.format("noop").mode("overwrite").save()
+                if callable(df):
+                    df()  # imperative micro (table-format cycle)
+                else:
+                    df.write.format("noop").mode("overwrite").save()
                 t = time.perf_counter() - t0
                 r.append(t)
                 emit_run(name, t)

@@ -49,6 +49,7 @@ def load_all() -> dict[str, Query]:
     if not _LOADED:
         from gpu_olap_engine_spark.queries import (  # noqa: F401
             analytics,
+            audit,
             dedup,
             events,
             extras,

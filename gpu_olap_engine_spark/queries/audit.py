@@ -1,0 +1,315 @@
+"""Data-audit and behavioral-analytics completions: column profiling,
+navigation paths, digit-distribution audit, weighted median,
+day-over-day retention overlap.
+
+The reference engine's surface stops at single-SELECT aggregates
+(reference parser.rs:24-31); these are the composed audit/quality
+reports a warehouse team runs on top of that surface, re-expressed as
+single Spark jobs with DuckDB oracle twins. All ratio columns follow
+the repo convention: exact integer ppm via floor division, CAST to
+BIGINT on the oracle side (DuckDB SUM promotes to HUGEINT, which
+would land in pandas as float64 and fail the driver's
+representation-sensitive hash — round-6 lesson).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gpu_olap_engine_spark.queries import register
+from gpu_olap_engine_spark.queries.tables import T
+
+_US = "epoch_us(CAST(ts AS TIMESTAMP))"
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def _profile_oracle() -> str:
+    aggs = ", ".join(
+        f"COUNT({c}) AS nn_{c}, COUNT(DISTINCT {c}) AS nd_{c}"
+        for c in _PROFILE_COLS
+    )
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column_name, n AS n_rows, n - nn_{c} AS n_null, "
+        f"nd_{c} AS n_distinct FROM t"
+        for c in _PROFILE_COLS
+    )
+    return f"WITH t AS (SELECT COUNT(*) AS n, {aggs} FROM orders)\n{arms}"
+
+
+@register("q152_profile_columns", oracle=_profile_oracle())
+def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile audit: one row per column of `orders` with row,
+    null, and exact distinct counts — the schema-drift / data-quality
+    report a pipeline runs before accepting a new drop. ONE pass over
+    the fact table: all per-column counts ride a single aggregate
+    (Catalyst plans the multi-distinct via Expand — column-count-many
+    partial aggregates in one scan, no per-column rescan like the
+    naive UNION ALL the oracle spells out), then a stack() unpivots
+    the 1-row result driver-side. At 100 TB the expensive exact
+    distincts can swap to approx_count_distinct per column without
+    changing the shape; this entry is the exact twin that gates it.
+    All counts are int64 on both engines."""
+    o = T(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        "n",
+        f"stack({len(_PROFILE_COLS)}, {stack_args})"
+        " AS (column_name, nn, n_distinct)",
+    ).select(
+        "column_name",
+        F.col("n").alias("n_rows"),
+        (F.col("n") - F.col("nn")).alias("n_null"),
+        "n_distinct",
+    )
+
+
+@register(
+    "q153_session_paths",
+    oracle=f"""
+    WITH r AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY {_US}, event_id
+               ) AS rn
+        FROM events
+    ),
+    p AS (
+        SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM r WHERE rn <= 5 GROUP BY user_id
+    )
+    SELECT path, COUNT(*) AS n_users
+    FROM p GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 20
+    """,
+)
+def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top navigation paths: each user's first five events (by time,
+    event_id tie-break) joined into a '>'-separated journey string,
+    ranked by how many users share the exact prefix — the product
+    funnel-discovery report. One shuffle on user_id covers BOTH the
+    ranking window and the per-user path assembly; the path
+    frequency table is tiny (|event_types|^5 worst case) and its
+    top-20 is a TakeOrdered, never a full sort. Paths assemble from
+    array_sort over (rn, type) structs — rn is unique per user, so
+    the order is total and both engines emit identical strings."""
+    from gpu_olap_engine_spark.queries.events import _with_us  # noqa: PLC0415
+
+    ev = _with_us(T(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    r = (
+        ev.select(
+            "user_id", "event_type", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 5)
+    )
+    paths = r.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(20)
+    )
+
+
+@register(
+    "q154_benford_digits",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (SELECT digit, COUNT(*) AS cnt FROM d GROUP BY digit)
+    SELECT digit, cnt,
+           CAST((1000000 * cnt) // (SELECT SUM(cnt) FROM c) AS BIGINT)
+               AS ppm
+    FROM c
+    """,
+)
+def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit: the distribution of the leading
+    significant digit of order totals in exact integer ppm — the
+    classic anomaly screen for fabricated or truncated monetary data.
+    The digit extraction is pure JVM string/math expressions (floor ->
+    int64 -> leading char), the aggregate is 9 groups, and the
+    normalizing total rides a window over those 9 rows: one scan, one
+    tiny shuffle, nothing driver-side. Integer floor-division ppm
+    keeps both engines bit-identical."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count("*").alias("cnt"))
+    return c.select(
+        "digit",
+        "cnt",
+        F.expr("(1000000 * cnt) DIV sum(cnt) OVER ()").alias("ppm"),
+    )
+
+
+@register(
+    "q155_weighted_median",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS price,
+               CAST(l_quantity AS BIGINT) AS wt,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    c AS (
+        SELECT flag, price,
+               SUM(wt) OVER (
+                   PARTITION BY flag
+                   ORDER BY price, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum,
+               SUM(wt) OVER (PARTITION BY flag) AS tot
+        FROM w
+    )
+    SELECT flag, MIN(price) AS weighted_median
+    FROM c WHERE 2 * cum >= tot GROUP BY flag
+    """,
+)
+def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the smallest
+    price whose cumulative quantity reaches half the total — the
+    inventory-weighted robust center an unweighted median (q149) gets
+    wrong when line items carry different volumes. Weights are exact
+    int64 (quantities are integral), the cumulative and total sums
+    ride two frames of ONE window shuffle on the group key, and the
+    threshold pick is MIN over the qualifying suffix — when the
+    half-weight boundary lands inside a run of equal prices the
+    answer is that price regardless of intra-run order, so the result
+    is deterministic without a unique sort key. Output is the price
+    value itself (double, bit-identical both engines)."""
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("long").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wcum = (
+        Window.partitionBy("flag")
+        .orderBy("price", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("flag")
+    c = li.select(
+        "flag",
+        "price",
+        F.sum("wt").over(wcum).alias("cum"),
+        F.sum("wt").over(wall).alias("tot"),
+    )
+    return (
+        c.filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("flag")
+        .agg(F.min("price").alias("weighted_median"))
+    )
+
+
+@register(
+    "q156_retention_overlap",
+    oracle=f"""
+    WITH du AS (
+        SELECT DISTINCT {_US} // 86400000000 AS day, user_id FROM events
+    ),
+    cnt AS (SELECT day, COUNT(*) AS n FROM du GROUP BY day),
+    inter AS (
+        SELECT a.day AS day, COUNT(*) AS n_both
+        FROM du a JOIN du b
+          ON b.user_id = a.user_id AND b.day = a.day + 1
+        GROUP BY a.day
+    )
+    SELECT c1.day AS day, c1.n AS n_day, c2.n AS n_next,
+           COALESCE(i.n_both, 0) AS n_both,
+           CAST((1000000 * COALESCE(i.n_both, 0))
+                // (c1.n + c2.n - COALESCE(i.n_both, 0)) AS BIGINT)
+               AS jaccard_ppm
+    FROM cnt c1
+    JOIN cnt c2 ON c2.day = c1.day + 1
+    LEFT JOIN inter i ON i.day = c1.day
+    """,
+)
+def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retention overlap: for each consecutive day pair,
+    the active-user intersection size and Jaccard similarity in exact
+    integer ppm — the churn-vs-stickiness curve. The oracle spells
+    the textbook self-join of daily user sets; the Spark plan avoids
+    it: after the ONE (day, user) distinct, a lag() over each user's
+    sorted day list marks day-over-day continuations, so the
+    intersection size is a per-day SUM of those marks — one scan,
+    three exchanges over the big relation (distinct, user window,
+    day aggregate) instead of a recomputed self-join. The final
+    pairing of consecutive days is a lead() over the |days|-sized
+    aggregate (tiny single-partition window, not a self-join).
+    Integer epoch-day bucketing (BIGINT floor division) and integer
+    Jaccard keep every output column int64 on both engines."""
+    from gpu_olap_engine_spark.queries.events import _with_us  # noqa: PLC0415
+
+    ev = _with_us(T(spark, sf_dir, "events"))
+    du = ev.select(
+        F.expr("us DIV 86400000000").alias("day"), "user_id"
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    marked = du.withColumn("prev", F.lag("day").over(w))
+    per_day = marked.groupBy("day").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("prev") == F.col("day") - 1, 1).otherwise(0)
+        ).cast("long").alias("nb"),
+    )
+    # pair consecutive days via lead() over the |days|-sized aggregate
+    # (single-partition window over a tiny relation — NOT the fact
+    # table) so the per_day subtree exists once in the plan instead of
+    # being duplicated by a self-join
+    wd = Window.orderBy("day")
+    return (
+        per_day.select(
+            "day",
+            F.col("n").alias("n_day"),
+            F.lead("day").over(wd).alias("next_day"),
+            F.lead("n").over(wd).alias("n_next"),
+            F.lead("nb").over(wd).alias("n_both"),
+        )
+        .filter(F.col("next_day") == F.col("day") + 1)
+        .select(
+            "day",
+            "n_day",
+            "n_next",
+            "n_both",
+            F.expr(
+                "(1000000 * n_both) DIV (n_day + n_next - n_both)"
+            ).alias("jaccard_ppm"),
+        )
+    )
