@@ -313,3 +313,156 @@ def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_ppm"),
         )
     )
+
+
+@register(
+    "q157_sla_latency",
+    oracle="""
+    WITH fs AS (
+        SELECT l_orderkey, MIN(l_shipdate) AS first_ship
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    d AS (
+        SELECT o.o_orderpriority AS priority,
+               (epoch_us(CAST(fs.first_ship AS TIMESTAMP))
+                - epoch_us(CAST(o.o_orderdate AS TIMESTAMP)))
+               // 86400000000 AS delay_days
+        FROM orders o JOIN fs ON fs.l_orderkey = o.o_orderkey
+    )
+    SELECT priority, COUNT(*) AS n_orders,
+           quantile_cont(delay_days, 0.5) AS p50_days,
+           quantile_cont(delay_days, 0.95) AS p95_days
+    FROM d GROUP BY priority
+    """,
+)
+def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fulfilment SLA: days from order placement to FIRST line
+    shipment, summarized as p50/p95 per order priority — the
+    operational latency report. The lineitem side collapses to one
+    row per order BEFORE the join (MIN pre-aggregation, so the join
+    input is |orders|-sized on both sides and co-partitions on the
+    order key — one shuffle pair, AQE-coalesced), delays are exact
+    integer day counts (epoch-microsecond floor division), and the
+    percentile runs per priority over those integers with the
+    q64-proven continuous-quantile pairing (identical interpolation
+    both engines)."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    fs = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("first_ship"))
+    d = o.join(fs, o["o_orderkey"] == fs["l_orderkey"]).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr(
+            "(unix_micros(CAST(first_ship AS TIMESTAMP))"
+            " - unix_micros(CAST(o_orderdate AS TIMESTAMP)))"
+            " DIV 86400000000"
+        ).alias("delay_days"),
+    )
+    return d.groupBy("priority").agg(
+        F.count("*").alias("n_orders"),
+        F.expr("percentile(delay_days, 0.5)").alias("p50_days"),
+        F.expr("percentile(delay_days, 0.95)").alias("p95_days"),
+    )
+
+
+@register(
+    "q158_ngram_diversity",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS words
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(range(1, len(words) - 2),
+                              i -> array_to_string(words[i:i+3], ' '))
+                   AS grams
+        FROM w WHERE len(words) >= 4
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+           CAST((1000000 * len(list_distinct(grams))) // len(grams)
+                AS BIGINT) AS diversity_ppm
+    FROM g
+    """,
+)
+def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-4-gram diversity per document: distinct-to-total shingle
+    ratio in exact integer ppm — the cheap compression-ratio proxy
+    LLM data curation uses to catch boilerplate and template spam
+    (low diversity = repetitive text; the Gopher-rule companion to
+    q69's repetition runs). Entirely per-row array expressions inside
+    whole-stage codegen: tokenize -> slide a 4-window -> count raw vs
+    array_distinct — NO explode, NO shuffle, perfectly parallel at
+    100 TB. Docs under 4 tokens are excluded (no gram exists)."""
+    from gpu_olap_engine_spark.operators.dedup import tokenize  # noqa: PLC0415
+    from gpu_olap_engine_spark.queries.tables import spread  # noqa: PLC0415
+
+    docs = spread(T(spark, sf_dir, "documents"))
+    d = docs.select("doc_id", tokenize(F.col("text")).alias("words")).filter(
+        F.size("words") >= 4
+    )
+    g = d.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("words") - 3),
+            lambda i: F.concat_ws(" ", F.slice("words", i, 4)),
+        ).alias("grams"),
+    )
+    return g.select(
+        "doc_id",
+        F.size("grams").cast("long").alias("n_grams"),
+        F.size(F.array_distinct("grams")).cast("long").alias("n_distinct"),
+        F.expr(
+            "CAST((1000000 * size(array_distinct(grams)))"
+            " DIV size(grams) AS BIGINT)"
+        ).alias("diversity_ppm"),
+    )
+
+
+@register(
+    "q159_new_vs_returning",
+    oracle=f"""
+    WITH du AS (
+        SELECT DISTINCT {_US} // 86400000000 AS day, user_id FROM events
+    ),
+    f AS (
+        SELECT day,
+               MIN(day) OVER (PARTITION BY user_id) AS first_day
+        FROM du
+    )
+    SELECT day,
+           CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returning
+    FROM f GROUP BY day
+    """,
+)
+def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users decomposed into new vs returning — the DAU
+    growth-quality split every product dashboard pairs with q145's
+    cumulative curve. Same single-pass shape as q156: ONE (day, user)
+    distinct of the fact table, a per-user window carries each user's
+    first-seen day to every active day, and a day-level aggregate
+    counts the split — no join between the activity relation and a
+    separately-computed first-seen table, so the fact table is
+    scanned once and the big relation crosses exactly three
+    exchanges. All int64."""
+    from gpu_olap_engine_spark.queries.events import _with_us  # noqa: PLC0415
+
+    ev = _with_us(T(spark, sf_dir, "events"))
+    du = ev.select(
+        F.expr("us DIV 86400000000").alias("day"), "user_id"
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    f = du.select("day", F.min("day").over(w).alias("first_day"))
+    return f.groupBy("day").agg(
+        F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_returning"),
+    )
