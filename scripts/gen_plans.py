@@ -72,6 +72,18 @@ SHOW = [
         "text_heavy_hitters_sketch",
         "MG sketch: candidates broadcast back as LeftSemi prune",
     ),
+    (
+        "q156_retention_overlap",
+        "day-over-day Jaccard: lag-marked continuations, one scan, no self-join",
+    ),
+    (
+        "q158_ngram_diversity",
+        "4-gram diversity: per-row array expressions, zero shuffle after spread",
+    ),
+    (
+        "q157_sla_latency",
+        "SLA percentiles: lineitem pre-aggregated before the orders join",
+    ),
 ]
 
 
