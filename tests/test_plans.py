@@ -340,3 +340,57 @@ def test_mad_outliers_broadcasts_group_stats(spark):
     plan = plan_of(REGISTRY["q143_mad_outliers"].fn(spark, SF_ORACLE))
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_retention_overlap_single_scan_no_self_join(spark):
+    """q156: the day-over-day overlap must come from lag-marked
+    continuations over ONE (day, user) distinct — a naive self-join of
+    the daily user sets would scan and shuffle the fact table per
+    branch (the regression this pins out)."""
+    df = REGISTRY["q156_retention_overlap"].fn(spark, SF_ORACLE)
+    plan = plan_of(df, "simple")
+    assert plan.count("Scan parquet") == 1
+    assert "CartesianProduct" not in plan
+    # distinct + user window + day agg + tiny pairing window
+    assert shuffle_count(df) <= 4
+
+
+def test_new_vs_returning_single_scan(spark):
+    """q159: first-seen day rides a per-user window over the one
+    distinct relation — no join against a separate first-seen table."""
+    df = REGISTRY["q159_new_vs_returning"].fn(spark, SF_ORACLE)
+    plan = plan_of(df, "simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert shuffle_count(df) <= 3
+
+
+def test_ngram_diversity_no_explode_no_agg_shuffle(spark):
+    """q158: the diversity ratio is per-row array math — no explode of
+    grams, no aggregation exchange (only the round-robin spread)."""
+    df = REGISTRY["q158_ngram_diversity"].fn(spark, SF_ORACLE)
+    plan = plan_of(df)
+    assert "Generate explode" not in plan
+    assert "hashpartitioning" not in plan.lower()
+    assert shuffle_count(df) <= 1
+
+
+def test_sla_latency_preaggregates_before_join(spark):
+    """q157: lineitem collapses to per-order MIN before the join, so
+    the join inputs are |orders|-sized (partial aggregate must appear
+    below the join, and the join is an equi join, never a nested
+    loop)."""
+    df = REGISTRY["q157_sla_latency"].fn(spark, SF_ORACLE)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_profile_columns_single_expand_pass(spark):
+    """q152: the multi-column profile is one Expand-based scan, not a
+    per-column rescan (the oracle's UNION ALL shape)."""
+    df = REGISTRY["q152_profile_columns"].fn(spark, SF_ORACLE)
+    plan = plan_of(df, "simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
