@@ -466,3 +466,156 @@ def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_returning"),
     )
+
+
+@register(
+    "q161_burst_days",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_type, {_US} // 86400000000 AS day,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(cnt) AS BIGINT) AS s,
+               CAST(SUM(cnt * cnt) AS BIGINT) AS ss
+        FROM d GROUP BY 1
+    )
+    SELECT d.event_type, d.day, d.cnt
+    FROM d JOIN m USING (event_type)
+    WHERE m.n >= 2
+      AND CAST(d.cnt AS DOUBLE) >
+          CAST(s AS DOUBLE) / n
+          + 2.0 * sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                       / (n - 1))
+    """,
+)
+def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-burst detection: days where an event type's daily count
+    exceeds its own mean by 2 sample standard deviations — the
+    volume-anomaly alarm over the ingest monitoring feed. The per-type
+    moments (n, Σ, Σ²) are INTEGER sums over the tiny per-day
+    aggregate, so both engines derive the identical doubles for the
+    threshold. The moments ride whole-partition window frames over
+    the day-count relation instead of a join back to a separate
+    moment aggregate — ONE scan of events (Spark would recompute the
+    scan subtree on both sides of a self-join; plan-asserted), one
+    shuffle for the day bucketing, and everything after is
+    day-count-sized. The combinable-moments trick is the same one the
+    OLS entry (q111) uses — a second pass over raw data is never
+    needed."""
+    from gpu_olap_engine_spark.queries.events import _with_us  # noqa: PLC0415
+
+    ev = _with_us(T(spark, sf_dir, "events"))
+    d = (
+        ev.select("event_type", F.expr("us DIV 86400000000").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wt = Window.partitionBy("event_type")
+    joined = d.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.count("*").over(wt).alias("n"),
+        F.sum("cnt").over(wt).alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(wt).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("n") - 1)
+    return joined.filter(
+        (F.col("n") >= 2)
+        & (F.col("cnt").cast("double") > mean + 2.0 * F.sqrt(var))
+    ).select("event_type", "day", "cnt")
+
+
+@register(
+    "q162_hour_of_week_profile",
+    oracle=f"""
+    WITH h AS (
+        SELECT event_type, ({_US} // 3600000000) % 168 AS how,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS tot
+          FROM h GROUP BY 1)
+    SELECT h.event_type, h.how, h.cnt,
+           CAST((1000000 * h.cnt) // t.tot AS BIGINT) AS share_ppm
+    FROM h JOIN t USING (event_type)
+    """,
+)
+def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week load profile per event type: the 168-bucket
+    weekly seasonality heatmap capacity planning reads. Buckets are
+    pure modular arithmetic on epoch hours (epoch hour mod 168; the
+    week phase is epoch-aligned, so both engines bucket identically
+    with no day-of-week convention to reconcile). Shares are exact
+    integer ppm of each type's total, carried by broadcasting the
+    |event types|-row totals — one shuffle over events, then
+    168×|types|-sized work."""
+    from gpu_olap_engine_spark.queries.events import _with_us  # noqa: PLC0415
+
+    ev = _with_us(T(spark, sf_dir, "events"))
+    h = (
+        ev.select(
+            "event_type", F.expr("(us DIV 3600000000) % 168").alias("how")
+        )
+        .groupBy("event_type", "how")
+        .agg(F.count("*").alias("cnt"))
+    )
+    t = h.groupBy("event_type").agg(F.sum("cnt").alias("tot"))
+    return h.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "how",
+        "cnt",
+        F.expr("(1000000 * cnt) DIV tot").alias("share_ppm"),
+    )
+
+
+@register(
+    "q163_quantile_normalize",
+    oracle="""
+    WITH r AS (
+        SELECT event_id, event_type,
+               RANK() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_id, event_type,
+           CAST((1000000 * (rk - 1)) // (n - 1) AS BIGINT) AS qnorm_ppm
+    FROM r WHERE n > 1
+    """,
+)
+def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based quantile normalization of the value column within
+    each event type — the scale-free feature transform (q122 is the
+    moment-based z-score twin; this is the robust rank twin that
+    ignores outlier magnitude entirely). RANK ties share a value, so
+    the output is deterministic without a unique sort key, and the
+    normalized position is exact integer ppm of (rank-1)/(n-1). One
+    window shuffle on event_type; at 100 TB the RANK can swap to an
+    approx-quantile bucket join without changing this gate's
+    semantics."""
+    ev = T(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            # rank() is int32: widen BEFORE the ppm multiply or
+            # 1000000*(rk-1) wraps negative past ~2147 ranks
+            F.rank().over(w).cast("long").alias("rk"),
+            F.count("*").over(wn).alias("n"),
+        )
+        .filter(F.col("n") > 1)
+        .select(
+            "event_id",
+            "event_type",
+            F.expr("(1000000 * (rk - 1)) DIV (n - 1)").alias("qnorm_ppm"),
+        )
+    )

@@ -506,3 +506,29 @@ def dedup_minhash_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = lsh_candidate_pairs(sig, block_col="lang")
     return jaccard_verify(sh, pairs).filter(F.col("jaccard") >= 0.5)
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SH},
+    {_JACCARD_ALL_PAIRS}
+    SELECT i.id_a, i.id_b,
+           CAST(n_inter AS DOUBLE) / least(na.n, nb.n) AS containment
+    FROM inter i
+    JOIN sizes na ON i.id_a = na.doc_id
+    JOIN sizes nb ON i.id_b = nb.doc_id
+    WHERE CAST(n_inter AS DOUBLE) / least(na.n, nb.n) >= 0.6
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric 3-gram containment >= 0.6: catches a short document
+    embedded verbatim inside a longer one (quote inclusion, boilerplate
+    wrapping), which symmetric Jaccard under-scores by the size ratio.
+    Same sub-quadratic inverted-index plan as dedup_ngram_jaccard —
+    only the scoring denominator changes to min(|A|,|B|)."""
+    return D.ngram_containment_pairs(
+        T(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.6
+    ).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "containment"
+    )

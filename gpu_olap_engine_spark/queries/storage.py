@@ -364,3 +364,65 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@register(
+    "q160_table_bloom_lookup",
+    oracle="""
+    WITH sel AS (
+        SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0
+        ORDER BY o_orderkey LIMIT 8
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice
+    FROM orders o JOIN sel s ON s.o_orderkey = o.o_orderkey
+    """,
+)
+def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter point lookups through the snapshot table: create a
+    commit-log table from `orders` with the rows round-robined across
+    8 files — every file's o_orderkey range spans the whole domain, so
+    min/max stats can never exclude a file — then look up 8 keys
+    through `read_snapshot(predicate=...)`. Each probe must plan from
+    the per-file Bloom filters (manifest-only; the query raises if a
+    probe fails to skip files, so a silently broken filter cannot
+    hash-match). The oracle recomputes the same lookups relationally
+    from the raw table. The 8-key collect is bounded metadata (the
+    probe list), not data movement. At 100 TB this is the difference
+    between a point read touching O(1) files and planning the whole
+    manifest."""
+    orders = T(spark, sf_dir, "orders")
+    keys = [
+        r["o_orderkey"]
+        for r in orders.filter(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(8)
+        .collect()
+    ]
+    scratch = tempfile.mkdtemp(prefix="q160_tf_")
+    try:
+        path = f"{scratch}/orders_bloom"
+        tf.create_table(
+            orders.repartition(8), path, bloom_columns=["o_orderkey"]
+        )
+        parts = []
+        for k in keys:
+            kept, total = tf.prune_files(path, None, [("o_orderkey", "=", k)])
+            if not (len(kept) < total):
+                raise AssertionError(
+                    f"bloom skipping inactive: {len(kept)}/{total} files "
+                    f"survived the probe for key {k}"
+                )
+            parts.append(
+                tf.read_snapshot(
+                    spark, path, predicate=[("o_orderkey", "=", k)]
+                ).select(
+                    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return _materialize(out)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

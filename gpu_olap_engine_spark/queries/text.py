@@ -531,3 +531,46 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") * 100 >= F.col("n"))
         .select("pair", "cnt", F.expr("(cnt * 1000000) div n").alias("freq_ppm"))
     )
+
+
+@register(
+    "text_top_terms_per_lang",
+    oracle=f"""
+    WITH w AS (SELECT lang, {_WORDS} AS words FROM documents),
+    t AS (SELECT lang, unnest(words) AS term FROM w),
+    c AS (SELECT lang, term, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+    r AS (
+        SELECT lang, term, cnt,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY cnt DESC, term
+               ) AS rn
+        FROM c
+    )
+    SELECT lang, term, cnt, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= 5
+    """,
+)
+def text_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-5 terms — the per-group heavy-hitters report
+    (text_frequent_terms is the corpus-global twin). Two-phase
+    (lang, term) count with map-side combine collapses the corpus to
+    vocabulary size BEFORE the ranking window, so the per-lang
+    ROW_NUMBER shuffles |vocab|×|langs| rows, never tokens; ties
+    break on the term itself, making the top-5 deterministic. At
+    100 TB a per-partition partial top-k before the window bounds the
+    exchange further without changing these results."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    docs = spread(T(spark, sf_dir, "documents"))
+    c = (
+        docs.select("lang", F.explode(X.tokenize(F.col("text"))).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("term"))
+    return (
+        c.select(
+            "lang", "term", "cnt", F.row_number().over(w).cast("long").alias("rn")
+        )
+        .filter(F.col("rn") <= 5)
+    )

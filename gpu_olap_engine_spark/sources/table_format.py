@@ -61,6 +61,21 @@ a string column, where parquet footer truncation can make the stored
 max an unsafe bound) is always kept, so results never change — only
 the file list shrinks.
 
+Bloom-filter skipping (round 7): min/max ranges cannot exclude files
+for an EQUALITY probe on a high-cardinality key whose values
+interleave across files — every file's range spans the whole domain,
+so a point lookup still plans every file. Tables created with
+``create_table(..., bloom_columns=[...])`` carry a per-file Bloom
+filter over each declared column's distinct values (~9.6 bits/key,
+k=7, ~1% false positives) in the manifest; ``read_snapshot`` /
+``prune_files`` consult it for ``=`` conjuncts and drop files whose
+filter proves the value absent. This also covers STRING keys, which
+the range stats deliberately never prune on (footer truncation).
+Every mutation path (append / merge / delete / compact / CDC apply)
+rebuilds filters for the files it writes and carries the column list
+forward, so the skipping survives the table's whole lifecycle. False
+positives only ever ADD files to the scan — results never change.
+
 Schema evolution: ``append_table(..., merge_schema=True)`` widens the
 table schema with the batch's new columns (additive only — a changed
 dtype for an existing name is rejected). Old files are read through
@@ -188,7 +203,98 @@ def _stat_value(v):
     return None
 
 
-def _stats_for(path: str, files: list[str]) -> dict[str, dict]:
+# ~9.6 bits per distinct key with k=7 hash probes gives ~1% false
+# positives (standard Bloom sizing at p=0.01); double hashing from one
+# 128-bit blake2b digest (Kirsch-Mitzenmacher) keeps the per-value
+# cost at a single hash call.
+_BLOOM_BITS_PER_KEY = 9.585
+_BLOOM_K = 7
+
+
+def _bloom_key_bytes(v):
+    """Canonical hash input for a bloom-able value, or None if the
+    type cannot be a bloom key (floats: equality probes on them are
+    pathological; bools: 2-value domains need no filter)."""
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        return b"i" + str(v).encode()
+    if isinstance(v, str):
+        return b"s" + v.encode("utf-8")
+    if isinstance(v, bytes):
+        return b"s" + v
+    return None
+
+
+def _bloom_probes(data: bytes, m: int):
+    import hashlib  # noqa: PLC0415
+
+    d = hashlib.blake2b(data, digest_size=16).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    for i in range(_BLOOM_K):
+        yield (h1 + i * h2) % m
+
+
+def _build_bloom(values) -> dict | None:
+    """Bloom filter over one file's distinct non-null values of one
+    column. Returns None when any value's type is not bloom-able (the
+    column is then simply never bloom-pruned). On a cluster each
+    writer task would fold this in while writing its file — the same
+    single pass that produces the footer stats."""
+    import base64  # noqa: PLC0415
+    import math  # noqa: PLC0415
+
+    keys: set[bytes] = set()
+    tag = None
+    for v in values:
+        if v is None:
+            continue
+        b = _bloom_key_bytes(v)
+        if b is None:
+            return None
+        t = b[:1].decode()
+        if tag is None:
+            tag = t
+        elif tag != t:
+            return None
+        keys.add(b)
+    m = max(64, int(math.ceil(max(1, len(keys)) * _BLOOM_BITS_PER_KEY)))
+    m = (m + 7) // 8 * 8
+    bits = bytearray(m // 8)
+    for b in keys:
+        for idx in _bloom_probes(b, m):
+            bits[idx >> 3] |= 1 << (idx & 7)
+    return {
+        "t": tag or "i",
+        "m": m,
+        "b": base64.b64encode(bytes(bits)).decode("ascii"),
+    }
+
+
+def _bloom_may_contain(bloom: dict, lit) -> bool:
+    """Three-valued membership: False only when the filter PROVES the
+    literal absent from the file; type mismatches answer True (no
+    pruning) so a sloppy literal can never drop a matching file."""
+    import base64  # noqa: PLC0415
+
+    if isinstance(lit, bool):
+        return True
+    if isinstance(lit, float) and lit.is_integer():
+        lit = int(lit)  # 42.0 = int_col CAN match the int 42
+    data = _bloom_key_bytes(lit)
+    if data is None or data[:1].decode() != bloom["t"]:
+        return True
+    bits = base64.b64decode(bloom["b"])
+    return all(
+        bits[idx >> 3] & (1 << (idx & 7))
+        for idx in _bloom_probes(data, bloom["m"])
+    )
+
+
+def _stats_for(
+    path: str, files: list[str], bloom_cols: list[str] | None = None
+) -> dict[str, dict]:
     """Per-file column stats from parquet footers (metadata-only read;
     the cluster analog is each writer task reporting the footers it
     just produced). Shape per file::
@@ -197,12 +303,17 @@ def _stats_for(path: str, files: list[str]) -> dict[str, dict]:
                                     "nulls": n_null}}}
 
     A column missing from "cols" (nested, all-null, unsupported type,
-    or absent footer stats) is simply never pruned on."""
+    or absent footer stats) is simply never pruned on. With
+    `bloom_cols`, each file additionally carries a "bloom" map for
+    those columns (int/string only) built from the column's values —
+    this is the ONE data read in the commit path, and only of the
+    declared key columns of the files just written."""
     import pyarrow.parquet as pq  # noqa: PLC0415
 
     out: dict[str, dict] = {}
     for rel in files:
-        md = pq.ParquetFile(os.path.join(path, rel)).metadata
+        pf = pq.ParquetFile(os.path.join(path, rel))
+        md = pf.metadata
         cols: dict[str, dict] = {}
         bad: set[str] = set()
         for rg in range(md.num_row_groups):
@@ -235,6 +346,16 @@ def _stats_for(path: str, files: list[str]) -> dict[str, dict]:
                         else prev["nulls"] + nulls
                     )
         out[rel] = {"rows": md.num_rows, "cols": cols}
+        want = [c for c in (bloom_cols or []) if c in pf.schema_arrow.names]
+        if want:
+            tbl = pf.read(columns=want)
+            blooms = {
+                c: bl
+                for c in want
+                if (bl := _build_bloom(tbl.column(c).to_pylist())) is not None
+            }
+            if blooms:
+                out[rel]["bloom"] = blooms
     return out
 
 
@@ -256,6 +377,12 @@ def _file_may_match(fstats: dict | None, predicate) -> bool:
     for col, op, lit in predicate:
         if op not in _OPS:
             raise ValueError(f"unsupported predicate op: {op!r}")
+        if op == "=":
+            # bloom check first: it also covers string keys, which the
+            # range stats below deliberately never prune on
+            bl = fstats.get("bloom", {}).get(col)
+            if bl is not None and not _bloom_may_contain(bl, lit):
+                return False
         cs = fstats.get("cols", {}).get(col)
         if cs is None or cs["t"] == "s":
             continue  # no safe bounds -> cannot exclude
@@ -325,10 +452,22 @@ def prune_files(
     return kept, len(manifest["files"])
 
 
-def create_table(df: DataFrame, path: str) -> int:
-    """Create a snapshot table at `path` from `df` (version 0)."""
+def create_table(
+    df: DataFrame, path: str, bloom_columns: list[str] | None = None
+) -> int:
+    """Create a snapshot table at `path` from `df` (version 0).
+
+    `bloom_columns` declares int/string columns that get per-file
+    Bloom filters in every manifest from now on (carried through all
+    mutations) — the point-lookup data-skipping path for keys whose
+    values interleave across files and for string keys, neither of
+    which min/max ranges can exclude."""
     if _list_versions(path):
         raise ValueError(f"table already exists: {path!r}")
+    bloom_cols = sorted(bloom_columns or [])
+    missing = [c for c in bloom_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"bloom_columns not in schema: {missing}")
     os.makedirs(_commits_dir(path), exist_ok=True)
     os.makedirs(os.path.join(path, _DATA), exist_ok=True)
     files = _write_txn_files(df, path)
@@ -341,7 +480,8 @@ def create_table(df: DataFrame, path: str) -> int:
             "files": files,
             "schema": df.schema.jsonValue(),
             "app_ids": {},
-            "stats": _stats_for(path, files),
+            "bloom_columns": bloom_cols,
+            "stats": _stats_for(path, files, bloom_cols),
         },
     )
     return 0
@@ -426,13 +566,18 @@ def append_table(df: DataFrame, path: str, merge_schema: bool = False) -> int:
         ]
     )
     files = _write_txn_files(aligned, path)
+    bloom_cols = manifest.get("bloom_columns", [])
     new = {
         "version": v + 1,
         "op": "append",
         "files": manifest["files"] + files,
         "schema": new_schema.jsonValue(),
         "app_ids": manifest.get("app_ids", {}),
-        "stats": {**manifest.get("stats", {}), **_stats_for(path, files)},
+        "bloom_columns": bloom_cols,
+        "stats": {
+            **manifest.get("stats", {}),
+            **_stats_for(path, files, bloom_cols),
+        },
     }
     _publish(path, v + 1, new)
     return v + 1
@@ -534,12 +679,13 @@ def merge_into(
         "files": untouched + files,
         "schema": manifest["schema"],
         "app_ids": app_ids,
+        "bloom_columns": manifest.get("bloom_columns", []),
         "stats": {
             **{
                 f: s for f, s in manifest.get("stats", {}).items()
                 if f not in set(touched)
             },
-            **_stats_for(path, files),
+            **_stats_for(path, files, manifest.get("bloom_columns", [])),
         },
     }
     _publish(path, v + 1, new)
@@ -577,12 +723,13 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
         "files": [f for f in manifest["files"] if f not in set(touched)] + files,
         "schema": manifest["schema"],
         "app_ids": manifest.get("app_ids", {}),
+        "bloom_columns": manifest.get("bloom_columns", []),
         "stats": {
             **{
                 f: s for f, s in manifest.get("stats", {}).items()
                 if f not in set(touched)
             },
-            **_stats_for(path, files),
+            **_stats_for(path, files, manifest.get("bloom_columns", [])),
         },
     }
     _publish(path, v + 1, new)
@@ -605,7 +752,10 @@ def compact_table(spark: SparkSession, path: str, target_files: int) -> int:
             "files": files,
             "schema": manifest["schema"],
             "app_ids": manifest.get("app_ids", {}),
-            "stats": _stats_for(path, files),
+            "bloom_columns": manifest.get("bloom_columns", []),
+            "stats": _stats_for(
+                path, files, manifest.get("bloom_columns", [])
+            ),
         },
     )
     return v + 1
@@ -772,12 +922,13 @@ def apply_changes(
         "files": untouched + files,
         "schema": manifest["schema"],
         "app_ids": app_ids,
+        "bloom_columns": manifest.get("bloom_columns", []),
         "stats": {
             **{
                 f: s for f, s in manifest.get("stats", {}).items()
                 if f not in set(touched)
             },
-            **_stats_for(path, files),
+            **_stats_for(path, files, manifest.get("bloom_columns", [])),
         },
     }
     _publish(path, v + 1, new)
@@ -858,9 +1009,10 @@ def compact_small_files(
             "files": keep + files,
             "schema": manifest["schema"],
             "app_ids": manifest.get("app_ids", {}),
+            "bloom_columns": manifest.get("bloom_columns", []),
             "stats": {
                 **{f: s for f, s in stats.items() if f in set(keep)},
-                **_stats_for(path, files),
+                **_stats_for(path, files, manifest.get("bloom_columns", [])),
             },
         },
     )

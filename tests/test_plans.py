@@ -394,3 +394,46 @@ def test_profile_columns_single_expand_pass(spark):
     plan = plan_of(df, "simple")
     assert plan.count("Scan parquet") == 1
     assert "Expand" in plan
+
+
+def test_burst_days_single_scan_window_moments(spark):
+    """q161: the per-type moments ride window frames over the
+    day-count relation — ONE scan of events (a join back to a moment
+    aggregate would make Spark recompute the scan subtree on both
+    sides), no join at all."""
+    df = REGISTRY["q161_burst_days"].fn(spark, SF_ORACLE)
+    plan = plan_of(df, "simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert shuffle_count(df) <= 2
+
+
+def test_quantile_normalize_single_window_shuffle(spark):
+    """q163: one hash exchange on event_type feeds both window frames;
+    the rank arithmetic is long (the int32-overflow regression at
+    >2147 ranks per group is pinned by the sf0.1 sweep)."""
+    df = REGISTRY["q163_quantile_normalize"].fn(spark, SF_ORACLE)
+    plan = plan_of(df, "simple")
+    assert plan.count("Scan parquet") == 1
+    assert shuffle_count(df) <= 2
+    assert dict(df.dtypes)["qnorm_ppm"] == "bigint"
+
+
+def test_containment_candidates_equi_not_cartesian(spark):
+    """dedup_containment: same inverted-index candidate plan as the
+    Jaccard baseline — shingle equi-join, never a cross product."""
+    df = REGISTRY["dedup_containment"].fn(spark, SF_ORACLE)
+    plan = plan_of(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_top_terms_per_lang_aggregates_before_window(spark):
+    """text_top_terms_per_lang: the ranking window runs over the
+    (lang, term) counts, so a partial+final aggregate pair must sit
+    below the Window node (tokens never reach the sort)."""
+    df = REGISTRY["text_top_terms_per_lang"].fn(spark, SF_ORACLE)
+    plan = plan_of(df, "simple")
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" in plan
+    assert plan.index("Window") < plan.index("HashAggregate")

@@ -574,3 +574,104 @@ def test_apply_changes_noop_batch_skips_commit(spark, tmp_path):
     )
     assert r3["skipped"] is True and tf.latest_version(path) == v1
     assert _rows(spark, path) == {(i, i * 10) for i in range(20)}
+
+
+def _mk_interleaved(spark, tmp_path, n=4000, parts=8):
+    """Every file spans the whole key range (round-robin repartition),
+    so min/max range stats can never exclude a file for an in-range
+    equality probe — only the bloom filter can."""
+    path = str(tmp_path / "tb")
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("user-"), F.col("id")).alias("name"),
+            (F.col("id") * 10).alias("v"),
+        )
+        .repartition(parts)
+    )
+    tf.create_table(df, path, bloom_columns=["k", "name"])
+    return path
+
+
+def test_bloom_point_lookup_prunes_interleaved_files(spark, tmp_path):
+    path = _mk_interleaved(spark, tmp_path)
+    m = tf._load_manifest(path, 0)
+    assert m["bloom_columns"] == ["k", "name"]
+    total = len(m["files"])
+    assert total == 8
+    # int key: range stats keep all 8 (interleaved), bloom narrows to
+    # the owning file (+<=1% deterministic false positives)
+    kept, tot = tf.prune_files(path, None, [("k", "=", 1234)])
+    assert tot == 8 and 1 <= len(kept) <= 2
+    res = tf.read_snapshot(spark, path, predicate=[("k", "=", 1234)]).collect()
+    assert [(r["k"], r["v"]) for r in res] == [(1234, 12340)]
+    # string key: range stats NEVER prune strings — bloom is the only
+    # skipping path, and it works
+    kept_s, _ = tf.prune_files(path, None, [("name", "=", "user-77")])
+    assert 1 <= len(kept_s) <= 2
+    res_s = tf.read_snapshot(
+        spark, path, predicate=[("name", "=", "user-77")]
+    ).collect()
+    assert [(r["k"], r["name"]) for r in res_s] == [(77, "user-77")]
+    # absent-but-in-range value: provably absent from (almost) every file
+    kept_a, _ = tf.prune_files(path, None, [("name", "=", "user-x")])
+    assert len(kept_a) <= 1
+
+
+def test_bloom_never_excludes_a_matching_row(spark, tmp_path):
+    """Sweep many probes: the bloom-pruned read must equal the full
+    filter for every key — false positives only ever ADD files."""
+    path = _mk_interleaved(spark, tmp_path, n=500, parts=4)
+    full = tf.read_snapshot(spark, path)
+    for k in range(0, 500, 23):
+        got = tf.read_snapshot(
+            spark, path, predicate=[("k", "=", k)]
+        ).collect()
+        want = full.filter(F.col("k") == k).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_bloom_survives_merge_delete_compact(spark, tmp_path):
+    path = _mk_interleaved(spark, tmp_path, n=1000, parts=4)
+    updates = spark.createDataFrame(
+        [(5, "user-5", -1), (2000, "user-2000", -2)],
+        "k long, name string, v long",
+    )
+    tf.merge_into(spark, path, updates, ["k"])
+    tf.delete_where(spark, path, "k = 7")
+    tf.compact_table(spark, path, 3)
+    m = tf._load_manifest(path, tf.latest_version(path))
+    assert m["bloom_columns"] == ["k", "name"]
+    # every live file carries blooms for both declared columns
+    for f in m["files"]:
+        assert set(m["stats"][f]["bloom"]) == {"k", "name"}
+    # lookups through the whole mutation history stay correct
+    res = tf.read_snapshot(spark, path, predicate=[("k", "=", 5)]).collect()
+    assert [(r["k"], r["v"]) for r in res] == [(5, -1)]
+    res2 = tf.read_snapshot(
+        spark, path, predicate=[("name", "=", "user-2000")]
+    ).collect()
+    assert [(r["k"], r["v"]) for r in res2] == [(2000, -2)]
+    assert tf.read_snapshot(
+        spark, path, predicate=[("k", "=", 7)]
+    ).count() == 0
+
+
+def test_bloom_columns_validated_and_typed(spark, tmp_path):
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") / 3.0).alias("x")
+    )
+    with pytest.raises(ValueError, match="bloom_columns"):
+        tf.create_table(df, str(tmp_path / "bad"), bloom_columns=["nope"])
+    # float columns are silently not bloom-able: no filter is built,
+    # pruning just never uses one (conservative, results unchanged)
+    path = str(tmp_path / "fl")
+    tf.create_table(df, path, bloom_columns=["x"])
+    m = tf._load_manifest(path, 0)
+    for f in m["files"]:
+        assert "bloom" not in m["stats"][f]
+    # equality on the float column still prunes by RANGE stats only,
+    # and the read stays correct
+    res = tf.read_snapshot(spark, path, predicate=[("x", "=", 1.0)]).collect()
+    assert [r["k"] for r in res] == [3]
