@@ -619,3 +619,55 @@ def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * (rk - 1)) DIV (n - 1)").alias("qnorm_ppm"),
         )
     )
+
+
+@register(
+    "q164_conversion_latency",
+    oracle=f"""
+    WITH f AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN {_US} END) AS v,
+               MIN(CASE WHEN event_type = 'purchase' THEN {_US} END) AS p
+        FROM events GROUP BY user_id
+    ),
+    d AS (
+        SELECT (p - v) // 1000000 AS delay_s
+        FROM f WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v
+    )
+    SELECT COUNT(*) AS n_converted,
+           quantile_cont(delay_s, 0.5) AS p50_s,
+           quantile_cont(delay_s, 0.9) AS p90_s,
+           quantile_cont(delay_s, 0.99) AS p99_s
+    FROM d
+    """,
+)
+def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch conversion latency: per user, the delay from first
+    'view' to first 'purchase' (users who did both, purchase not
+    before view), summarized as exact interpolated percentiles — the
+    activation-funnel speed metric (q157 is the order-fulfilment SLA
+    twin; this one pairs two event streams per user instead of a
+    fact-to-fact join). ONE aggregation over events produces both
+    first-touch times as conditional MINs (no self-join of the event
+    log), delays are exact int64 seconds, and the percentile pass
+    runs over the |converted users|-sized relation. Both engines
+    share the continuous-quantile definition, and interpolation over
+    integers is bit-exact."""
+    from gpu_olap_engine_spark.queries.events import _with_us  # noqa: PLC0415
+
+    ev = _with_us(T(spark, sf_dir, "events"))
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias("v"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("us"))
+        ).alias("p"),
+    )
+    d = f.filter(
+        F.col("v").isNotNull() & F.col("p").isNotNull() & (F.col("p") >= F.col("v"))
+    ).select(F.expr("(p - v) DIV 1000000").alias("delay_s"))
+    return d.agg(
+        F.count("*").alias("n_converted"),
+        F.expr("percentile(delay_s, 0.5)").alias("p50_s"),
+        F.expr("percentile(delay_s, 0.9)").alias("p90_s"),
+        F.expr("percentile(delay_s, 0.99)").alias("p99_s"),
+    )

@@ -1207,3 +1207,93 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("z").alias("part")))
     )
     return member.groupBy("part").agg(F.count("*").alias("n_triangles"))
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 4) -> str:
+    # AS MATERIALIZED mirrors the Spark side's localCheckpoint: each
+    # e{i} is referenced three times per round, and an inlining
+    # planner would re-execute the edge-generation subtree 3^rounds
+    # times (measured: 71 s -> <1 s at sf0.01).
+    layers = []
+    for i in range(rounds):
+        layers.append(f"""
+    d{i} AS (
+        SELECT nd, COUNT(*) AS deg FROM (
+            SELECT a AS nd FROM e{i} UNION ALL SELECT b FROM e{i}
+        ) GROUP BY nd
+    ),
+    k{i} AS MATERIALIZED (SELECT nd FROM d{i} WHERE deg >= {k}),
+    e{i + 1} AS MATERIALIZED (
+        SELECT e.a, e.b FROM e{i} e
+        JOIN k{i} ka ON ka.nd = e.a
+        JOIN k{i} kb ON kb.nd = e.b
+    )""")
+    return f"""
+    WITH op AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT a.pk AS a, b.pk AS b
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+    ),{",".join(layers)}
+    SELECT nd AS part, deg AS core_deg FROM (
+        SELECT nd, COUNT(*) AS deg FROM (
+            SELECT a AS nd FROM e{rounds} UNION ALL SELECT b FROM e{rounds}
+        ) GROUP BY nd
+    )
+    """
+
+
+@register("q165_kcore_peel", oracle=_kcore_oracle())
+def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peel (k=3, 4 rounds) over the co-purchase graph:
+    each round drops nodes of degree < k and the edges touching them —
+    the density filter that isolates the graph's cohesive core
+    (community detection seeding, fraud-ring candidates). BOUNDED
+    iteration is the contract: both engines run exactly 4 peels (the
+    oracle unrolls them as CTE layers), so the gate is deterministic
+    at every scale whether or not the fixpoint lands inside the
+    budget; at 100 TB the same loop runs to convergence with a
+    LocalCheckpoint every few rounds (operators/graph.py convention)
+    since each round is one degree-aggregate + one semi-join, both
+    keyed shuffles on node id. Fourth graph family beside components,
+    PageRank, and triangles (q141)."""
+    li = T(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    e = (
+        op.alias("a")
+        .join(
+            op.alias("b"),
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .select(F.col("a.pk").alias("a"), F.col("b.pk").alias("b"))
+        .distinct()
+        # each round references e THREE times (degree count + two
+        # semi-joins): without lineage truncation the edge-generation
+        # subtree re-executes 3^rounds times. Same convention as
+        # operators/graph.py.
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(4):
+        deg = (
+            e.select(F.col("a").alias("nd"))
+            .unionAll(e.select(F.col("b").alias("nd")))
+            .groupBy("nd")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= 3).select("nd")
+        e = (
+            e.join(keep.withColumnRenamed("nd", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("nd", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("a").alias("nd"))
+        .unionAll(e.select(F.col("b").alias("nd")))
+        .groupBy("nd")
+        .agg(F.count("*").alias("core_deg"))
+        .select(F.col("nd").alias("part"), "core_deg")
+    )
