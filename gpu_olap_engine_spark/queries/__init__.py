@@ -53,6 +53,7 @@ def load_all() -> dict[str, Query]:
             dedup,
             events,
             extras,
+            mleval,
             multimodal,
             pipeline,
             relational,
