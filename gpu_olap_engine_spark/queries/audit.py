@@ -671,3 +671,63 @@ def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(delay_s, 0.9)").alias("p90_s"),
         F.expr("percentile(delay_s, 0.99)").alias("p99_s"),
     )
+
+
+@register(
+    "q170_clamped_stock",
+    oracle="""
+    WITH d AS (
+        SELECT l_partkey AS part,
+               CAST(l_quantity AS BIGINT)
+                 * (CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END) AS delta,
+               l_shipdate, l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    s AS (
+        SELECT part, delta,
+               SUM(delta) OVER (
+                   PARTITION BY part
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING
+               ) AS run
+        FROM d
+    )
+    SELECT part,
+           CAST(SUM(delta) - LEAST(0, MIN(run)) AS BIGINT) AS final_stock,
+           CAST(-LEAST(0, MIN(run)) AS BIGINT) AS lost_units
+    FROM s GROUP BY part
+    """,
+)
+def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-at-zero running stock balance per part: returns ('R'
+    lines) restock, other lines issue, and physical stock can never
+    go negative — unmet issues are lost sales. Uses the CLOSED FORM
+    for a zero-floored running sum, b_t = s_t - min(0, min_{k<=t}
+    s_k), so one ordinary window pass replaces the per-row iterative
+    clamp (which SQL cannot express and Spark would need a stateful
+    UDF for); with a floor only (no cap) the identity is exact. The
+    plan is one per-part window (shuffle on l_partkey, deterministic
+    (shipdate, orderkey, linenumber) order) + one per-part aggregate:
+    the warehouse ledger audit, 2 shuffles total at any scale.
+    Emits final on-hand stock and total lost units per part."""
+    li = T(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.col("l_partkey").alias("part"),
+        (
+            F.col("l_quantity").cast("long")
+            * F.when(F.col("l_returnflag") == "R", 1).otherwise(-1)
+        ).alias("delta"),
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("part").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    s = d.select("part", "delta", F.sum("delta").over(w).alias("run"))
+    return s.groupBy("part").agg(
+        (F.sum("delta") - F.least(F.lit(0), F.min("run")))
+        .cast("long")
+        .alias("final_stock"),
+        (-F.least(F.lit(0), F.min("run"))).cast("long").alias("lost_units"),
+    )

@@ -532,3 +532,41 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("id_a").cast("long"), F.col("id_b").cast("long"), "containment"
     )
+
+
+@register(
+    "dedup_hamming_keys",
+    oracle="""
+    WITH k AS (
+        SELECT doc_id, lower(substr(text, 1, 24)) AS key FROM documents
+    ),
+    segs AS (
+        SELECT doc_id, key, i AS seg_idx, substr(key, i * 8 + 1, 8) AS seg
+        FROM k, unnest([0, 1, 2]) AS t(i)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.key AS key_a, b.key AS key_b
+        FROM segs a
+        JOIN segs b ON a.seg_idx = b.seg_idx AND a.seg = b.seg
+                   AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(mismatches(key_a, key_b) AS BIGINT) AS hamming
+    FROM cand WHERE mismatches(key_a, key_b) <= 2
+    """,
+)
+def dedup_hamming_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-key near-dup pairs: Hamming distance <= 2 over the
+    lowercased 24-char document prefix, found via LOSSLESS pigeonhole
+    blocking (3 segments of 8 chars; <= 2 mismatches can touch at
+    most 2 segments, so one segment matches exactly). Candidates come
+    from three (segment_index, segment) equi-joins — never an
+    all-pairs scan — and verification is a JVM-side character
+    aggregate; the oracle runs the SAME blocking (it is exact, so the
+    result set is definitionally identical) with DuckDB's
+    mismatches(). Catches the typo'd-title / near-identical-header
+    duplicates that exact-key dedup (dedup_exact_key) misses and
+    shingle Jaccard over-pays for."""
+    return D.hamming_key_pairs(
+        T(spark, sf_dir, "documents"), "doc_id", "text", key_len=24, max_dist=2
+    )

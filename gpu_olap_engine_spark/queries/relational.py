@@ -1297,3 +1297,88 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("core_deg"))
         .select(F.col("nd").alias("part"), "core_deg")
     )
+
+
+def _bfs_oracle(rounds: int = 3, mod: int = 97) -> str:
+    layers = []
+    for i in range(1, rounds + 1):
+        layers.append(f"""
+    f{i} AS MATERIALIZED (
+        SELECT DISTINCT eb.b AS nd
+        FROM eb JOIN f{i - 1} f ON eb.a = f.nd
+        WHERE eb.b NOT IN (SELECT nd FROM v{i - 1})
+    ),
+    v{i} AS MATERIALIZED (
+        SELECT nd FROM v{i - 1} UNION ALL SELECT nd FROM f{i}
+    )""")
+    arms = "\n    UNION ALL\n    ".join(
+        f"SELECT nd AS part, CAST({i} AS BIGINT) AS hop FROM f{i}"
+        for i in range(rounds + 1)
+    )
+    return f"""
+    WITH op AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    e AS MATERIALIZED (
+        SELECT DISTINCT a.pk AS a, b.pk AS b
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+    ),
+    eb AS MATERIALIZED (
+        SELECT a, b FROM e UNION ALL SELECT b, a FROM e
+    ),
+    f0 AS MATERIALIZED (
+        SELECT DISTINCT pk AS nd FROM op WHERE pk % {mod} = 0
+    ),
+    v0 AS MATERIALIZED (SELECT nd FROM f0),{",".join(layers)}
+    {arms}
+    """
+
+
+@register("q169_bfs_hops", oracle=_bfs_oracle())
+def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded 3-round BFS over the co-purchase graph from a seed set
+    (parts with pk % 97 == 0): minimum hop distance <= 3 from any
+    seed — the blast-radius / influence-neighborhood query (recall
+    expansion around flagged items). BOUNDED rounds make the gate
+    deterministic (the oracle unrolls them as MATERIALIZED CTE
+    layers; same convention as q165_kcore_peel). Each round is one
+    frontier equi-join + one anti-join against the visited set — both
+    keyed shuffles on node id — with localCheckpoint truncating the
+    per-round lineage; at 100 TB the identical loop runs to the
+    target radius with the visited set growing monotonically (the
+    anti-join keeps every round's frontier minimal, so total work is
+    edges-within-radius, not edges x rounds)."""
+    li = T(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    e = (
+        op.alias("a")
+        .join(
+            op.alias("b"),
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .select(F.col("a.pk").alias("a"), F.col("b.pk").alias("b"))
+        .distinct()
+    )
+    eb = e.unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    seeds = op.select(F.col("pk").alias("nd")).distinct().filter(
+        F.col("nd") % 97 == 0
+    )
+    frontier = seeds.localCheckpoint(eager=True)
+    visited = frontier
+    out = frontier.withColumn("hop", F.lit(0).cast("long"))
+    for i in range(1, 4):
+        nxt = (
+            eb.join(frontier.withColumnRenamed("nd", "a"), "a")
+            .select(F.col("b").alias("nd"))
+            .distinct()
+            .join(visited, "nd", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionAll(nxt.withColumn("hop", F.lit(i).cast("long")))
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return out.select(F.col("nd").alias("part"), "hop")
