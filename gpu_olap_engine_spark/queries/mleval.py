@@ -243,3 +243,124 @@ def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_ppm"),
         )
     )
+
+
+@register(
+    "q171_calibration_bins",
+    oracle=f"""
+    WITH p AS (
+        SELECT {_SCORE} AS score,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events WHERE {_POP}
+    ),
+    ext AS (
+        SELECT MIN(score) AS mn, MAX(score) AS mx FROM p
+    )
+    SELECT CAST(LEAST(9, ((score - mn) * 10) // (mx - mn + 1)) AS BIGINT)
+               AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST((1000000 * CAST(SUM(pos) AS BIGINT)) // COUNT(*) AS BIGINT)
+               AS pos_rate_ppm,
+           CAST(CAST(SUM(score) AS BIGINT) // COUNT(*) AS BIGINT)
+               AS mean_score_cents
+    FROM p, ext GROUP BY 1
+    """,
+)
+def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability table: 10 equal-width score bins,
+    each with observed positive rate vs mean score — the diagram that
+    says whether the score means what it claims. Bin edges come from
+    the global min/max (a 1-row broadcast, not a per-row subquery);
+    bin id, rates, and means are all exact integer arithmetic, so the
+    gate is bit-stable. Plan: one scan -> 1-row extent aggregate
+    broadcast back -> one group-by on the 10-value bin key. At 100 TB
+    the extent aggregate is the only extra pass, and it reads the
+    same cached scan."""
+    p = _pop(spark, sf_dir)
+    ext = p.agg(
+        F.min("score").alias("mn"), F.max("score").alias("mx")
+    )
+    return (
+        p.crossJoin(F.broadcast(ext))
+        .groupBy(
+            F.expr(
+                "LEAST(9, ((score - mn) * 10) DIV (mx - mn + 1))"
+            ).alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("pos").alias("n_pos"),
+            F.expr("(1000000 * SUM(pos)) DIV COUNT(*)").alias("pos_rate_ppm"),
+            F.expr("SUM(score) DIV COUNT(*)").alias("mean_score_cents"),
+        )
+    )
+
+
+@register(
+    "q172_precision_at_k",
+    oracle=f"""
+    WITH p AS (
+        SELECT user_id, event_id, {_SCORE} AS score,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events WHERE {_POP}
+    ),
+    rn AS (
+        SELECT user_id, pos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY score DESC, event_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_ev
+        FROM p
+    ),
+    u AS (
+        SELECT user_id,
+               CAST((1000000 * SUM(CASE WHEN rn <= 5 THEN pos ELSE 0 END))
+                    // LEAST(5, MAX(n_ev)) AS BIGINT) AS p5_ppm
+        FROM rn GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(CAST(SUM(p5_ppm) AS BIGINT) // COUNT(*) AS BIGINT)
+               AS macro_p5_ppm
+    FROM u
+    """,
+)
+def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Macro-averaged precision@5: per user, rank their scored events
+    descending (event_id tiebreak) and measure the purchase fraction
+    of the top 5 (denominator capped at the user's event count), then
+    average the per-user ppm across users. The per-user window is the
+    only shuffle (user_id keyed, bounded state); the macro average is
+    a 1-row aggregate. Exact integer ppm end to end. This is the
+    recommender-eval twin of q167's MRR — rate-based instead of
+    rank-position-based."""
+    p = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "user_id",
+            F.expr(_SCORE).alias("score"),
+            (F.col("event_type") == "purchase").cast("long").alias("pos"),
+            F.col("event_id"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("score").desc(), F.col("event_id")
+    )
+    wn = Window.partitionBy("user_id")
+    rn = p.select(
+        "user_id",
+        "pos",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n_ev"),
+    )
+    u = rn.groupBy("user_id").agg(
+        F.expr(
+            "(1000000 * SUM(CASE WHEN rn <= 5 THEN pos ELSE 0 END))"
+            " DIV LEAST(5, MAX(n_ev))"
+        ).alias("p5_ppm")
+    )
+    return u.agg(
+        F.count("*").alias("n_users"),
+        F.expr("SUM(p5_ppm) DIV COUNT(*)").alias("macro_p5_ppm"),
+    )
