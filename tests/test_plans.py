@@ -437,3 +437,48 @@ def test_top_terms_per_lang_aggregates_before_window(spark):
     assert plan.count("HashAggregate") >= 2
     assert "Window" in plan
     assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_hamming_keys_blocked_not_all_pairs(spark):
+    """dedup_hamming_keys: candidates must come from the pigeonhole
+    (segment_index, segment) equi-join — never a doc x doc product —
+    and verification stays a JVM expression (no Python UDF node)."""
+    df = REGISTRY["dedup_hamming_keys"].fn(spark, SF_ORACLE)
+    plan = plan_of(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_auc_rank_groups_before_window(spark):
+    """q166: the running-rank window must run over the grouped
+    DISTINCT-score relation, never the raw events — a partial+final
+    aggregate pair sits below the Window node, and the single-
+    partition window is bounded by the score grid."""
+    df = REGISTRY["q166_auc_rank"].fn(spark, SF_ORACLE)
+    plan = plan_of(df, "simple")
+    assert "Window" in plan
+    # the score-keyed aggregate must sit BELOW the window (later in
+    # the printed top-down plan): ranks run over distinct scores
+    assert plan.rindex("HashAggregate") > plan.index("Window")
+    assert dict(df.dtypes)["auc_ppm"] == "bigint"
+
+
+def test_mrr_single_user_window_no_self_join(spark):
+    """q167: one scan of events feeds both the per-user window and the
+    user count — the event log is never self-joined, and the only
+    join is the broadcast of the 1-row user-count aggregate."""
+    df = REGISTRY["q167_mrr_first_purchase"].fn(spark, SF_ORACLE)
+    plan = plan_of(df, "simple")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_clamped_stock_two_shuffles(spark):
+    """q170: the zero-floor closed form costs one part-keyed window +
+    one part-keyed aggregate over the SAME partitioning — at most two
+    exchanges, one parquet scan."""
+    df = REGISTRY["q170_clamped_stock"].fn(spark, SF_ORACLE)
+    plan = plan_of(df, "simple")
+    assert plan.count("Scan parquet") == 1
+    assert shuffle_count(df) <= 2
