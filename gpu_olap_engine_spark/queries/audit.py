@@ -731,3 +731,85 @@ def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("final_stock"),
         (-F.least(F.lit(0), F.min("run"))).cast("long").alias("lost_units"),
     )
+
+
+@register(
+    "q173_cohort_ltv",
+    oracle="""
+    WITH fo AS (
+        SELECT o_custkey, MIN(o_orderdate) AS first_dt FROM orders
+        GROUP BY o_custkey
+    ),
+    b AS (
+        SELECT CAST(year(f.first_dt) * 100 + month(f.first_dt) AS BIGINT)
+                   AS cohort_ym,
+               CAST((year(o.o_orderdate) * 12 + month(o.o_orderdate))
+                    - (year(f.first_dt) * 12 + month(f.first_dt))
+                    AS BIGINT) AS month_off,
+               CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN fo f ON o.o_custkey = f.o_custkey
+    ),
+    m AS (
+        SELECT cohort_ym, month_off,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        FROM b GROUP BY cohort_ym, month_off
+    )
+    SELECT cohort_ym, month_off, n_orders, revenue_cents,
+           CAST((1000000 * CAST(SUM(revenue_cents) OVER (
+                    PARTITION BY cohort_ym ORDER BY month_off
+                ) AS BIGINT))
+                // CAST(SUM(revenue_cents) OVER (
+                    PARTITION BY cohort_ym
+                ) AS BIGINT) AS BIGINT) AS cum_share_ppm
+    FROM m
+    """,
+)
+def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue cohort LTV curve: customers grouped by first-order
+    month, revenue bucketed by months-since-first-order, with the
+    cumulative share of each cohort's lifetime revenue in exact ppm —
+    the LTV payback table (q113 is the retention-count twin; this one
+    follows the money). Month arithmetic is integer (year*12+month)
+    on both engines — no months_between() float. Plan: one orders
+    aggregate for first order dates, join back (both sides keyed on
+    o_custkey — AQE plans it as one co-partitioned exchange pair),
+    aggregate on (cohort, offset), and two frames over one
+    cohort-keyed window partitioning. Revenue in exact cents."""
+    o = T(spark, sf_dir, "orders")
+    fo = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
+    b = o.join(fo, "o_custkey").select(
+        (F.year("first_dt") * 100 + F.month("first_dt"))
+        .cast("long")
+        .alias("cohort_ym"),
+        (
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            - (F.year("first_dt") * 12 + F.month("first_dt"))
+        )
+        .cast("long")
+        .alias("month_off"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    m = b.groupBy("cohort_ym", "month_off").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    wc = (
+        Window.partitionBy("cohort_ym")
+        .orderBy("month_off")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("cohort_ym").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        m.withColumn("cum_rev", F.sum("revenue_cents").over(wc))
+        .withColumn("tot_rev", F.sum("revenue_cents").over(wt))
+        .select(
+            "cohort_ym",
+            "month_off",
+            "n_orders",
+            "revenue_cents",
+            F.expr("(1000000 * cum_rev) DIV tot_rev").alias("cum_share_ppm"),
+        )
+    )
