@@ -60,6 +60,7 @@ def load_all() -> dict[str, Query]:
             scalar_suites,
             similarity,
             storage,
+            streaming_exec,
             text,
             tpch,
             udfs,

@@ -1,0 +1,159 @@
+"""Registry entries that EXECUTE through Structured Streaming.
+
+Every other streaming artifact in this repo is either a batch twin
+(q32/q33/q56/q139) or a pytest-gated pipeline (tests/test_streaming).
+These entries close the remaining gap: the registered callable runs a
+real `writeStream` (file source -> availableNow trigger -> memory
+sink), waits for termination, and returns the sink table — so the
+DRIVER's DuckDB gate checks the output of the actual streaming
+engine, not a batch re-expression. With a finite input and an
+availableNow trigger the streaming semantics (watermark, state store,
+output mode) reduce to the batch answer, which is exactly what makes
+an ANSI-SQL oracle possible.
+
+Reference analog: none — the reference engine is batch-only
+(SURVEY.md §2.9); this is the Spark-first capability the brief
+mandates. Aggregates are quantized to exact integers (the repo-wide
+ppm/e4 convention) so the state-store accumulation order cannot
+produce float drift vs the oracle.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpu_olap_engine_spark.queries import register
+
+_US = "epoch_us(CAST(ts AS TIMESTAMP))"
+
+
+@register(
+    "stream_windowed_counts",
+    oracle=f"""
+    SELECT CAST(({_US} - ({_US} % 600000000)) / 1000000 AS BIGINT)
+               AS bucket_start,
+           event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
+               AS sum_value_e4
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling event-time windows per event_type, EXECUTED
+    by the Structured Streaming engine: file source over the fixture
+    dir, 30-minute watermark, complete output mode, availableNow
+    trigger, memory sink — then the sink table is returned for the
+    oracle gate. Finite input + availableNow makes the stateful
+    result equal the batch group-by, so the gate checks the real
+    streaming path (state store updates, watermark bookkeeping, sink
+    commit) for value drift. Values are summed pre-quantized
+    (floor(value*10000) as int64) so state-merge order cannot
+    introduce float error. At scale this exact pipeline runs
+    continuously with the same watermark bounding state; the memory
+    sink swaps for the txn upsert sink (streaming/pipelines.py)."""
+    from gpu_olap_engine_spark.streaming.pipelines import read_events_stream
+
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.floor(F.col("value") * 10000).cast("long")).alias(
+                "sum_value_e4"
+            ),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("bucket_start"),
+            "event_type",
+            "cnt",
+            "sum_value_e4",
+        )
+    )
+    name = f"swc_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "stream_session_windows",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, {_US} AS us,
+               LAG({_US}) OVER (PARTITION BY user_id ORDER BY {_US}, event_id)
+                   AS prev_us
+        FROM events
+    ), flagged AS (
+        -- session_window's end bound is EXCLUSIVE: an event exactly
+        -- gap-after the previous one starts a NEW session (>=, not >)
+        SELECT user_id, us,
+               CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM seq
+    ), sessions AS (
+        SELECT user_id, us,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(us) // 1000000 AS BIGINT) AS session_start,
+           CAST((MAX(us) + 1800000000) // 1000000 AS BIGINT) AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user, EXECUTED by the streaming
+    engine's session_window operator (the state path that MERGES
+    overlapping session state as events arrive, which tumbling
+    windows never exercise): file source, 30-minute gap and
+    watermark, complete mode, availableNow, memory sink. The oracle
+    is the gaps-and-islands formulation with the operator's exact
+    boundary rule — session_window's end bound is exclusive, so a
+    gap-equal arrival starts a new session (>=), unlike q33's
+    documented `>` convention for its batch sessionization. Window
+    bounds come back as epoch seconds (start = first event,
+    end = last event + gap). Ties on (user_id, ts) cannot occur in
+    the fixture (event ts is unique per user); the ORDER BY carries
+    event_id anyway for the LAG to be deterministic."""
+    from gpu_olap_engine_spark.streaming.pipelines import read_events_stream
+
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").cast("long").alias("session_start"),
+            F.col("sw.end").cast("long").alias("session_end"),
+            "n_events",
+        )
+    )
+    name = f"ssw_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
