@@ -24,14 +24,23 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     as TIMESTAMP_NTZ) or as TIMESTAMP(NANOS) read back as int64 nanos
     (nanosAsLong). The session timezone is pinned UTC (config.py), so
     the NTZ->LTZ cast is value-faithful."""
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    raw = (
-        spark.readStream.schema(schema)
-        # file streams take a directory; filter to the events table
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        # multi-file table (e.g. the ~sf1 replica): stream the table
+        # directory itself
+        raw = spark.readStream.schema(schema).parquet(path)
+    else:
+        # single-file fixture: file streams take a directory, so
+        # stream the fixture dir filtered to the events leaf file
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     ts_type = schema["ts"].dataType
     if isinstance(ts_type, LongType):
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
