@@ -92,6 +92,18 @@ SHOW = [
         "text_top_terms_per_lang",
         "per-lang top-k: partial+final count below the ranking window",
     ),
+    (
+        "q166_auc_rank",
+        "tie-exact AUC: ranks run over the distinct-score grid, not rows",
+    ),
+    (
+        "dedup_hamming_keys",
+        "Hamming dedup: pigeonhole segment equi-joins, no all-pairs, no UDF",
+    ),
+    (
+        "q170_clamped_stock",
+        "zero-floor ledger: closed-form clamp, one window + one agg, 2 exchanges",
+    ),
 ]
 
 
