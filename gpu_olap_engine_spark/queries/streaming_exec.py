@@ -96,10 +96,12 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS prev_us
         FROM events
     ), flagged AS (
-        -- session_window's end bound is EXCLUSIVE: an event exactly
-        -- gap-after the previous one starts a NEW session (>=, not >)
+        -- session_window MERGES an event arriving EXACTLY gap after
+        -- the previous one (empirically pinned by
+        -- test_session_window_gap_boundary): new session iff
+        -- diff > gap, the same rule as q33's batch sessionization
         SELECT user_id, us,
-               CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+               CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
                     THEN 1 ELSE 0 END AS new_session
         FROM seq
     ), sessions AS (
@@ -124,10 +126,11 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows never exercise): file source, 30-minute gap and
     watermark, complete mode, availableNow, memory sink. The oracle
     is the gaps-and-islands formulation with the operator's exact
-    boundary rule — session_window's end bound is exclusive, so a
-    gap-equal arrival starts a new session (>=), unlike q33's
-    documented `>` convention for its batch sessionization. Window
-    bounds come back as epoch seconds (start = first event,
+    boundary rule — a gap-EQUAL arrival merges into the running
+    session (new session iff diff > gap), pinned empirically by
+    tests/test_streaming.py::test_session_window_gap_boundary since
+    the fixture's microsecond timestamps never land on the boundary.
+    Window bounds come back as epoch seconds (start = first event,
     end = last event + gap). Ties on (user_id, ts) cannot occur in
     the fixture (event ts is unique per user); the ORDER BY carries
     event_id anyway for the LAG to be deterministic."""

@@ -618,3 +618,45 @@ def test_rendezvous_stability_under_shard_growth(spark):
     # expectation 1/17 ~= 0.0588; allow generous slack, but far below
     # the ~0.94 a mod-n rehash would move
     assert 0.02 < frac < 0.12, frac
+
+
+def test_hamming_key_pairs_matches_bruteforce(spark, tmp_path):
+    """The pigeonhole blocking must be LOSSLESS: on a randomized
+    corpus of 24-char keys (seeded, includes planted pairs at
+    distances 0/1/2/3), the blocked operator returns exactly the
+    brute-force Hamming<=2 pair set. Input goes through parquet (the
+    operator's table contract; a raw LocalRelation self-join trips a
+    Spark analyzer attribute-dedup bug unrelated to the operator)."""
+    import itertools
+    import random
+
+    from gpu_olap_engine_spark.operators.dedup import hamming_key_pairs
+
+    rng = random.Random(7)
+    alphabet = "abcd"
+    base = ["".join(rng.choice(alphabet) for _ in range(24)) for _ in range(40)]
+    rows = []
+    for i, key in enumerate(base):
+        rows.append((i, key))
+        # planted variant at distance d for d in 0..3
+        d = i % 4
+        chars = list(key)
+        for pos in rng.sample(range(24), d):
+            chars[pos] = "z"
+        rows.append((100 + i, "".join(chars)))
+    path = str(tmp_path / "ham.parquet")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(path)
+    df = spark.read.parquet(path)
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_key_pairs(df, "doc_id", "text").collect()
+    }
+    want = set()
+    for (ia, ka), (ib, kb) in itertools.combinations(rows, 2):
+        a, b = (ia, ib) if ia < ib else (ib, ia)
+        ka2, kb2 = (ka, kb) if ia < ib else (kb, ka)
+        h = sum(1 for x, y in zip(ka2, kb2) if x != y)
+        if h <= 2:
+            want.add((a, b, h))
+    assert got == want
+    assert any(h == 2 for _, _, h in want), "distance-2 pairs must exist"

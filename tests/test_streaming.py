@@ -396,3 +396,55 @@ def test_txn_sink_replay_after_commit_is_skipped(spark, tmp_path):
         for r in tf.read_snapshot(spark, table).collect()
     }
     assert all(second[k] == 2 * first[k] for k in first)
+
+
+def test_session_window_gap_boundary(spark, tmp_path):
+    """Pins the boundary rule stream_session_windows' oracle encodes:
+    an event arriving EXACTLY gap after the previous one MERGES into
+    the running session (new session iff diff > gap), while one
+    microsecond beyond the gap splits. Built data, run through the
+    real streaming entry — the fixture's microsecond timestamps never
+    land on the boundary, so only this test guards it."""
+    import pandas as pd
+
+    from gpu_olap_engine_spark.queries import load_all
+
+    gap_us = 1_800_000_000
+    t0 = pd.Timestamp("2025-01-01 00:00:00")
+    rows = [
+        # user 1: second event exactly at t0+gap -> MERGES, one session
+        (1, 1, t0),
+        (2, 1, t0 + pd.Timedelta(microseconds=gap_us)),
+        # user 2: second event 1us inside the gap -> one session
+        (3, 2, t0),
+        (4, 2, t0 + pd.Timedelta(microseconds=gap_us - 1)),
+        # user 3: second event 1us beyond the gap -> two sessions
+        (5, 3, t0),
+        (6, 3, t0 + pd.Timedelta(microseconds=gap_us + 1)),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts"]
+    ).assign(event_type="view", value=1.0, props="{}")
+    sf_dir = str(tmp_path / "sf")
+    spark.createDataFrame(
+        pdf[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+    ).coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+    entry = load_all()["stream_session_windows"]
+    out = entry.fn(spark, sf_dir)
+    per_user = {
+        r.user_id: r.cnt
+        for r in out.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert per_user == {1: 1, 2: 1, 3: 2}
+    # the oracle must agree on the same data: run it through DuckDB
+    import duckdb
+
+    oracle = entry.oracle
+    duck = duckdb.connect()
+    duck.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    odf = duck.sql(oracle).df()
+    o_per_user = odf.groupby("user_id").size().to_dict()
+    assert o_per_user == {1: 1, 2: 1, 3: 2}
