@@ -1071,3 +1071,71 @@ def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("segment_value"),
     )
+
+
+@register(
+    "q174_max_drawdown",
+    oracle="""
+    WITH d AS (
+        SELECT o_custkey,
+               CAST(floor(o_totalprice * 100) AS BIGINT)
+                 * (CASE WHEN o_orderstatus = 'F' THEN 1 ELSE -1 END)
+                   AS delta_cents,
+               o_orderdate, o_orderkey
+        FROM orders
+    ),
+    r AS (
+        SELECT o_custkey, delta_cents, o_orderdate, o_orderkey,
+               SUM(delta_cents) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING
+               ) AS run
+        FROM d
+    ),
+    s AS (
+        SELECT o_custkey, delta_cents, run,
+               MAX(run) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING
+               ) AS peak
+        FROM r
+    )
+    SELECT o_custkey,
+           CAST(SUM(delta_cents) AS BIGINT) AS net_cents,
+           CAST(MAX(peak - run) AS BIGINT) AS max_drawdown_cents
+    FROM s GROUP BY o_custkey
+    """,
+)
+def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per customer over their signed order ledger
+    ('F' orders credit, others debit, exact cents): the largest
+    peak-to-trough drop of the running balance — the risk/health
+    metric behind churn and credit review. Drawdown is windows-only:
+    running sum, running max OF the running sum (a nested frame over
+    the same (customer, date, orderkey) order — ONE exchange feeds
+    both), then max(peak - run) per customer. No iteration, no
+    self-join, integer-exact on both engines. Same shape at any
+    scale: one customer-keyed sort-window pass plus the final
+    aggregate."""
+    o = T(spark, sf_dir, "orders")
+    d = o.select(
+        "o_custkey",
+        (
+            F.floor(F.col("o_totalprice") * 100).cast("long")
+            * F.when(F.col("o_orderstatus") == "F", 1).otherwise(-1)
+        ).alias("delta_cents"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    s = (
+        d.withColumn("run", F.sum("delta_cents").over(w))
+        .withColumn("peak", F.max("run").over(w))
+        .select("o_custkey", "delta_cents", "run", "peak")
+    )
+    return s.groupBy("o_custkey").agg(
+        F.sum("delta_cents").alias("net_cents"),
+        F.max(F.col("peak") - F.col("run")).alias("max_drawdown_cents"),
+    )
