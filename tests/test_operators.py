@@ -660,3 +660,69 @@ def test_hamming_key_pairs_matches_bruteforce(spark, tmp_path):
             want.add((a, b, h))
     assert got == want
     assert any(h == 2 for _, _, h in want), "distance-2 pairs must exist"
+
+
+def test_clamped_stock_closed_form_matches_simulation(spark, tmp_path):
+    """q170's zero-floor identity b_t = s_t - min(0, running_min(s))
+    must equal the per-row iterative clamp (stock never below zero,
+    unmet issues lost). Randomized signed deltas per part, compared
+    against an explicit Python simulation."""
+    import random
+
+    import pandas as pd
+
+    from gpu_olap_engine_spark.queries import load_all
+
+    rng = random.Random(11)
+    rows = []
+    oid = 0
+    for part in range(1, 21):
+        for ln in range(1, rng.randint(5, 25)):
+            oid += 1
+            qty = rng.randint(1, 50)
+            flag = rng.choice(["R", "N", "A"])
+            rows.append(
+                (
+                    oid,
+                    part,
+                    1,
+                    ln,
+                    float(qty),
+                    1.0,
+                    0.0,
+                    0.0,
+                    flag,
+                    "O",
+                    pd.Timestamp("2024-01-01")
+                    + pd.Timedelta(days=rng.randint(0, 400)),
+                )
+            )
+    cols = [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    ]
+    sf_dir = str(tmp_path / "sf")
+    spark.createDataFrame(pd.DataFrame(rows, columns=cols)).coalesce(
+        1
+    ).write.parquet(f"{sf_dir}/lineitem.parquet")
+    got = {
+        r.part: (r.final_stock, r.lost_units)
+        for r in load_all()["q170_clamped_stock"].fn(spark, sf_dir).collect()
+    }
+    # explicit simulation: clamp at zero per step, count lost units
+    want: dict = {}
+    by_part: dict = {}
+    for r in sorted(rows, key=lambda r: (r[10], r[0], r[3])):
+        by_part.setdefault(r[1], []).append(
+            int(r[4]) * (1 if r[8] == "R" else -1)
+        )
+    for part, deltas in by_part.items():
+        bal, lost = 0, 0
+        for d in deltas:
+            bal += d
+            if bal < 0:
+                lost += -bal
+                bal = 0
+        want[part] = (bal, lost)
+    assert got == want
