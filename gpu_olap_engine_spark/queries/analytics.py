@@ -1139,3 +1139,78 @@ def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("delta_cents").alias("net_cents"),
         F.max(F.col("peak") - F.col("run")).alias("max_drawdown_cents"),
     )
+
+
+@register(
+    "q175_lag1_autocorr",
+    oracle="""
+    WITH day AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 // 100000 AS rev
+        FROM orders GROUP BY 1
+    ),
+    pairs AS (
+        SELECT LAG(rev) OVER (ORDER BY d) AS x, rev AS y FROM day
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM pairs WHERE x IS NOT NULL
+    )
+    SELECT n,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+               AS lag1_r
+    FROM m
+    """,
+)
+def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily-revenue series: Pearson r
+    over (yesterday, today) pairs — the momentum/seasonality
+    screen before fitting any forecast. Determinism: the series is
+    exact integer THOUSANDS of dollars (cent sums floor-divided by
+    1e5 — squared-daily-revenue moments overflow int64 at the ~sf1
+    replica in raw dollars; measured, hence the unit), all five
+    moments are exact int64 sums of integer products, and the single
+    float expression (one division, one sqrt) is written in the same
+    literal order on both engines — IEEE 754 requires sqrt to be
+    correctly rounded (unlike log/exp), so the result is bit-stable.
+    Plan: one group-by on day, one 1-partition LAG over the
+    |days|-sized relation, one 1-row moment aggregate. The unit keeps
+    moments under int64 through ~1e12-dollar days x 10k days; past
+    that, floor-divide to millions (same swap)."""
+    o = T(spark, sf_dir, "orders")
+    day = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.expr(
+            "SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) DIV 100000"
+        ).alias("rev")
+    )
+    pairs = day.select(
+        F.lag("rev").over(Window.orderBy("d")).alias("x"),
+        F.col("rev").alias("y"),
+    ).filter(F.col("x").isNotNull())
+    m = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    return m.select(
+        "n",
+        (
+            (n * F.col("sxy") - sx * F.col("sy"))
+            / F.sqrt(
+                (n * F.col("sxx") - sx * F.col("sx"))
+                * (n * F.col("syy") - sy * F.col("sy"))
+            )
+        ).alias("lag1_r"),
+    )
