@@ -364,3 +364,69 @@ def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_users"),
         F.expr("SUM(p5_ppm) DIV COUNT(*)").alias("macro_p5_ppm"),
     )
+
+
+@register(
+    "q176_ks_distance",
+    oracle=f"""
+    WITH p AS (
+        SELECT {_SCORE} AS score,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events WHERE {_POP}
+    ),
+    g AS (
+        SELECT score,
+               CAST(SUM(pos) AS BIGINT) AS c1,
+               CAST(SUM(1 - pos) AS BIGINT) AS c2
+        FROM p GROUP BY score
+    ),
+    r AS (
+        SELECT SUM(c1) OVER (ORDER BY score) AS cum1,
+               SUM(c2) OVER (ORDER BY score) AS cum2
+        FROM g
+    ),
+    t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                 CAST(SUM(c2) AS BIGINT) AS n2 FROM g)
+    SELECT n1, n2,
+           CAST((1000000 * MAX(abs(CAST(cum1 AS BIGINT) * n2
+                                   - CAST(cum2 AS BIGINT) * n1)))
+                // (n1 * n2) AS BIGINT) AS ks_ppm
+    FROM r, t GROUP BY n1, n2
+    """,
+)
+def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between the score
+    distributions of purchases and views — the distribution-drift /
+    separability test (text_drift_chi2's continuous-valued sibling;
+    also the standard train-vs-serve feature drift gate). D is
+    evaluated at every distinct score with ties handled by cumulative
+    counts, and kept EXACT as integers: max |cum1*n2 - cum2*n1| over
+    the merged support, one floor division to ppm at the end — no
+    float CDFs. Plan: one group-by on score (shuffle bounded by the
+    cents grid), one running-sum window over the distinct-score
+    relation, one 1-row max. Same bounded-support argument as q166's
+    AUC ranks."""
+    g = _pop(spark, sf_dir).groupBy("score").agg(
+        F.sum("pos").alias("c1"),
+        F.sum(F.expr("1 - pos")).alias("c2"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    r = g.select(
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+        F.sum("c1").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n1"),
+        F.sum("c2").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n2"),
+    )
+    return r.groupBy("n1", "n2").agg(
+        F.expr(
+            "(1000000 * MAX(abs(cum1 * n2 - cum2 * n1))) DIV (n1 * n2)"
+        ).alias("ks_ppm")
+    ).select("n1", "n2", "ks_ppm")
