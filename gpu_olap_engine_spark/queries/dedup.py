@@ -57,6 +57,19 @@ inter AS (
 """
 
 
+def _mat(sql: str) -> str:
+    """Hint every CTE in `sql` as MATERIALIZED. DuckDB inlines CTEs
+    referenced more than once, re-executing the shingle/banding
+    subtrees per reference — the unrolled label-propagation oracles
+    go from >120 s to ~12 s at ~sf1 with the hint (same lesson as
+    q165's MATERIALIZED rounds). Applied only to the oracles measured
+    slow; a hint, not a semantics change."""
+    import re
+
+    return re.sub(r"^(\s*)(\w+) AS \(", r"\1\2 AS MATERIALIZED (",
+                  sql, flags=re.M)
+
+
 def _sig_sql() -> str:
     mins = ",\n           ".join(
         f"MIN(({a} * hv + {b}) % {D.MINHASH_P}) AS mh_{i}"
@@ -168,7 +181,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_clusters",
-    oracle=f"""
+    oracle=_mat(f"""
     WITH RECURSIVE {_SH.strip().rstrip()},
     {_sig_sql()},
     {_banded_sql()},
@@ -199,7 +212,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT id AS doc_id, CAST(MIN(root) AS BIGINT) AS cluster_id
     FROM reach GROUP BY id
-    """,
+    """),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters: connected components (iterative
@@ -348,7 +361,7 @@ def dedup_lines_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_canonical_docs",
-    oracle=f"""
+    oracle=_mat(f"""
     WITH RECURSIVE {_SH.strip().rstrip()},
     {_sig_sql()},
     {_banded_sql()},
@@ -393,7 +406,7 @@ def dedup_lines_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(s.n_members AS BIGINT) AS n_members,
            CAST(s.total_chars AS BIGINT) AS total_chars
     FROM ranked r JOIN stats s USING (cluster_id) WHERE r.rn = 1
-    """,
+    """),
 )
 def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-document election per near-dup cluster: the curation
@@ -459,7 +472,7 @@ def dedup_span_stats_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_lsh_blocked",
-    oracle=f"""
+    oracle=_mat(f"""
     WITH {_SH.strip().rstrip()},
     {_sig_sql()},
     {_banded_sql()},
@@ -481,7 +494,7 @@ def dedup_span_stats_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes na ON c.id_a = na.doc_id
     JOIN sizes nb ON c.id_b = nb.doc_id
     WHERE CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) >= 0.5
-    """,
+    """),
 )
 def dedup_minhash_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup with LANGUAGE blocking composed into the
