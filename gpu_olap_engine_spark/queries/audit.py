@@ -813,3 +813,51 @@ def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * cum_rev) DIV tot_rev").alias("cum_share_ppm"),
         )
     )
+
+
+@register(
+    "q177_mom_growth",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+                   AS ym,
+               CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM orders GROUP BY 1
+    )
+    SELECT ym, rev_cents,
+           CAST((1000000 * (rev_cents - LAG(rev_cents) OVER (ORDER BY ym)))
+                // LAG(rev_cents) OVER (ORDER BY ym) AS BIGINT)
+               AS growth_ppm
+    FROM m
+    """,
+)
+def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth in signed exact ppm — the KPI
+    trend line. Growth can be NEGATIVE, which makes the integer
+    division itself a cross-engine hazard worth pinning: both Spark's
+    DIV and DuckDB's // truncate toward zero (verified: -7 DIV 2 =
+    -7 // 2 = -3, and both engines' % keeps the dividend's sign), so
+    the signed ppm is bit-equal with no floor-emulation needed. First
+    month's growth is NULL on both sides (LAG over the leading edge).
+    Plan: one month-keyed aggregate + one LAG over the |months|-sized
+    relation."""
+    o = T(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("ym")
+    ).agg(
+        F.expr("SUM(CAST(floor(o_totalprice * 100) AS BIGINT))").alias(
+            "rev_cents"
+        )
+    )
+    w = Window.orderBy("ym")
+    return m.select(
+        "ym",
+        "rev_cents",
+        F.expr(
+            "(1000000 * (rev_cents - LAG(rev_cents) OVER (ORDER BY ym)))"
+            " DIV LAG(rev_cents) OVER (ORDER BY ym)"
+        ).alias("growth_ppm"),
+    )
