@@ -160,3 +160,52 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "stream_interval_join",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, event_id AS view_id, {_US} AS v_us
+        FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT user_id, event_id AS purchase_id, {_US} AS p_us
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, v.view_id
+    FROM p JOIN v ON p.user_id = v.user_id
+       AND v.v_us <= p.p_us
+       AND v.v_us >= p.p_us - 3600000000
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join EXECUTED by the streaming engine:
+    each purchase matched to the same user's views within the
+    preceding hour (streaming/pipelines.purchases_with_recent_views),
+    run through a real writeStream in append mode — the dual-sided
+    state-store path (both inputs buffered, watermark-bounded
+    eviction) that no batch twin exercises. Finite input +
+    availableNow reduces the semantics to the batch interval join the
+    oracle spells out; the gate compares the exact matched-pair id
+    set (all-integer, bit-stable). At scale this exact topology runs
+    continuously with view-side state bounded by watermark+horizon."""
+    from gpu_olap_engine_spark.streaming.pipelines import (
+        purchases_with_recent_views,
+        read_events_stream,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    joined = purchases_with_recent_views(events).select(
+        "purchase_id", "view_id"
+    )
+    name = f"ssj_{uuid.uuid4().hex[:12]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
