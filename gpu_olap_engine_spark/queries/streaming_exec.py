@@ -209,3 +209,48 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "stream_dedup_keys",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful dedup EXECUTED by the engine:
+    dropDuplicatesWithinWatermark on (user_id, event_type) — the
+    bounded-state exact-dedup path (one state-store entry per live
+    key, watermark-evicted) — run through a real writeStream in
+    append mode, then the sink table is aggregated to per-type
+    distinct-user counts. Only the KEY columns pass through, so
+    which duplicate row survives is irrelevant and the result is
+    deterministic: it must equal the batch COUNT(DISTINCT). At scale
+    this is the ingestion-dedup front of the corpus pipeline
+    (streaming.ingest_corpus_stream) with state bounded by the
+    watermark horizon instead of growing with history."""
+    from gpu_olap_engine_spark.streaming.pipelines import read_events_stream
+
+    events = read_events_stream(spark, sf_dir)
+    deduped = (
+        events.select("user_id", "event_type", "ts")
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = f"sdk_{uuid.uuid4().hex[:12]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
