@@ -194,3 +194,51 @@ def mm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("asset_id").alias("newest_asset"),
         )
     )
+
+
+@register(
+    "mm_chunk_manifest",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id AS asset_id,
+               CAST(i AS BIGINT) AS chunk_idx,
+               substring(text, CAST(i * 64 + 1 AS BIGINT), 64) AS chunk
+        FROM documents, unnest(generate_series(
+            0, CAST(ceil(length(text) / 64.0) AS BIGINT) - 1
+        )) AS t(i)
+    )
+    SELECT asset_id, chunk_idx,
+           CAST(strlen(chunk) AS BIGINT) AS n_bytes,
+           sha256(chunk) AS chunk_sha
+    FROM c
+    """,
+)
+def mm_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed chunk manifest over BINARY payloads: each
+    asset split into fixed 64-char chunks (64 KB byte chunks in
+    production; DuckDB's substring is VARCHAR-only so the shared
+    oracle chunks characters and digests the UTF-8 bytes of each) — the dedup
+    storage / rsync-style transfer-planning primitive for a 100 TB
+    multimodal lake: identical chunks across assets share one blob,
+    and a changed asset re-uploads only changed chunks. The split is
+    a JVM-side transform (no UDF — one output row per CHUNK), so the
+    shuffle-free plan reads payloads once; the digests are the same engine-native
+    sha-256 pair as mm_exact_dedup (reference analog: none — the
+    reference has no binary surface; LLM-pipeline mandate)."""
+    docs = T(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, int(ceil(length(text) / 64.0)) - 1),"
+                " i -> substring(text, i * 64 + 1, 64))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    ).select(
+        "asset_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.length(F.encode(F.col("chunk"), "UTF-8")).cast("long").alias(
+            "n_bytes"
+        ),
+        F.sha2(F.encode(F.col("chunk"), "UTF-8"), 256).alias("chunk_sha"),
+    )
