@@ -387,6 +387,24 @@ def _file_may_match(fstats: dict | None, predicate) -> bool:
         if cs is None or cs["t"] == "s":
             continue  # no safe bounds -> cannot exclude
         if cs["t"] == "d":
+            if isinstance(lit, str):
+                # strict ISO-8601 only: a malformed literal like
+                # '2026/08/14' compares lexicographically in the wrong
+                # order and would wrongly EXCLUDE files — fail loud,
+                # matching the numeric branch. Parse (not just
+                # validate) so a space-separated timestamp string
+                # re-isoformats with the 'T' the stored bounds use.
+                try:
+                    lit = datetime.datetime.fromisoformat(lit)
+                except ValueError:
+                    try:
+                        lit = datetime.date.fromisoformat(lit)
+                    except ValueError:
+                        raise ValueError(
+                            f"date/timestamp column {col!r} needs a "
+                            f"date, datetime, or ISO-8601 string "
+                            f"literal, got {lit!r}"
+                        ) from None
             if isinstance(lit, datetime.datetime):
                 if lit.tzinfo is not None:
                     # naive footer bounds vs tz-aware literal is
@@ -396,27 +414,35 @@ def _file_may_match(fstats: dict | None, predicate) -> bool:
                 lit = lit.isoformat()
             elif isinstance(lit, datetime.date):
                 lit = lit.isoformat()
-            elif isinstance(lit, str):
-                # strict ISO-8601 only: a malformed literal like
-                # '2026/08/14' compares lexicographically in the wrong
-                # order and would wrongly EXCLUDE files — fail loud,
-                # matching the numeric branch
-                try:
-                    datetime.datetime.fromisoformat(lit)
-                except ValueError:
-                    try:
-                        datetime.date.fromisoformat(lit)
-                    except ValueError:
-                        raise ValueError(
-                            f"date/timestamp column {col!r} needs a "
-                            f"date, datetime, or ISO-8601 string "
-                            f"literal, got {lit!r}"
-                        ) from None
             else:
                 raise ValueError(
                     f"date/timestamp column {col!r} needs a date, "
                     f"datetime, or ISO-8601 string literal, got {lit!r}"
                 )
+            # Granularity normalization: a DATE column's bounds store
+            # as 'YYYY-MM-DD' while a midnight datetime literal
+            # isoformats to 'YYYY-MM-DDT00:00:00' — lexicographically
+            # GREATER than its own date, so an unpadded compare
+            # wrongly excludes the file holding the matching date
+            # (Spark casts date to midnight timestamp and matches the
+            # row). Pad every date-only string — literal AND bounds —
+            # to midnight-timestamp granularity; that is exactly
+            # Spark's date->timestamp promotion, so comparisons stay
+            # exact in both mismatch directions.
+            if "T" not in lit:
+                lit += "T00:00:00"
+            lo, hi = cs["lo"], cs["hi"]
+            lo = lo if "T" in lo else lo + "T00:00:00"
+            hi = hi if "T" in hi else hi + "T00:00:00"
+            if (
+                (op == "=" and not (lo <= lit <= hi))
+                or (op == "<" and lo >= lit)
+                or (op == "<=" and lo > lit)
+                or (op == ">" and hi <= lit)
+                or (op == ">=" and hi < lit)
+            ):
+                return False
+            continue
         elif cs["t"] == "n":
             if not isinstance(lit, (int, float)) or isinstance(lit, bool):
                 raise ValueError(

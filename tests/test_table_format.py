@@ -550,6 +550,75 @@ def test_date_predicate_literal_validation(spark, tmp_path):
     assert len(kept3) == total3
 
 
+def test_date_stat_granularity_mismatch_never_misprunes(spark, tmp_path):
+    """r8 advice (medium): a midnight naive-datetime literal probing a
+    DATE column isoformats to 'YYYY-MM-DDT00:00:00', lexicographically
+    GREATER than the stored date-only bound 'YYYY-MM-DD' — the
+    unpadded compare excluded the one file holding the matching date,
+    silently dropping rows the row-level filter matches (Spark casts
+    date to midnight timestamp). Both mismatch directions must keep
+    the right files."""
+    import datetime
+
+    # direction 1: DATE column (date-only bounds), timestamp literal
+    path = str(tmp_path / "td")
+    df = spark.range(10, numPartitions=2).select(
+        F.date_add(F.lit("2026-01-01").cast("date"), F.col("id").cast("int"))
+        .alias("d"),
+        F.col("id").alias("v"),
+    )
+    tf.create_table(df, path)
+    date_kept, total = tf.prune_files(path, None, [("d", "=", "2026-01-03")])
+    assert 1 <= len(date_kept) < total
+    for lit in (
+        datetime.datetime(2026, 1, 3),  # midnight naive datetime
+        "2026-01-03T00:00:00",
+        "2026-01-03 00:00:00",  # space separator re-normalizes to 'T'
+    ):
+        kept, _ = tf.prune_files(path, None, [("d", "=", lit)])
+        assert kept == date_kept, f"midnight literal {lit!r} mispruned"
+        got = tf.read_snapshot(spark, path, predicate=[("d", "=", lit)])
+        assert [r["v"] for r in got.filter(F.col("d") == "2026-01-03").collect()] == [2]
+    # non-midnight timestamp can never equal a DATE value: pruning to
+    # zero files is allowed, but a RANGE op must still keep correctly
+    kept_rng, _ = tf.prune_files(
+        path, None, [("d", "<=", datetime.datetime(2026, 1, 1, 5, 0))]
+    )
+    assert len(kept_rng) >= 1  # the file holding 2026-01-01
+
+    # direction 2: naive TIMESTAMP_NTZ column ('T' bounds), date literal
+    path2 = str(tmp_path / "tts")
+    df2 = spark.range(8, numPartitions=2).select(
+        (
+            F.lit("2026-01-01 00:00:00").cast("timestamp_ntz")
+            + F.make_dt_interval(F.col("id").cast("int"))
+        ).alias("ts"),
+        F.col("id").alias("v"),
+    )
+    tf.create_table(df2, path2)
+    m2 = tf._load_manifest(path2, 0)
+    assert any(
+        fs["cols"].get("ts", {}).get("t") == "d"
+        for fs in m2["stats"].values()
+    ), "naive timestamp column should produce prunable 'd' stats"
+    # midnight row exists on day 1: '=' date literal must KEEP its file
+    kept_eq, tot2 = tf.prune_files(
+        path2, None, [("ts", "=", datetime.date(2026, 1, 1))]
+    )
+    assert len(kept_eq) >= 1
+    got2 = tf.read_snapshot(
+        spark, path2, predicate=[("ts", "=", datetime.date(2026, 1, 1))]
+    )
+    assert [r["v"] for r in got2.filter(
+        F.col("ts") == F.lit("2026-01-01").cast("date")
+    ).collect()] == [0]
+    # range: >= Jan 4 keeps the later file(s), matches row filter
+    kept_ge, _ = tf.prune_files(
+        path2, None, [("ts", ">=", datetime.date(2026, 1, 4))]
+    )
+    assert 1 <= len(kept_ge) <= tot2
+
+
 def test_apply_changes_noop_batch_skips_commit(spark, tmp_path):
     """A CDC batch with no upserts and delete_keys matching nothing
     must not commit a new identical version (commit churn); with an
