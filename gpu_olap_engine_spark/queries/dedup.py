@@ -551,7 +551,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_hamming_keys",
     oracle="""
     WITH k AS (
-        SELECT doc_id, lower(substr(text, 1, 24)) AS key FROM documents
+        SELECT doc_id, rpad(lower(substr(text, 1, 24)), 24, chr(0)) AS key
+        FROM documents
     ),
     segs AS (
         SELECT doc_id, key, i AS seg_idx, substr(key, i * 8 + 1, 8) AS seg

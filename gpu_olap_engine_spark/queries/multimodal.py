@@ -229,8 +229,14 @@ def mm_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         F.col("doc_id").alias("asset_id"),
         F.posexplode(
+            # the if() guards zero-length text: Spark's sequence(0, -1)
+            # yields the DESCENDING array [0, -1] (two empty-chunk
+            # rows) where DuckDB's generate_series(0, -1) is empty —
+            # an empty asset must produce zero manifest rows on both
             F.expr(
-                "transform(sequence(0, int(ceil(length(text) / 64.0)) - 1),"
+                "transform(if(length(text) > 0,"
+                " sequence(0, int(ceil(length(text) / 64.0)) - 1),"
+                " array()),"
                 " i -> substring(text, i * 64 + 1, 64))"
             )
         ).alias("chunk_idx", "chunk"),

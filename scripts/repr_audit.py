@@ -107,6 +107,26 @@ def main() -> None:
         n_checked += 1
         issues: dict[str, str] = {}
         widths: dict[str, str] = {}
+        # structural checks FIRST (r8 advice): a column-set mismatch
+        # previously aborted the whole audit with a raw KeyError, and
+        # zip() over unequal row counts silently truncated — missing
+        # rows were invisible to this tool
+        col_diff = set(s.columns) ^ set(d.columns)
+        if col_diff:
+            divergent[name] = {
+                "_columns": f"spark {sorted(s.columns)} vs "
+                f"oracle {sorted(d.columns)}"
+            }
+            print(f"{name:40s} DIVERGENT columns {sorted(col_diff)}", flush=True)
+            continue
+        if len(s) != len(d):
+            divergent[name] = {
+                "_rows": f"spark {len(s)} vs oracle {len(d)}"
+            }
+            print(
+                f"{name:40s} DIVERGENT rows {len(s)} vs {len(d)}", flush=True
+            )
+            continue
         for col in s.columns:
             sd, dd = str(s[col].dtype), str(d[col].dtype)
             if sd != dd:

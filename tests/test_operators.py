@@ -644,6 +644,10 @@ def test_hamming_key_pairs_matches_bruteforce(spark, tmp_path):
         for pos in rng.sample(range(24), d):
             chars[pos] = "z"
         rows.append((100 + i, "".join(chars)))
+    # short texts (< key_len): the operator NUL-rpads to full width
+    # (r8 advice) — a truncation pair and an unrelated short text;
+    # "abcdefgh" vs "abcdefghzz" pads to distance 2, must be found
+    rows += [(200, "abcdefgh"), (201, "abcdefghzz"), (202, "q")]
     path = str(tmp_path / "ham.parquet")
     spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(path)
     df = spark.read.parquet(path)
@@ -652,14 +656,17 @@ def test_hamming_key_pairs_matches_bruteforce(spark, tmp_path):
         for r in hamming_key_pairs(df, "doc_id", "text").collect()
     }
     want = set()
-    for (ia, ka), (ib, kb) in itertools.combinations(rows, 2):
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
         a, b = (ia, ib) if ia < ib else (ib, ia)
+        ka = ta.lower()[:24].ljust(24, "\x00")
+        kb = tb.lower()[:24].ljust(24, "\x00")
         ka2, kb2 = (ka, kb) if ia < ib else (kb, ka)
         h = sum(1 for x, y in zip(ka2, kb2) if x != y)
         if h <= 2:
             want.add((a, b, h))
     assert got == want
     assert any(h == 2 for _, _, h in want), "distance-2 pairs must exist"
+    assert (200, 201, 2) in want, "short-text pad pair must be planted"
 
 
 def test_clamped_stock_closed_form_matches_simulation(spark, tmp_path):
