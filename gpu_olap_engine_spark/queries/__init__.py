@@ -63,6 +63,7 @@ def load_all() -> dict[str, Query]:
             streaming_exec,
             text,
             tpch,
+            tpch_ps,
             udfs,
         )
 

@@ -16,7 +16,7 @@ from pyspark.sql.window import Window
 from gpu_olap_engine_spark.operators import dedup as D
 from gpu_olap_engine_spark.operators.dedup import base_hash, tokenize
 from gpu_olap_engine_spark.queries import register
-from gpu_olap_engine_spark.queries.dedup import _banded_sql, _JACCARD_TAIL, _SH, _sig_sql
+from gpu_olap_engine_spark.queries.dedup import _banded_sql, _JACCARD_TAIL, _mat, _SH, _sig_sql
 from gpu_olap_engine_spark.queries.similarity import _block_sql
 
 # embedding near-dup candidate chain (prefixed to avoid clashing with
@@ -194,7 +194,10 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q70_joint_dedup_flags",
-    oracle=f"""
+    # _mat: MATERIALIZED CTE hints keep the ~sf1 DuckDB twin inside
+    # the sweep budget (multi-referenced shingle/banding/blocking
+    # subtrees otherwise re-execute per reference)
+    oracle=_mat(f"""
     WITH {_SH},
     {_sig_sql()},
     {_banded_sql()},
@@ -255,7 +258,7 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN text_dups t ON d.doc_id = t.doc_id
     LEFT JOIN emb_dups e ON d.doc_id = e.doc_id
     WHERE t.doc_id IS NOT NULL OR e.doc_id IS NOT NULL
-    """,
+    """),
 )
 def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Joint dedup signal fusion: documents flagged near-duplicate by

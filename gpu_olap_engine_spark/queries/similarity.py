@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from gpu_olap_engine_spark.operators import similarity as S
 from gpu_olap_engine_spark.queries import register
+from gpu_olap_engine_spark.queries.dedup import _mat
 from gpu_olap_engine_spark.queries.tables import T
 
 # Integer-quantized cosine terms for pair (av, bv), unnested by index
@@ -139,11 +140,14 @@ def _block_sql(prefix: str = "", m: int = 10) -> str:
 
 @register(
     "sim_near_dup_pairs",
-    oracle=f"""
+    # _mat: DuckDB re-inlines the multi-referenced blocking CTEs per
+    # reference; MATERIALIZED keeps the ~sf1 twin inside the sweep's
+    # 120 s budget (same rescue as the label-propagation oracles)
+    oracle=_mat(f"""
     WITH {_block_sql()},
     {_TERMS.format(keys="id_a, id_b")}
     SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.45
-    """,
+    """),
 )
 def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (>= 0.45), sub-quadratic:
@@ -494,7 +498,7 @@ def _semdedup_oracle(k: int = 8, iters: int = 3, threshold: float = 0.45) -> str
     return "WITH " + ",\n    ".join(ctes) + ",\n    " + body
 
 
-@register("sim_semdedup", oracle=_semdedup_oracle())
+@register("sim_semdedup", oracle=_mat(_semdedup_oracle()))
 def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540) keep/drop decision for every
     embedding: deterministic k-means bounds the pairwise cosine pass

@@ -254,3 +254,54 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "stream_user_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
+               AS total_value_e4
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) EXECUTED by
+    the streaming engine: per-user running count + value total through
+    the arbitrary-state extension point (streaming/pipelines.py
+    running_user_totals — the analog of the reference's custom-kernel
+    registration, README.md:354-378), run as a real writeStream in
+    update mode with an availableNow trigger and a memory sink. The
+    quantized variant accumulates exact int64 e4 units inside the
+    state store, so micro-batch boundaries and state-merge order
+    cannot move the result off the batch answer. The sink holds one
+    row per user per update; n_events strictly increases per
+    invocation (the operator is only called for groups with data), so
+    max_by(total, n_events) recovers each user's FINAL state row
+    deterministically whether the trigger produced one micro-batch or
+    many (the ~sf1 replica streams multiple files)."""
+    from gpu_olap_engine_spark.streaming.pipelines import (
+        read_events_stream,
+        running_user_totals,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    totals = running_user_totals(events, quantized=True)
+    name = f"sut_{uuid.uuid4().hex[:12]}"
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value_e4", "n_events").alias("total_value_e4"),
+        )
+    )

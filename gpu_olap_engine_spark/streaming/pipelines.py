@@ -104,7 +104,11 @@ def enrich_with_dimension(events: DataFrame, dim: DataFrame, on: list) -> DataFr
     return events.join(F.broadcast(dim), on, "left")
 
 
-def running_user_totals(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+def running_user_totals(
+    events: DataFrame,
+    watermark: str = "30 minutes",
+    quantized: bool = False,
+) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running event count + value total, emitted on every update.
 
@@ -112,14 +116,24 @@ def running_user_totals(events: DataFrame, watermark: str = "30 minutes") -> Dat
     streaming analog of the reference's custom-kernel registration,
     README.md:354-378): state lives in the state store, partitioned by
     key, recoverable from checkpoints — not in Python memory.
+
+    ``quantized=True`` switches the accumulator to exact int64 e4
+    units (per-row floor(value*10000), then integer sums) and emits
+    ``total_value_e4 long`` instead of ``total_value double`` —
+    integer accumulation is order-independent, so the result is
+    bit-stable against an ANSI-SQL oracle regardless of micro-batch
+    boundaries or state-merge order (the repo-wide ppm/e4
+    convention). The float default keeps the exact-sum semantics the
+    unit tests pin.
     """
+    import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql.streaming.state import (  # noqa: PLC0415
         GroupState,
         GroupStateTimeout,
     )
 
-    def update(key, pdfs, state: GroupState):
+    def update_float(key, pdfs, state: GroupState):
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
@@ -129,13 +143,43 @@ def running_user_totals(events: DataFrame, watermark: str = "30 minutes") -> Dat
             {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
         )
 
+    def update_e4(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += int(
+                np.floor(pdf["value"].to_numpy() * 10000)
+                .astype("int64")
+                .sum()
+            )
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value_e4": [total],
+            }
+        )
+
+    if quantized:
+        fn, out_schema, state_schema = (
+            update_e4,
+            "user_id long, n_events long, total_value_e4 long",
+            "n long, total long",
+        )
+    else:
+        fn, out_schema, state_schema = (
+            update_float,
+            "user_id long, n_events long, total_value double",
+            "n long, total double",
+        )
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
-            update,
-            "user_id long, n_events long, total_value double",
-            "n long, total double",
+            fn,
+            out_schema,
+            state_schema,
             "update",
             GroupStateTimeout.NoTimeout,
         )
