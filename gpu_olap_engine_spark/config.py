@@ -67,7 +67,12 @@ class EngineConfig:
     # join runs in single-digit seconds. At 100 TB this is the knob
     # that keeps per-task state bounded as data grows: partitions
     # start wide and AQE, not the user, picks the final count.
-    # 0 (default) -> 8 x shuffle_partitions.
+    # 0 (default) -> num_streams x shuffle_partitions (num_streams is
+    # the reference's intra-device concurrency knob, lib.rs:19-43:
+    # N CUDA streams overlapping transfer/compute; Spark's analog of
+    # "more streams" is a wider initial shuffle for AQE to coalesce,
+    # so the knob scales the same dial — default 8 keeps the 8x
+    # behavior every prior round shipped with).
     aqe_initial_partitions: int = 0
     extra_confs: dict[str, str] = field(default_factory=dict)
 
@@ -80,7 +85,9 @@ class EngineConfig:
             if self.driver_memory is not None
             else os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "24g")
         )
-        initial = self.aqe_initial_partitions or 8 * self.shuffle_partitions
+        initial = self.aqe_initial_partitions or max(
+            self.num_streams, 1
+        ) * self.shuffle_partitions
         confs = {
             "spark.sql.shuffle.partitions": str(self.shuffle_partitions),
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(

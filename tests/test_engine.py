@@ -195,3 +195,21 @@ def test_config_spark_confs():
     assert confs["spark.sql.adaptive.enabled"] == "true"
     assert confs["spark.sql.ansi.enabled"] == "false"
     assert confs["spark.sql.autoBroadcastJoinThreshold"] == str(10 * 1024**2)
+
+
+def test_config_num_streams_scales_initial_partitions():
+    """num_streams (reference lib.rs:19-43, N CUDA streams) has an
+    OBSERVABLE effect: it multiplies the AQE initial partition count.
+    Default 8 preserves the historical 8x behavior; an explicit
+    aqe_initial_partitions wins over the knob."""
+    key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    default = EngineConfig(shuffle_partitions=16).spark_confs()
+    assert default[key] == str(8 * 16)
+    wide = EngineConfig(shuffle_partitions=16, num_streams=32).spark_confs()
+    assert wide[key] == str(32 * 16)
+    narrow = EngineConfig(shuffle_partitions=16, num_streams=0).spark_confs()
+    assert narrow[key] == str(16)  # clamped to shuffle_partitions
+    explicit = EngineConfig(
+        shuffle_partitions=16, num_streams=32, aqe_initial_partitions=64
+    ).spark_confs()
+    assert explicit[key] == "64"
