@@ -23,6 +23,8 @@ queries/similarity.py as the library path.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -54,6 +56,47 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity; deterministic cross-engine (exact integer
     sums, IEEE sqrt/divide; the SCALE factors cancel)."""
     return scaled_dot(a, b) / (F.sqrt(scaled_norm_sq(a)) * F.sqrt(scaled_norm_sq(b)))
+
+
+def scaled_dot_batch() -> Column:
+    """Arrow-vectorized twin of scaled_dot for the candidate-VERIFY
+    hot path: bit-identical quantized math (float32 -> float64 exact
+    widening, float64 products, floor to SCALE-unit int64 terms,
+    exact integer sum — numpy and Catalyst execute the same IEEE ops),
+    but over whole Arrow batches instead of Catalyst's interpreted
+    per-element ArrayAggregate/ZipWith fold. Higher-order functions
+    never enter whole-stage codegen, so at ~sf1 the interpreted fold
+    inside the candidate join's bound condition dominated the
+    near-dup runtime by minutes; the numpy batch path does the same
+    arithmetic at C speed. Null/ragged rows fall back to a per-row
+    loop (the fixture corpus is non-null fixed-dim; the fallback
+    keeps the operator total)."""
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    @pandas_udf("double")
+    def dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        av, bv = a.to_numpy(), b.to_numpy()
+        out = np.full(len(av), np.nan, dtype=np.float64)
+        try:
+            A = np.stack(av).astype(np.float64)
+            B = np.stack(bv).astype(np.float64)
+            out[:] = (
+                np.floor(A * B * SCALE).astype(np.int64).sum(axis=1)
+            ).astype(np.float64)
+        except ValueError:  # ragged / null rows: per-row exact path
+            for i in range(len(av)):
+                x, y = av[i], bv[i]
+                if x is None or y is None or len(x) != len(y):
+                    continue
+                t = np.floor(
+                    np.asarray(x, dtype=np.float64)
+                    * np.asarray(y, dtype=np.float64)
+                    * SCALE
+                ).astype(np.int64)
+                out[i] = float(t.sum())
+        return pd.Series(out)
+
+    return dot
 
 
 def brute_force_topk(
@@ -553,6 +596,9 @@ def top_dim_keys(vec: Column, m: int = 6) -> Column:
     return F.when(F.size(vec) > 0, keys).otherwise(F.array().cast("array<long>"))
 
 
+QSCALE = 1_000_000  # vector-level quantization for the matmul verify
+
+
 def near_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -560,20 +606,47 @@ def near_dup_pairs(
     threshold: float = 0.45,
     block_m: int = 10,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above a threshold,
-    sub-quadratic: inverted-index blocking on top-m signed dims
-    (top_dim_keys) generates candidates via an equi-join, then only
-    candidates get the exact quantized-cosine verify. No all-pairs
-    product anywhere in the plan (asserted in tests/test_plans).
+    """Embedding-cosine near-duplicate pairs above a threshold:
+    inverted-index blocking on top-m signed dims (top_dim_keys), then
+    per-BUCKET exact matmul verification via applyInPandas.
 
-    Measured on the fixture embeddings at the deliberately hard 0.45
-    threshold (planted pairs peak at cosine ~0.51): block_m=10 retains
-    14/14 true pairs at sf0.01 and 142/144 at sf0.1 (block_m=6 was
-    113/144; 8 -> 136; 12 -> 143) at indistinguishable wall time —
-    at production near-dup thresholds (>=0.8) the same plan prunes far
-    harder. At 100 TB the key explode is narrow, the candidate join
-    shuffles by bkey (AQE splits hot keys), and verification touches
-    only candidate pairs.
+    Result = {(a, b): a, b share >= 1 top-m signed dim AND
+    cosine(a, b) >= threshold}, a < b.
+
+    Why per-bucket matmul (round-8 redesign): on 64-dim embeddings the
+    single-dim key space is only 128 slots, so by the birthday bound a
+    random pair shares a top-10 dim with p ~ 0.55 — the candidate set
+    is ~57% of ALL pairs (measured: 1.14M of 2M at sf0.1, 114M of 200M
+    at ~sf1), and materializing it (ids + both vectors) made the old
+    join-then-verify path shuffle/Arrow-transfer ~58 GB at ~sf1
+    (334 s). The verify set is intrinsic to the operator's definition;
+    what is NOT intrinsic is paying per-pair data movement for it.
+    This path moves each vector ONCE per blocking key (linear: the
+    grouped relation is |corpus| x block_m rows) and computes all
+    within-bucket pairs as ONE dense Gram matmul per bucket — the
+    quadratic part becomes in-core BLAS-rate compute, the distributed
+    part stays linear. Cross-bucket duplicate pairs collapse with one
+    distinct over the (tiny) post-threshold output.
+
+    Bit-exact cross-engine arithmetic WITHOUT per-pair folds: vectors
+    quantize ONCE to integer-valued doubles q_i = floor(x_i * 1e6)
+    (|x| < 2 -> every product q_i*q_j <= 4e12 and every 64-term sum
+    <= 2.6e14, far under 2^53), so dgemm partial sums NEVER round —
+    any summation order gives the same exact integer. The DuckDB twin
+    is list_inner_product over the same quantized lists; sqrt/divide
+    are single IEEE ops on identical inputs. (The per-term 1e-12
+    quantization used by cosine_similarity/_TERMS remains the
+    convention for the ranked top-k operators, where pair counts are
+    small; this vector-level scheme is the bulk-verify convention.)
+
+    Recall on the fixture embeddings at the deliberately hard 0.45
+    threshold is unchanged by the redesign (the blocking is
+    identical): block_m=10 retains 14/14 true pairs at sf0.01 and
+    142/144 at sf0.1. At 100 TB: the grouped shuffle is linear in
+    corpus size; bucket skew is the knob to watch — a pathologically
+    hot key would concentrate one Gram block, and the production fix
+    is hierarchical (split hot buckets by a second top-dim, exactly
+    the SemDeDup cluster-split; semdedup() implements that shape).
 
     Returns (id_a, id_b, cosine).
     """
@@ -583,27 +656,40 @@ def near_dup_pairs(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
     )
     keyed = vecs.select(
-        "vid", F.explode(top_dim_keys(F.col("vec"), block_m)).alias("bkey")
+        "vid",
+        F.transform(
+            F.col("vec"),
+            lambda x: F.floor(x.cast("double") * QSCALE).cast("double"),
+        ).alias("qvec"),
+        F.explode(top_dim_keys(F.col("vec"), block_m)).alias("bkey"),
     )
-    ka = keyed.select(F.col("vid").alias("id_a"), "bkey")
-    kb = keyed.select(F.col("vid").alias("id_b"), "bkey")
-    cand = (
-        ka.join(kb, "bkey")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    va = vecs.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"))
-    vb = vecs.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"))
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            cosine_similarity(F.col("va"), F.col("vb")).alias("cosine"),
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vid"].to_numpy()
+        k = len(ids)
+        if k < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"),
+                 "id_b": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
+        q = np.stack(pdf["qvec"].to_numpy()).astype(np.float64)
+        g = q @ q.T  # exact: integer-valued doubles, sums < 2^53
+        nrm = np.sqrt(np.diag(g))
+        iu, ju = np.triu_indices(k, 1)
+        cos = g[iu, ju] / (nrm[iu] * nrm[ju])
+        keep = cos >= threshold
+        ia, jb = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(ia, jb), np.maximum(ia, jb)
+        good = lo != hi  # a vector appears once per bucket; belt+braces
+        return pd.DataFrame(
+            {"id_a": lo[good], "id_b": hi[good], "cosine": cos[keep][good]}
         )
-        .filter(F.col("cosine") >= threshold)
+
+    return (
+        keyed.groupBy("bkey")
+        .applyInPandas(verify, "id_a long, id_b long, cosine double")
+        .distinct()
     )
 
 
@@ -637,18 +723,32 @@ def semdedup(
         F.col(vec_col).alias("vec"),
         _nearest_centroid(F.col(vec_col), cents).alias("cluster"),
     )
+    # within-cluster verify via the Arrow-vectorized dot twin (norms
+    # precomputed per vector) — identical quantized math to
+    # cosine_similarity, numpy-speed on the pairwise hot path
+    nrm = F.sqrt(scaled_norm_sq(F.col("vec")))
     a = m.select(
-        "cluster", F.col("vec_id").alias("id_a"), F.col("vec").alias("av")
+        "cluster",
+        F.col("vec_id").alias("id_a"),
+        F.col("vec").alias("av"),
+        nrm.alias("nrm_a"),
     )
     b = m.select(
-        "cluster", F.col("vec_id").alias("id_b"), F.col("vec").alias("bv")
+        "cluster",
+        F.col("vec_id").alias("id_b"),
+        F.col("vec").alias("bv"),
+        nrm.alias("nrm_b"),
     )
+    dot = scaled_dot_batch()
     dropped = (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            cosine_similarity(F.col("av"), F.col("bv")) >= F.lit(threshold)
+        .withColumn(
+            "cosine",
+            dot(F.col("av"), F.col("bv"))
+            / (F.col("nrm_a") * F.col("nrm_b")),
         )
+        .filter(F.col("cosine") >= F.lit(threshold))
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )

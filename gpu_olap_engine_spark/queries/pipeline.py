@@ -21,7 +21,7 @@ from gpu_olap_engine_spark.queries.similarity import _block_sql
 
 # embedding near-dup candidate chain (prefixed to avoid clashing with
 # the text branch's `cand`); mirrors operators.similarity.near_dup_pairs
-_EMB_BLOCK = _block_sql(prefix="e_")
+_EMB_BLOCK = _block_sql(prefix="e_", include_pairs=False, include_cand=False)
 from gpu_olap_engine_spark.queries.tables import T, spread
 
 # doc selector hash: stable per content, uniform in [0, 100)
@@ -224,24 +224,22 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ),
     {_EMB_BLOCK},
-    terms AS (
-        SELECT id_a, id_b,
-               CAST(floor(CAST(av[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE) * 1e12)
-                    AS BIGINT) AS txy,
-               CAST(floor(CAST(av[i] AS DOUBLE) * CAST(av[i] AS DOUBLE) * 1e12)
-                    AS BIGINT) AS txx,
-               CAST(floor(CAST(bv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE) * 1e12)
-                    AS BIGINT) AS tyy
-        FROM e_pairs, unnest(generate_series(1, len(av))) AS t(i)
+    e_qn AS (
+        SELECT vec_id, q, sqrt(list_inner_product(q, q)) AS nrm
+        FROM (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> floor(CAST(x AS DOUBLE) * 1000000)) AS q
+            FROM embeddings
+        )
     ),
     emb_pairs AS (
-        SELECT id_a, id_b FROM (
-            SELECT id_a, id_b,
-                   CAST(SUM(txy) AS DOUBLE)
-                   / (sqrt(CAST(SUM(txx) AS DOUBLE)) * sqrt(CAST(SUM(tyy) AS DOUBLE)))
-                       AS cosine
-            FROM terms GROUP BY id_a, id_b
-        ) WHERE cosine >= 0.45
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e_bkeys a
+        JOIN e_bkeys b ON a.bkey = b.bkey AND a.vec_id < b.vec_id
+        JOIN e_qn qa ON a.vec_id = qa.vec_id
+        JOIN e_qn qb ON b.vec_id = qb.vec_id
+        WHERE list_inner_product(qa.q, qb.q) / (qa.nrm * qb.nrm) >= 0.45
     ),
     emb_dups AS (
         SELECT DISTINCT doc_id FROM (

@@ -104,12 +104,33 @@ def sim_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("rank", "rnk")
 
 
-def _block_sql(prefix: str = "", m: int = 10) -> str:
+def _block_sql(
+    prefix: str = "",
+    m: int = 10,
+    include_pairs: bool = True,
+    include_cand: bool = True,
+) -> str:
     """DuckDB twin of operators.similarity.top_dim_keys blocking:
     candidates = pairs sharing >=1 of their top-m signed |value| dims
     (ties by lowest dim — matches the Spark struct sort exactly).
-    Emits CTEs {p}dims/{p}topd/{p}bkeys/{p}cand/{p}pairs."""
+    Emits CTEs {p}dims/{p}topd/{p}bkeys (plus {p}cand and {p}pairs
+    unless switched off — the quantized matmul twins verify straight
+    off {p}bkeys and must not pay for a MATERIALIZED 100M-row
+    distinct-pair relation they never read)."""
     p = prefix
+    cand_cte = f""",
+    {p}cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM {p}bkeys a JOIN {p}bkeys b
+          ON a.bkey = b.bkey AND a.vec_id < b.vec_id
+    )""" if include_cand or include_pairs else ""
+    pairs_cte = f""",
+    {p}pairs AS (
+        SELECT id_a, id_b, ea.embedding AS av, eb.embedding AS bv
+        FROM {p}cand
+        JOIN embeddings ea ON id_a = ea.vec_id
+        JOIN embeddings eb ON id_b = eb.vec_id
+    )""" if include_pairs else ""
     return f"""
     {p}dims AS (
         SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
@@ -124,37 +145,54 @@ def _block_sql(prefix: str = "", m: int = 10) -> str:
     {p}bkeys AS (
         SELECT vec_id, dim * 2 + CASE WHEN val > 0 THEN 1 ELSE 0 END AS bkey
         FROM {p}topd WHERE rn <= {m}
-    ),
-    {p}cand AS (
-        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM {p}bkeys a JOIN {p}bkeys b
-          ON a.bkey = b.bkey AND a.vec_id < b.vec_id
-    ),
-    {p}pairs AS (
-        SELECT id_a, id_b, ea.embedding AS av, eb.embedding AS bv
-        FROM {p}cand
-        JOIN embeddings ea ON id_a = ea.vec_id
-        JOIN embeddings eb ON id_b = eb.vec_id
-    )"""
+    ){cand_cte}{pairs_cte}"""
 
 
 @register(
     "sim_near_dup_pairs",
     # _mat: DuckDB re-inlines the multi-referenced blocking CTEs per
     # reference; MATERIALIZED keeps the ~sf1 twin inside the sweep's
-    # 120 s budget (same rescue as the label-propagation oracles)
+    # 120 s budget (same rescue as the label-propagation oracles).
+    # Arithmetic twin of the operator's r8 matmul verify: vectors
+    # quantize ONCE to integer-valued doubles floor(x*1e6); every
+    # list_inner_product partial sum stays < 2^53, so the fold is
+    # exact in any order — the same reason the Spark side's dgemm is.
+    # Twin of the r8 matmul verify, restructured for twin-side cost:
+    # norms precompute per vector (qn), and the threshold filter runs
+    # BEFORE the distinct — deduping the tiny post-threshold hit set
+    # instead of hash-distincting the ~100M-row candidate relation
+    # (the old `cand` shape blew the ~sf1 sweep budget on the distinct
+    # alone). IEEE mult commutes bit-exactly, so qa.nrm * qb.nrm
+    # equals numpy's position-ordered product whatever the id order.
     oracle=_mat(f"""
-    WITH {_block_sql()},
-    {_TERMS.format(keys="id_a, id_b")}
-    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.45
+    WITH {_block_sql(include_pairs=False, include_cand=False)},
+    qv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> floor(CAST(x AS DOUBLE) * 1000000)) AS q
+        FROM embeddings
+    ),
+    qn AS (
+        SELECT vec_id, q, sqrt(list_inner_product(q, q)) AS nrm FROM qv
+    )
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_inner_product(qa.q, qb.q) / (qa.nrm * qb.nrm) AS cosine
+    FROM bkeys a
+    JOIN bkeys b ON a.bkey = b.bkey AND a.vec_id < b.vec_id
+    JOIN qn qa ON a.vec_id = qa.vec_id
+    JOIN qn qb ON b.vec_id = qb.vec_id
+    WHERE list_inner_product(qa.q, qb.q) / (qa.nrm * qb.nrm) >= 0.45
     """),
 )
 def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (>= 0.45), sub-quadratic:
-    inverted-index blocking on each vector's top-10 signed dims
-    (prefix-filtering; 142/144 recall at sf0.1 vs 113/144 at top-6),
-    exact quantized-cosine verify on candidates only. The oracle
-    mirrors the blocking predicate bit-for-bit."""
+    """Embedding-cosine near-duplicate pairs (>= 0.45): inverted-index
+    blocking on each vector's top-10 signed dims (prefix-filtering;
+    142/144 recall at sf0.1 vs 113/144 at top-6), then per-bucket
+    exact Gram-matmul verification (applyInPandas) — vectors move once
+    per key, the quadratic verify runs in-core (see
+    operators/similarity.py near_dup_pairs for the full r8 redesign
+    rationale). The oracle mirrors blocking AND quantized arithmetic
+    bit-for-bit."""
     return S.near_dup_pairs(
         T(spark, sf_dir, "embeddings"), threshold=0.45, block_m=10
     )

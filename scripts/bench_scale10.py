@@ -1,0 +1,153 @@
+#!/usr/bin/env python3
+"""Second-decade scale point: sf0.1 -> ~sf10 (100x) for the blocked
+dedup/ANN family only.
+
+BENCH_SCALE.md's ~sf1 suite shows the candidate-generating operators
+sub-linear at 10x; this script adds the 100x point so the claim spans
+two decades. Only `documents` and `embeddings` are generated (the
+three suite queries read nothing else), with the same derivation
+rules as scripts/bench_scale.py but collision-free at K=100:
+
+- documents: per-replica word rotation (i*13) % 97 + 1 — 13 is
+  invertible mod 97, so rotations are distinct for i < 97 (3 of 100
+  replicas alias, i.e. ~3%% planted cross-replica exact dups: noise,
+  not a clique explosion);
+- embeddings: per-dimension perturbation ((i*31 + j) % 101 - 50) *
+  0.002 — 101 prime keeps the perturbation pattern distinct for every
+  replica, so no exact-duplicate vectors are planted.
+
+Usage: python3 scripts/bench_scale10.py [--keep]
+Prints ONE JSON line. Dataset dir is $SPARK_GRAFT_SCALE10_DIR
+(default /tmp/spark_graft_sf10), reused when already complete.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from gpu_olap_engine_spark.config import EngineConfig
+from gpu_olap_engine_spark.queries import load_all
+from gpu_olap_engine_spark.queries.tables import T
+from gpu_olap_engine_spark.session import get_spark
+
+K = 100
+KEY_OFFSET = 1_000_000_000
+
+SUITE = [
+    "dedup_minhash_lsh",
+    "dedup_span_stats",
+    "sim_bucketed_ann",
+    "dedup_exact_key",
+]
+
+
+def generate(spark, src_dir: str, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    docs = T(spark, src_dir, "documents")
+    doc_parts = []
+    for i in range(K):
+        rot = (i * 13) % 97 + 1
+        words = F.split(F.col("text"), r"\s+")
+        rotated = F.array_join(
+            F.concat(
+                F.slice(words, rot + 1, 1_000_000), F.slice(words, 1, rot)
+            ),
+            " ",
+        )
+        doc_parts.append(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * KEY_OFFSET))
+            .withColumn("text", rotated if i else F.col("text"))
+        )
+    out = doc_parts[0]
+    for p in doc_parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(64).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+    emb = T(spark, src_dir, "embeddings")
+
+    def _perturb(i: int):
+        def fn(x, j):
+            return (
+                x + ((F.lit(i * 31) + j) % 101 - F.lit(50)) * F.lit(0.002)
+            ).cast("float")
+
+        return fn
+
+    emb_parts = []
+    for i in range(K):
+        pert = F.transform(F.col("embedding"), _perturb(i))
+        emb_parts.append(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * KEY_OFFSET))
+            .withColumn("embedding", pert if i else F.col("embedding"))
+        )
+    out = emb_parts[0]
+    for p in emb_parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+    with open(f"{out_dir}/_COMPLETE", "w") as f:
+        f.write("ok\n")
+
+
+def main() -> None:
+    src_dir = "/root/testdata/sf0.1"
+    out_dir = os.environ.get("SPARK_GRAFT_SCALE10_DIR", "/tmp/spark_graft_sf10")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        EngineConfig(
+            extra_confs={"spark.driver.extraJavaOptions": "-Xlog:disable"}
+        ),
+        master=f"local[{cpus}]",
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not os.path.exists(f"{out_dir}/_COMPLETE"):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        generate(spark, src_dir, out_dir)
+        gen_s = round(time.perf_counter() - t0, 1)
+    else:
+        gen_s = 0.0
+
+    registry = load_all()
+    timings: dict[str, float] = {}
+    for name in SUITE:
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            registry[name].fn(spark, out_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "scale10_suite_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": 10.0,
+                "generate_sec": gen_s,
+            }
+        )
+    )
+    spark.stop()
+    if "--keep" not in sys.argv:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

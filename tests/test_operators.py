@@ -733,3 +733,40 @@ def test_clamped_stock_closed_form_matches_simulation(spark, tmp_path):
                 bal = 0
         want[part] = (bal, lost)
     assert got == want
+
+
+def test_near_dup_matmul_no_false_positives_and_recall(spark):
+    """r8 redesign regression: the per-bucket Gram-matmul verify must
+    (a) emit ONLY pairs whose exact vector-quantized cosine clears the
+    threshold (no false positives vs a full numpy ground truth using
+    the identical floor(x*1e6) arithmetic), and (b) keep the planted
+    recall of the blocking (14/14 true pairs at sf0.01)."""
+    import numpy as np
+
+    from gpu_olap_engine_spark.operators.similarity import near_dup_pairs
+
+    sf = "/root/testdata/sf0.01"
+    pdf = spark.read.parquet(f"{sf}/embeddings.parquet").toPandas()
+    q = np.floor(
+        np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 1e6
+    )
+    g = q @ q.T
+    nrm = np.sqrt(np.diag(g))
+    c = g / np.outer(nrm, nrm)
+    ids = pdf["vec_id"].to_numpy()
+    iu, ju = np.triu_indices(len(ids), 1)
+    m = c[iu, ju] >= 0.45
+    truth = {
+        (min(a, b), max(a, b))
+        for a, b in zip(ids[iu[m]], ids[ju[m]])
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_pairs(
+            spark.read.parquet(f"{sf}/embeddings.parquet"),
+            threshold=0.45,
+            block_m=10,
+        ).collect()
+    }
+    assert got <= truth, f"false positives: {sorted(got - truth)[:5]}"
+    assert len(truth) == 14 and len(got) == 14  # full recall at sf0.01

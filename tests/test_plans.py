@@ -482,3 +482,41 @@ def test_clamped_stock_two_shuffles(spark):
     plan = plan_of(df, "simple")
     assert plan.count("Scan parquet") == 1
     assert shuffle_count(df) <= 2
+
+
+def test_tpch_q2_broadcasts_dims_no_cartesian(spark):
+    """q178: nation x region broadcast onto supplier; the min-cost
+    correlated subquery is a window MIN (no re-aggregated self-join);
+    nothing degenerates to a cartesian."""
+    plan = plan_of(REGISTRY["q178_tpch_q2"].fn(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan  # the correlated-MIN rewrite
+
+
+def test_tpch_q9_nation_broadcast_no_cartesian(spark):
+    """q179: the six-relation snowflake — the 1-row supplier-count and
+    the nation dim broadcast; fact joins are hash/sort-merge, never
+    nested-loop."""
+    plan = plan_of(REGISTRY["q179_tpch_q9"].fn(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # profit aggregate is partial+final
+    simple = plan_of(REGISTRY["q179_tpch_q9"].fn(spark, SF_ORACLE), "simple")
+    assert simple.count("HashAggregate") >= 2
+
+
+def test_tpch_q16_not_in_is_anti_join(spark):
+    """q181: the NOT IN flagged-supplier exclusion plans as a
+    (broadcast) anti join, not a filter-over-collected-list."""
+    plan = plan_of(REGISTRY["q181_tpch_q16"].fn(spark, SF_ORACLE))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q12_derivation_stays_jvm_side(spark):
+    """q183: the derived shipmode/commit/receipt columns are pure JVM
+    expressions — no Python UDF crosses the boundary."""
+    plan = plan_of(REGISTRY["q183_tpch_q12"].fn(spark, SF_ORACLE))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
