@@ -8,10 +8,17 @@ two decades. Only `documents` and `embeddings` are generated (the
 three suite queries read nothing else), with the same derivation
 rules as scripts/bench_scale.py but collision-free at K=100:
 
-- documents: per-replica word rotation (i*13) % 97 + 1 — 13 is
-  invertible mod 97, so rotations are distinct for i < 97 (3 of 100
-  replicas alias, i.e. ~3%% planted cross-replica exact dups: noise,
-  not a clique explosion);
+- documents: replica i > 0 REPLACES every 3rd word with the
+  replica-unique token r<i>. Rotation (the ~sf1 recipe) is NOT enough
+  here: a cyclic word shift preserves almost every shingle, so at
+  K=100 every document would sit in a 100-clone near-dup clique —
+  ~300M true pairs, and a minhash run measures the clique explosion
+  (measured: 393 s), not engine scaling. Word replacement drives
+  cross-replica shingle Jaccard to ~0 (every 3-gram window crosses a
+  replaced position and the replacement token differs per replica)
+  while planted near-dup pairs inside each replica survive, so
+  near-dup density stays linear in corpus size — the realistic 100x
+  shape;
 - embeddings: per-dimension perturbation ((i*31 + j) % 101 - 50) *
   0.002 — 101 prime keeps the perturbation pattern distinct for every
   replica, so no exact-duplicate vectors are planted.
@@ -54,17 +61,19 @@ def generate(spark, src_dir: str, out_dir: str) -> None:
     docs = T(spark, src_dir, "documents")
     doc_parts = []
     for i in range(K):
-        rot = (i * 13) % 97 + 1
         words = F.split(F.col("text"), r"\s+")
-        rotated = F.array_join(
-            F.concat(
-                F.slice(words, rot + 1, 1_000_000), F.slice(words, 1, rot)
+        # every 3rd word -> replica-unique token (see module docstring)
+        replaced = F.array_join(
+            F.zip_with(
+                words,
+                F.sequence(F.lit(0), F.size(words) - 1),
+                lambda w, j: F.when(j % 3 == 0, F.lit(f"r{i}")).otherwise(w),
             ),
             " ",
         )
         doc_parts.append(
             docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * KEY_OFFSET))
-            .withColumn("text", rotated if i else F.col("text"))
+            .withColumn("text", replaced if i else F.col("text"))
         )
     out = doc_parts[0]
     for p in doc_parts[1:]:
