@@ -68,9 +68,17 @@ def scaled_dot_batch() -> Column:
     never enter whole-stage codegen, so at ~sf1 the interpreted fold
     inside the candidate join's bound condition dominated the
     near-dup runtime by minutes; the numpy batch path does the same
-    arithmetic at C speed. Null/ragged rows fall back to a per-row
-    loop (the fixture corpus is non-null fixed-dim; the fallback
-    keeps the operator total)."""
+    arithmetic at C speed.
+
+    Degenerate inputs (r9 advice hardening): NULL arrays and ragged
+    pairs return NULL (matching Catalyst's zip_with/null propagation);
+    rows with a NaN element return NULL too — element-level NULLs
+    arrive as NaN through the Arrow list boundary, so NaN-means-NULL
+    is the only total rule (Catalyst's scaled_dot instead feeds such
+    a term through floor(NaN) -> cast-to-long 0, a cast artifact this
+    twin deliberately does not reproduce; a genuine-NaN vector has no
+    meaningful dot product either way). An all-NULL batch stacks into
+    an object array (TypeError, not ValueError) — both fall back."""
     from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
 
     @pandas_udf("double")
@@ -80,19 +88,21 @@ def scaled_dot_batch() -> Column:
         try:
             A = np.stack(av).astype(np.float64)
             B = np.stack(bv).astype(np.float64)
-            out[:] = (
+            sums = (
                 np.floor(A * B * SCALE).astype(np.int64).sum(axis=1)
             ).astype(np.float64)
-        except ValueError:  # ragged / null rows: per-row exact path
+            bad = np.isnan(A).any(axis=1) | np.isnan(B).any(axis=1)
+            out[:] = np.where(bad, np.nan, sums)
+        except (ValueError, TypeError):  # ragged / null rows
             for i in range(len(av)):
                 x, y = av[i], bv[i]
                 if x is None or y is None or len(x) != len(y):
                     continue
-                t = np.floor(
-                    np.asarray(x, dtype=np.float64)
-                    * np.asarray(y, dtype=np.float64)
-                    * SCALE
-                ).astype(np.int64)
+                xa = np.asarray(x, dtype=np.float64)
+                ya = np.asarray(y, dtype=np.float64)
+                if np.isnan(xa).any() or np.isnan(ya).any():
+                    continue
+                t = np.floor(xa * ya * SCALE).astype(np.int64)
                 out[i] = float(t.sum())
         return pd.Series(out)
 
@@ -605,6 +615,9 @@ def near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.45,
     block_m: int = 10,
+    max_bucket: int = 16384,
+    chunk: int = 8192,
+    block_rows: int = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold:
     inverted-index blocking on top-m signed dims (top_dim_keys), then
@@ -642,20 +655,101 @@ def near_dup_pairs(
     Recall on the fixture embeddings at the deliberately hard 0.45
     threshold is unchanged by the redesign (the blocking is
     identical): block_m=10 retains 14/14 true pairs at sf0.01 and
-    142/144 at sf0.1. At 100 TB: the grouped shuffle is linear in
-    corpus size; bucket skew is the knob to watch — a pathologically
-    hot key would concentrate one Gram block, and the production fix
-    is hierarchical (split hot buckets by a second top-dim, exactly
-    the SemDeDup cluster-split; semdedup() implements that shape).
+    142/144 at sf0.1.
+
+    Hot buckets (r9): bucket skew is the scale hazard — a
+    pathologically hot blocking key would concentrate one Gram block
+    into a single Python worker. Buckets larger than ``max_bucket``
+    rows are now TILED: rows hash-partition (xxhash64 of the id, so
+    deterministic) into ``ceil(size / chunk)`` chunks and every
+    unordered chunk pair (ci <= cj) becomes its own applyInPandas
+    group, so per-task rows are bounded by ~2*chunk in expectation
+    whatever the bucket size; the tiling replicates each hot-bucket
+    row nchunks times — the unavoidable data-movement cost of a
+    bounded-memory quadratic verify, paid ONLY by hot buckets
+    (non-hot buckets get nchunks = 1: one group, zero replication,
+    the round-8 plan unchanged). Inside a group the Gram product is
+    computed in ``block_rows``-row slabs, so peak memory is
+    block_rows x k doubles (not k x k, and no O(k^2) triu index
+    arrays). Every Gram entry is the same exact integer under any
+    tiling/slabbing (integer-valued doubles, sums < 2^53), so the
+    output set is bit-identical to the untiled matmul. At 100 TB the
+    grouped shuffle stays linear in corpus size except for the
+    hot-bucket replication factor, which max_bucket/chunk bound.
 
     Returns (id_a, id_b, cosine).
     """
+    keyed = _near_dup_keyed(corpus, id_col, vec_col, block_m)
+    grouped = _blocked_groups(keyed, max_bucket, chunk)
+
+    empty = pd.DataFrame(
+        {"id_a": pd.Series([], dtype="int64"),
+         "id_b": pd.Series([], dtype="int64"),
+         "cosine": pd.Series([], dtype="float64")}
+    )
+
+    def _emit(ia, jb, cos):
+        lo, hi = np.minimum(ia, jb), np.maximum(ia, jb)
+        good = lo != hi  # a vector appears once per bucket; belt+braces
+        return pd.DataFrame(
+            {"id_a": lo[good], "id_b": hi[good], "cosine": cos[good]}
+        )
+
+    def verify(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        _, gi, gj = key
+        out = []
+        if gi == gj:  # within-chunk: strict-upper-triangle pairs
+            ids = pdf["vid"].to_numpy()
+            k = len(ids)
+            if k < 2:
+                return empty
+            q = np.stack(pdf["qvec"].to_numpy()).astype(np.float64)
+            nrm = np.sqrt((q * q).sum(axis=1))  # exact integer sums
+            col = np.arange(k)[None, :]
+            for s in range(0, k, block_rows):
+                e = min(s + block_rows, k)
+                g = q[s:e] @ q.T  # exact: int-valued doubles < 2^53
+                cos = g / np.outer(nrm[s:e], nrm)
+                r, c = np.nonzero(
+                    (cos >= threshold) & (col > np.arange(s, e)[:, None])
+                )
+                out.append(_emit(ids[s + r], ids[c], cos[r, c]))
+        else:  # cross-chunk: full rectangle, each pair in ONE group
+            pa, pb = pdf[pdf["ck"] == gi], pdf[pdf["ck"] == gj]
+            if len(pa) == 0 or len(pb) == 0:
+                return empty
+            ida, idb = pa["vid"].to_numpy(), pb["vid"].to_numpy()
+            qa = np.stack(pa["qvec"].to_numpy()).astype(np.float64)
+            qb = np.stack(pb["qvec"].to_numpy()).astype(np.float64)
+            na = np.sqrt((qa * qa).sum(axis=1))
+            nb = np.sqrt((qb * qb).sum(axis=1))
+            for s in range(0, len(ida), block_rows):
+                e = min(s + block_rows, len(ida))
+                g = qa[s:e] @ qb.T
+                cos = g / np.outer(na[s:e], nb)
+                r, c = np.nonzero(cos >= threshold)
+                out.append(_emit(ida[s + r], idb[c], cos[r, c]))
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    return (
+        grouped.groupBy("bkey", "gi", "gj")
+        .applyInPandas(verify, "id_a long, id_b long, cosine double")
+        .distinct()
+    )
+
+
+def _near_dup_keyed(
+    corpus: DataFrame, id_col: str, vec_col: str, block_m: int
+) -> DataFrame:
+    """(vid, qvec, bkey): one row per vector per top-m blocking key,
+    vector quantized once to integer-valued doubles (see
+    near_dup_pairs)."""
     from gpu_olap_engine_spark.queries.tables import spread
 
     vecs = spread(corpus).select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
     )
-    keyed = vecs.select(
+    return vecs.select(
         "vid",
         F.transform(
             F.col("vec"),
@@ -664,32 +758,42 @@ def near_dup_pairs(
         F.explode(top_dim_keys(F.col("vec"), block_m)).alias("bkey"),
     )
 
-    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vid"].to_numpy()
-        k = len(ids)
-        if k < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series([], dtype="int64"),
-                 "id_b": pd.Series([], dtype="int64"),
-                 "cosine": pd.Series([], dtype="float64")}
-            )
-        q = np.stack(pdf["qvec"].to_numpy()).astype(np.float64)
-        g = q @ q.T  # exact: integer-valued doubles, sums < 2^53
-        nrm = np.sqrt(np.diag(g))
-        iu, ju = np.triu_indices(k, 1)
-        cos = g[iu, ju] / (nrm[iu] * nrm[ju])
-        keep = cos >= threshold
-        ia, jb = ids[iu[keep]], ids[ju[keep]]
-        lo, hi = np.minimum(ia, jb), np.maximum(ia, jb)
-        good = lo != hi  # a vector appears once per bucket; belt+braces
-        return pd.DataFrame(
-            {"id_a": lo[good], "id_b": hi[good], "cosine": cos[keep][good]}
-        )
 
+def _blocked_groups(
+    keyed: DataFrame, max_bucket: int, chunk: int
+) -> DataFrame:
+    """Tile hot blocking buckets into bounded chunk-pair groups.
+
+    Buckets with <= max_bucket rows form a single (bkey, 0, 0) group;
+    larger buckets hash rows into nchunks = ceil(size / chunk) chunks
+    (xxhash64(vid) — deterministic) and each row replicates into the
+    nchunks groups (min(ck, o), max(ck, o)); a pair lands in exactly
+    one group (its two chunk ids), so no pair is verified twice within
+    a bucket and per-group rows are ~2*chunk in expectation. The
+    bucket-size relation is tiny (|distinct bkey| <= 2 * vector dims)
+    so it broadcasts."""
+    sizes = keyed.groupBy("bkey").agg(F.count("*").alias("bsz"))
+    nch = (
+        F.when(F.col("bsz") <= max_bucket, F.lit(1))
+        .otherwise(F.ceil(F.col("bsz") / chunk))
+        .cast("int")
+    )
+    ck = F.pmod(F.xxhash64(F.col("vid")), F.col("nch")).cast("int")
+    groups = F.transform(
+        F.sequence(F.lit(0), F.col("nch") - 1),
+        lambda o: F.struct(
+            F.least(ck, o).alias("gi"), F.greatest(ck, o).alias("gj")
+        ),
+    )
     return (
-        keyed.groupBy("bkey")
-        .applyInPandas(verify, "id_a long, id_b long, cosine double")
-        .distinct()
+        keyed.join(F.broadcast(sizes), "bkey")
+        .withColumn("nch", nch)
+        .withColumn("ck", ck)
+        .select("bkey", "vid", "qvec", "ck", F.explode(groups).alias("g"))
+        .select(
+            "bkey", "vid", "qvec", "ck",
+            F.col("g.gi").alias("gi"), F.col("g.gj").alias("gj"),
+        )
     )
 
 

@@ -551,7 +551,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_hamming_keys",
     oracle="""
     WITH k AS (
-        SELECT doc_id, rpad(lower(substr(text, 1, 24)), 24, chr(0)) AS key
+        SELECT doc_id,
+               rpad(lower(replace(substr(text, 1, 24), chr(0), ' ')),
+                    24, chr(0)) AS key
         FROM documents
     ),
     segs AS (

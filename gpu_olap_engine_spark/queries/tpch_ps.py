@@ -333,7 +333,8 @@ def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_PS_SQL},
     shipped AS (
-        SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(floor(l_quantity * 10000) AS BIGINT)) AS qty_q
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -344,7 +345,7 @@ def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ps
         JOIN part ON p_partkey = ps_partkey AND p_name LIKE 'small%'
         JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
-        WHERE ps_availqty > 0.5 * qty
+        WHERE ps_availqty * 20000 > qty_q
     )
     SELECT s_name, n_name
     FROM supplier JOIN excess ON s_suppkey = ps_suppkey
@@ -361,13 +362,19 @@ def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-aggregated (partkey, suppkey) relation joined back — one
     lineitem shuffle replaces the per-row subquery; the no-shipments
     case drops out via the inner join exactly like the NULL
-    comparison in the spec."""
+    comparison in the spec. The quantity sum takes the repo-wide
+    quantized-integer path (floor(q*1e4) int64 units, r9 advice) and
+    the 0.5*qty threshold becomes the pure-integer compare
+    availqty*20000 > qty_q, so no float-summation order can split
+    the twins even if the fixture grew fractional quantities."""
     li = T(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     shipped = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum("l_quantity").alias("qty")
+        F.sum(F.floor(F.col("l_quantity") * 10000).cast("long")).alias(
+            "qty_q"
+        )
     )
     part = T(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
     excess = (
@@ -378,7 +385,7 @@ def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_partkey") == F.col("ps_partkey"))
             & (F.col("l_suppkey") == F.col("ps_suppkey")),
         )
-        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .filter(F.col("ps_availqty") * 20000 > F.col("qty_q"))
         .select("ps_suppkey")
         .distinct()
     )

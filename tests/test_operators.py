@@ -646,8 +646,17 @@ def test_hamming_key_pairs_matches_bruteforce(spark, tmp_path):
         rows.append((100 + i, "".join(chars)))
     # short texts (< key_len): the operator NUL-rpads to full width
     # (r8 advice) — a truncation pair and an unrelated short text;
-    # "abcdefgh" vs "abcdefghzz" pads to distance 2, must be found
-    rows += [(200, "abcdefgh"), (201, "abcdefghzz"), (202, "q")]
+    # "abcdefgh" vs "abcdefghzz" pads to distance 2, must be found.
+    # r9: pairs whose ONLY agreeing segments are all-NUL and whose
+    # effective lengths differ by exactly max_dist (the length-band
+    # boundary) plus a NUL-byte text (normalized to space in the key)
+    rows += [
+        (200, "abcdefgh"), (201, "abcdefghzz"), (202, "q"),
+        (210, "xyzw"), (211, "xyzwab"),     # eff 4 vs 6, dist 2 via pads
+        (212, "xyzz"),                       # eff 4, dist 1 to 210
+        (220, "nul\x00here"),                # NUL byte -> space in key
+        (221, "nul here"),                   # its exact twin post-norm
+    ]
     path = str(tmp_path / "ham.parquet")
     spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(path)
     df = spark.read.parquet(path)
@@ -658,8 +667,8 @@ def test_hamming_key_pairs_matches_bruteforce(spark, tmp_path):
     want = set()
     for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
         a, b = (ia, ib) if ia < ib else (ib, ia)
-        ka = ta.lower()[:24].ljust(24, "\x00")
-        kb = tb.lower()[:24].ljust(24, "\x00")
+        ka = ta[:24].replace("\x00", " ").lower().ljust(24, "\x00")
+        kb = tb[:24].replace("\x00", " ").lower().ljust(24, "\x00")
         ka2, kb2 = (ka, kb) if ia < ib else (kb, ka)
         h = sum(1 for x, y in zip(ka2, kb2) if x != y)
         if h <= 2:
@@ -667,6 +676,61 @@ def test_hamming_key_pairs_matches_bruteforce(spark, tmp_path):
     assert got == want
     assert any(h == 2 for _, _, h in want), "distance-2 pairs must exist"
     assert (200, 201, 2) in want, "short-text pad pair must be planted"
+    assert (210, 211, 2) in want, "length-band boundary pair must survive"
+    assert (220, 221, 0) in want, "NUL byte must normalize to space"
+
+
+def test_hamming_short_text_blocking_not_all_pairs(spark, tmp_path):
+    """r9 advice: short texts must NOT all collide through the shared
+    all-NUL pad segment. Two length populations (4 and 10 chars, gap
+    > max_dist) with random distinct prefixes: the pad-segment keys
+    are length-banded, so cross-population candidates are zero and
+    within-population candidates stay, while the pair OUTPUT still
+    matches brute force."""
+    import itertools
+    import random
+
+    from gpu_olap_engine_spark.operators.dedup import hamming_key_pairs
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(120):
+        rows.append((i, "".join(rng.choice("abcdefgh") for _ in range(4))))
+    for i in range(120):
+        rows.append(
+            (1000 + i, "".join(rng.choice("abcdefgh") for _ in range(10)))
+        )
+    path = str(tmp_path / "short.parquet")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(path)
+    df = spark.read.parquet(path)
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_key_pairs(df, "doc_id", "text").collect()
+    }
+    want = set()
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        a, b = (ia, ib) if ia < ib else (ib, ia)
+        ka, kb = ta.ljust(24, "\x00"), tb.ljust(24, "\x00")
+        h = sum(1 for x, y in zip(ka, kb) if x != y)
+        if h <= 2:
+            want.add((a, b, h))
+    assert got == want
+    # no cross-population pair can be within distance 2 (length gap 6)
+    assert not any(a < 1000 <= b for a, b, _ in got)
+    # the BLOCKING itself must not produce cross-population
+    # candidates: a len-4 text's pad bands cover P:2..P:6, a len-10
+    # text's only pad segment bands cover P:8..P:12 — disjoint, and
+    # the alphabets guarantee no content-segment collisions across
+    # lengths (different chars at positions 5..10 vs NUL pads).
+    from gpu_olap_engine_spark.operators.dedup import _hamming_candidates
+
+    cand = _hamming_candidates(df, "doc_id", "text", 24, 2).collect()
+    assert not any(r.id_a < 1000 <= r.id_b for r in cand), (
+        "short-text pad blocking leaked cross-length candidates"
+    )
+    # with the old shared all-NUL segment every cross-length pair was
+    # a candidate (120*120); now candidates stay within populations
+    assert len(cand) < 120 * 120
 
 
 def test_clamped_stock_closed_form_matches_simulation(spark, tmp_path):
@@ -770,3 +834,116 @@ def test_near_dup_matmul_no_false_positives_and_recall(spark):
     }
     assert got <= truth, f"false positives: {sorted(got - truth)[:5]}"
     assert len(truth) == 14 and len(got) == 14  # full recall at sf0.01
+
+
+def test_near_dup_hot_bucket_split_bounded_and_exact(spark, tmp_path):
+    """r9 hardening (VERDICT #4 / advice): a pathologically hot
+    blocking key — every vector sharing the same dominant dim — must
+    (a) split into bounded chunk-pair groups (no single applyInPandas
+    group holding the whole bucket) and (b) still return EXACTLY the
+    brute-force pair set with bit-identical cosines (the tiled Gram
+    is the same exact integer arithmetic in any order)."""
+    import numpy as np
+
+    from gpu_olap_engine_spark.operators.similarity import (
+        _blocked_groups,
+        _near_dup_keyed,
+        near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(11)
+    n, dim = 300, 8
+    vecs = rng.uniform(-0.3, 0.3, size=(n, dim))
+    vecs[:, 0] = 1.0  # dim 0 dominates everywhere -> one hot bucket
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    path = str(tmp_path / "hot.parquet")
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.parquet(path)
+    df = spark.read.parquet(path)
+
+    # ground truth with the operator's exact quantized arithmetic;
+    # block_m=1 -> the only blocking key is the shared hot dim, so
+    # candidates = all pairs
+    pdf = df.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    q = np.floor(np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 1e6)
+    g = q @ q.T
+    nrm = np.sqrt(np.diag(g))
+    cos = g / np.outer(nrm, nrm)
+    iu, ju = np.triu_indices(n, 1)
+    m = cos[iu, ju] >= 0.8
+    want = {
+        (int(min(ids[a], ids[b])), int(max(ids[a], ids[b]))): c
+        for a, b, c in zip(iu[m], ju[m], cos[iu, ju][m])
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in near_dup_pairs(
+            df, threshold=0.8, block_m=1, max_bucket=32, chunk=16,
+            block_rows=7,
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:  # bit-identical cosines under tiling + slabbing
+        assert got[k] == want[k], (k, got[k], want[k])
+    assert len(want) > 50  # the planted hot bucket is genuinely dense
+
+    # bounded groups: no task sees more than ~2*chunk rows (hash
+    # chunking is expected-bounded; 4x allows generous skew slack)
+    keyed = _near_dup_keyed(df, "vec_id", "embedding", 1)
+    grouped = _blocked_groups(keyed, max_bucket=32, chunk=16)
+    from pyspark.sql import functions as F
+    mx = grouped.groupBy("bkey", "gi", "gj").count().agg(
+        F.max("count")
+    ).collect()[0][0]
+    assert mx <= 4 * 16, mx
+    assert mx < n  # the hot bucket really was split
+
+
+def test_scaled_dot_batch_degenerate_inputs(spark):
+    """r9 advice: the Arrow batch twin must survive all-null batches
+    (object-array stack -> TypeError) and NaN-element vectors, and
+    must agree with the Catalyst twin on every well-formed row.
+    Degenerate rows return NULL: NULL/ragged match Catalyst exactly;
+    NaN elements arrive indistinguishable from element-NULLs through
+    the Arrow list boundary, so NaN rows also map to NULL (documented
+    divergence from Catalyst's floor(NaN)->0 cast artifact)."""
+    from pyspark.sql import functions as F
+
+    from gpu_olap_engine_spark.operators.similarity import (
+        scaled_dot,
+        scaled_dot_batch,
+    )
+
+    rows = [
+        (1, [1.0, 2.0], [3.0, 4.0]),        # well-formed
+        (2, [float("nan"), 2.0], [3.0, 4.0]),  # NaN element -> NULL
+        (3, None, [3.0, 4.0]),               # NULL array -> NULL
+        (4, [1.0], [3.0, 4.0]),              # ragged -> NULL
+        (5, [-0.5, 0.25], [0.125, -1.0]),    # well-formed
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a array<double>, b array<double>"
+    )
+    dot = scaled_dot_batch()
+    got = {
+        r["id"]: r["d"]
+        for r in df.select("id", dot(F.col("a"), F.col("b")).alias("d")).collect()
+    }
+    assert got[2] is None and got[3] is None and got[4] is None
+    cat = {
+        r["id"]: r["d"]
+        for r in df.select(
+            "id", scaled_dot(F.col("a"), F.col("b")).alias("d")
+        ).collect()
+    }
+    for i in (1, 5):
+        assert got[i] == cat[i] and got[i] is not None
+
+    # an ALL-degenerate relation (the object-array stack path) must
+    # not fail the task
+    bad = spark.createDataFrame(
+        [(1, None, [1.0]), (2, [1.0], None)],
+        "id long, a array<double>, b array<double>",
+    )
+    out = bad.select(dot(F.col("a"), F.col("b")).alias("d")).collect()
+    assert [r["d"] for r in out] == [None, None]
