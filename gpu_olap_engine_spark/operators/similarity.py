@@ -680,6 +680,23 @@ def near_dup_pairs(
     Returns (id_a, id_b, cosine).
     """
     keyed = _near_dup_keyed(corpus, id_col, vec_col, block_m)
+    return gram_pairs(keyed, threshold, max_bucket, chunk, block_rows)
+
+
+def gram_pairs(
+    keyed: DataFrame,
+    threshold: float,
+    max_bucket: int = 16384,
+    chunk: int = 8192,
+    block_rows: int = 1024,
+) -> DataFrame:
+    """Within-bucket cosine pairs >= threshold over a
+    (vid, qvec, bkey) relation via the tiled per-bucket Gram verify
+    (see near_dup_pairs for the full rationale) — shared by the
+    top-dim-blocked near-dup and the cluster-blocked SemDeDup.
+    qvec must be integer-valued doubles (floor(x * QSCALE)) so every
+    Gram partial sum is exact in any order. Returns distinct
+    (id_a, id_b, cosine), id_a < id_b."""
     grouped = _blocked_groups(keyed, max_bucket, chunk)
 
     empty = pd.DataFrame(
@@ -819,7 +836,17 @@ def semdedup(
 
     Returns (vec_id, cluster, is_kept) for EVERY corpus vector.
     Reference has no similarity surface at all (README.md:288-315);
-    this composes our kmeans_centroids + cosine_similarity primitives.
+    this composes our kmeans_centroids + gram_pairs primitives.
+
+    r9: the within-cluster verify is the same tiled per-cluster Gram
+    matmul as near_dup_pairs (gram_pairs with bkey = cluster id) —
+    vectors move once per cluster instead of once per PAIR (the old
+    a x b join shipped both vectors through every candidate row), a
+    pathologically hot cluster tiles into bounded chunk-pair groups,
+    and the cosine arithmetic is the vector-level quantization
+    convention (floor(x*1e6) once per vector, exact integer Gram) —
+    the bulk-verify convention shared with near_dup_pairs, mirrored
+    bit-for-bit by the DuckDB array_inner_product twin.
     """
     cents = kmeans_centroids(corpus, id_col, vec_col, n_clusters, iters)
     m = corpus.select(
@@ -827,32 +854,16 @@ def semdedup(
         F.col(vec_col).alias("vec"),
         _nearest_centroid(F.col(vec_col), cents).alias("cluster"),
     )
-    # within-cluster verify via the Arrow-vectorized dot twin (norms
-    # precomputed per vector) — identical quantized math to
-    # cosine_similarity, numpy-speed on the pairwise hot path
-    nrm = F.sqrt(scaled_norm_sq(F.col("vec")))
-    a = m.select(
-        "cluster",
-        F.col("vec_id").alias("id_a"),
-        F.col("vec").alias("av"),
-        nrm.alias("nrm_a"),
+    keyed = m.select(
+        F.col("vec_id").alias("vid"),
+        F.transform(
+            F.col("vec"),
+            lambda x: F.floor(x.cast("double") * QSCALE).cast("double"),
+        ).alias("qvec"),
+        F.col("cluster").alias("bkey"),
     )
-    b = m.select(
-        "cluster",
-        F.col("vec_id").alias("id_b"),
-        F.col("vec").alias("bv"),
-        nrm.alias("nrm_b"),
-    )
-    dot = scaled_dot_batch()
     dropped = (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine",
-            dot(F.col("av"), F.col("bv"))
-            / (F.col("nrm_a") * F.col("nrm_b")),
-        )
-        .filter(F.col("cosine") >= F.lit(threshold))
+        gram_pairs(keyed, threshold)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )

@@ -233,13 +233,15 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM embeddings
         )
     ),
+    e_bq AS (
+        SELECT b.bkey, v.vec_id, v.q, v.nrm
+        FROM e_bkeys b JOIN e_qn v USING (vec_id)
+    ),
     emb_pairs AS (
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM e_bkeys a
-        JOIN e_bkeys b ON a.bkey = b.bkey AND a.vec_id < b.vec_id
-        JOIN e_qn qa ON a.vec_id = qa.vec_id
-        JOIN e_qn qb ON b.vec_id = qb.vec_id
-        WHERE list_inner_product(qa.q, qb.q) / (qa.nrm * qb.nrm) >= 0.45
+        FROM e_bq a
+        JOIN e_bq b ON a.bkey = b.bkey AND a.vec_id < b.vec_id
+        WHERE list_inner_product(a.q, b.q) / (a.nrm * b.nrm) >= 0.45
     ),
     emb_dups AS (
         SELECT DISTINCT doc_id FROM (

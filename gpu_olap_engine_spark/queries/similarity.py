@@ -157,13 +157,17 @@ def _block_sql(
     # quantize ONCE to integer-valued doubles floor(x*1e6); every
     # list_inner_product partial sum stays < 2^53, so the fold is
     # exact in any order — the same reason the Spark side's dgemm is.
-    # Twin of the r8 matmul verify, restructured for twin-side cost:
-    # norms precompute per vector (qn), and the threshold filter runs
-    # BEFORE the distinct — deduping the tiny post-threshold hit set
-    # instead of hash-distincting the ~100M-row candidate relation
-    # (the old `cand` shape blew the ~sf1 sweep budget on the distinct
-    # alone). IEEE mult commutes bit-exactly, so qa.nrm * qb.nrm
-    # equals numpy's position-ordered product whatever the id order.
+    # Twin of the matmul verify, r9 bucket-blocked restructure: the
+    # quantized vector + its norm PRE-JOIN onto the blocking-key
+    # relation (bq), so the candidate self-join hash-joins once on
+    # bkey with both vectors already in-row — the r8 shape's two
+    # per-candidate qn lookups re-materialized both vectors across
+    # the ~157M-row candidate relation and blew the ~sf1 sweep budget
+    # (>900 s; this shape measures 49 s at ~sf1). The threshold
+    # filter still runs BEFORE the distinct. IEEE mult commutes
+    # bit-exactly, so a.nrm * b.nrm equals numpy's position-ordered
+    # product whatever the id order, and list_inner_product over
+    # integer-valued doubles is exact in any order.
     oracle=_mat(f"""
     WITH {_block_sql(include_pairs=False, include_cand=False)},
     qv AS (
@@ -174,14 +178,16 @@ def _block_sql(
     ),
     qn AS (
         SELECT vec_id, q, sqrt(list_inner_product(q, q)) AS nrm FROM qv
+    ),
+    bq AS (
+        SELECT b.bkey, v.vec_id, v.q, v.nrm
+        FROM bkeys b JOIN qn v USING (vec_id)
     )
     SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-           list_inner_product(qa.q, qb.q) / (qa.nrm * qb.nrm) AS cosine
-    FROM bkeys a
-    JOIN bkeys b ON a.bkey = b.bkey AND a.vec_id < b.vec_id
-    JOIN qn qa ON a.vec_id = qa.vec_id
-    JOIN qn qb ON b.vec_id = qb.vec_id
-    WHERE list_inner_product(qa.q, qb.q) / (qa.nrm * qb.nrm) >= 0.45
+           list_inner_product(a.q, b.q) / (a.nrm * b.nrm) AS cosine
+    FROM bq a
+    JOIN bq b ON a.bkey = b.bkey AND a.vec_id < b.vec_id
+    WHERE list_inner_product(a.q, b.q) / (a.nrm * b.nrm) >= 0.45
     """),
 )
 def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,18 +524,32 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _semdedup_oracle(k: int = 8, iters: int = 3, threshold: float = 0.45) -> str:
     """SemDeDup twin: shared k-means member CTEs, within-cluster
-    pairwise exact cosine, keep-lowest-id election."""
+    pairwise exact cosine, keep-lowest-id election. r9: the verify
+    mirrors the operator's vector-level quantization (floor(x*1e6)
+    once per vector, exact integer list_inner_product — the same
+    bulk-verify convention as sim_near_dup_pairs) with vector + norm
+    pre-joined onto the cluster relation, replacing the per-pair
+    64-row unnest/_TERMS group-by that re-materialized ~1.6G rows at
+    ~sf1 (>900 s -> 6.6 s)."""
     ctes = _kmeans_member_ctes(k, iters)
-    body = f"""pairs AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               a.embedding AS av, b.embedding AS bv
-        FROM members a JOIN members b
-          ON a.c = b.c AND a.vec_id < b.vec_id
+    body = f"""sq AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> floor(CAST(x AS DOUBLE) * 1000000)) AS q
+        FROM embeddings
     ),
-    {_TERMS.format(keys="id_a, id_b")},
+    sqn AS (
+        SELECT vec_id, q, sqrt(list_inner_product(q, q)) AS nrm FROM sq
+    ),
+    mq AS (
+        SELECT m.vec_id, m.c, v.q, v.nrm
+        FROM members m JOIN sqn v USING (vec_id)
+    ),
     dropped AS (
-        SELECT DISTINCT id_b AS vec_id FROM scored
-        WHERE cosine >= {threshold}
+        SELECT DISTINCT b.vec_id
+        FROM mq a JOIN mq b ON a.c = b.c AND a.vec_id < b.vec_id
+        WHERE list_inner_product(a.q, b.q) / (a.nrm * b.nrm)
+              >= {threshold}
     )
     SELECT m.vec_id, m.c AS cluster, d.vec_id IS NULL AS is_kept
     FROM members m LEFT JOIN dropped d USING (vec_id)"""

@@ -53,6 +53,14 @@ SUITE = [
     "dedup_span_stats",
     "sim_bucketed_ann",
     "dedup_exact_key",
+    # r9 widening (round-8 verdict #5): the rest of the blocked-dedup
+    # family, the redesigned Gram-verify path, a text scan, and one
+    # TPC-H aggregate shape (lineitem is generated below for it)
+    "dedup_simhash",
+    "dedup_lines_keep_first",
+    "sim_near_dup_pairs",
+    "text_token_stats",
+    "q77_tpch_q1",
 ]
 
 
@@ -105,6 +113,20 @@ def generate(spark, src_dir: str, out_dir: str) -> None:
     out.repartition(32).write.mode("overwrite").parquet(
         f"{out_dir}/embeddings.parquet"
     )
+
+    # lineitem for the TPC-H shape (60M rows at K=100): key-offset
+    # replicas, same rule as scripts/bench_scale.py
+    li = T(spark, src_dir, "lineitem")
+    li_parts = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * KEY_OFFSET))
+        for i in range(K)
+    ]
+    out = li_parts[0]
+    for p in li_parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(64).write.mode("overwrite").parquet(
+        f"{out_dir}/lineitem.parquet"
+    )
     with open(f"{out_dir}/_COMPLETE", "w") as f:
         f.write("ok\n")
 
@@ -121,7 +143,11 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    if not os.path.exists(f"{out_dir}/_COMPLETE"):
+    # lineitem joined the dataset in r9: a kept r8 dir without it must
+    # regenerate
+    if not os.path.exists(f"{out_dir}/_COMPLETE") or not os.path.exists(
+        f"{out_dir}/lineitem.parquet"
+    ):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
         generate(spark, src_dir, out_dir)
