@@ -148,29 +148,20 @@ def _block_sql(
     ){cand_cte}{pairs_cte}"""
 
 
-@register(
-    "sim_near_dup_pairs",
-    # _mat: DuckDB re-inlines the multi-referenced blocking CTEs per
-    # reference; MATERIALIZED keeps the ~sf1 twin inside the sweep's
-    # 120 s budget (same rescue as the label-propagation oracles).
-    # Arithmetic twin of the operator's r8 matmul verify: vectors
-    # quantize ONCE to integer-valued doubles floor(x*1e6); every
-    # list_inner_product partial sum stays < 2^53, so the fold is
-    # exact in any order — the same reason the Spark side's dgemm is.
-    # Twin of the matmul verify, r9 bucket-blocked restructure: the
-    # quantized vector + its norm PRE-JOIN onto the blocking-key
-    # relation (bq), so the candidate self-join hash-joins once on
-    # bkey with both vectors already in-row — the r8 shape's two
-    # per-candidate qn lookups re-materialized both vectors across
-    # the ~157M-row candidate relation and blew the ~sf1 sweep budget
-    # (>900 s; this shape measures 49 s at ~sf1). The threshold
-    # filter still runs BEFORE the distinct. IEEE mult commutes
-    # bit-exactly, so a.nrm * b.nrm equals numpy's position-ordered
-    # product whatever the id order, and list_inner_product over
-    # integer-valued doubles is exact in any order.
-    oracle=_mat(f"""
-    WITH {_block_sql(include_pairs=False, include_cand=False)},
-    qv AS (
+# Near-dup hit CTEs, r9 bucket-blocked restructure (shared by
+# sim_near_dup_pairs and sim_decontaminate): vectors quantize ONCE to
+# integer-valued doubles floor(x*1e6) — every list_inner_product
+# partial sum stays < 2^53, so the fold is exact in any order, the
+# same reason the Spark side's dgemm is. The quantized vector + its
+# norm PRE-JOIN onto the blocking-key relation (bq), so the candidate
+# self-join hash-joins once on bkey with both vectors already in-row
+# — the r8 shape's two per-candidate qn lookups re-materialized both
+# vectors across the ~157M-row candidate relation and blew the ~sf1
+# sweep budget (>900 s; this shape measures ~49 s at ~sf1). The
+# threshold filter runs BEFORE the distinct. IEEE mult commutes
+# bit-exactly, so a.nrm * b.nrm equals numpy's position-ordered
+# product whatever the id order.
+_ND_HITS = """qv AS (
         SELECT vec_id,
                list_transform(embedding,
                    x -> floor(CAST(x AS DOUBLE) * 1000000)) AS q
@@ -182,12 +173,25 @@ def _block_sql(
     bq AS (
         SELECT b.bkey, v.vec_id, v.q, v.nrm
         FROM bkeys b JOIN qn v USING (vec_id)
-    )
-    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-           list_inner_product(a.q, b.q) / (a.nrm * b.nrm) AS cosine
-    FROM bq a
-    JOIN bq b ON a.bkey = b.bkey AND a.vec_id < b.vec_id
-    WHERE list_inner_product(a.q, b.q) / (a.nrm * b.nrm) >= 0.45
+    ),
+    hits AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_inner_product(a.q, b.q) / (a.nrm * b.nrm) AS cosine
+        FROM bq a
+        JOIN bq b ON a.bkey = b.bkey AND a.vec_id < b.vec_id
+        WHERE list_inner_product(a.q, b.q) / (a.nrm * b.nrm) >= 0.45
+    )"""
+
+
+@register(
+    "sim_near_dup_pairs",
+    # _mat: DuckDB re-inlines the multi-referenced blocking CTEs per
+    # reference; MATERIALIZED keeps the ~sf1 twin inside the sweep's
+    # 120 s budget (same rescue as the label-propagation oracles).
+    oracle=_mat(f"""
+    WITH {_block_sql(include_pairs=False, include_cand=False)},
+    {_ND_HITS}
+    SELECT id_a, id_b, cosine FROM hits
     """),
 )
 def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,6 +205,57 @@ def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit."""
     return S.near_dup_pairs(
         T(spark, sf_dir, "embeddings"), threshold=0.45, block_m=10
+    )
+
+
+@register(
+    "sim_decontaminate",
+    oracle=_mat(f"""
+    WITH {_block_sql(include_pairs=False, include_cand=False)},
+    {_ND_HITS},
+    tagged AS (
+        SELECT id_b AS vec_id, cosine FROM hits
+        WHERE id_a % 7 = 0 AND id_b % 7 != 0
+        UNION ALL
+        SELECT id_a AS vec_id, cosine FROM hits
+        WHERE id_a % 7 != 0 AND id_b % 7 = 0
+    )
+    SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+           MAX(cosine) AS max_cosine
+    FROM tagged GROUP BY vec_id
+    """),
+)
+def sim_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic benchmark decontamination (r9): flag training vectors
+    whose embedding is near-duplicate (cosine >= 0.45) to ANY
+    evaluation-set vector — the paraphrase-level complement of q73's
+    exact 8-gram decontamination (an eval answer reworded shares no
+    long n-gram but keeps its embedding). Eval set = the
+    deterministic fixture stand-in vec_id % 7 == 0 (same convention
+    as q73); in production the eval suite's own embeddings. Pairs
+    come from the SAME blocked Gram verify as sim_near_dup_pairs —
+    one operator, two products — and a pair contaminates its
+    training-side member only (eval-eval and train-train pairs drop).
+    Emits (vec_id, n_eval_hits, max_cosine) per contaminated training
+    vector; max over bit-identical IEEE cosines is cross-engine
+    exact. At 100 TB the eval side is tiny so its blocking keys
+    broadcast; the corpus-side scan stays linear."""
+    pairs = S.near_dup_pairs(
+        T(spark, sf_dir, "embeddings"), threshold=0.45, block_m=10
+    )
+    ea = F.col("id_a") % 7 == 0
+    eb = F.col("id_b") % 7 == 0
+    tagged = (
+        pairs.filter(ea & ~eb)
+        .select(F.col("id_b").alias("vec_id"), "cosine")
+        .unionByName(
+            pairs.filter(~ea & eb)
+            .select(F.col("id_a").alias("vec_id"), "cosine")
+        )
+    )
+    return tagged.groupBy("vec_id").agg(
+        F.count("*").cast("long").alias("n_eval_hits"),
+        F.max("cosine").alias("max_cosine"),
     )
 
 
