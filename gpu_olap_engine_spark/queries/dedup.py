@@ -586,3 +586,24 @@ def dedup_hamming_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.hamming_key_pairs(
         T(spark, sf_dir, "documents"), "doc_id", "text", key_len=24, max_dist=2
     )
+
+
+@register(
+    "dedup_hamming_keys_hashed",
+    # IDENTICAL oracle to dedup_hamming_keys: the hashed blocking key
+    # can only ADD candidates on an xxhash64 collision, and the exact
+    # character-wise verify removes them — result sets are equal by
+    # construction (see operators.dedup.hamming_key_pairs).
+    oracle=_REG["dedup_hamming_keys"].oracle,
+)
+def dedup_hamming_keys_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_hamming_keys with the documented 100 TB key swap: the
+    pigeonhole blocking join shuffles an 8-byte xxhash64(segment)
+    instead of the 8-char segment string (same trade as
+    dedup_span_stats_hashed, but here even a collision cannot change
+    the output — the exact verify filters it). Shares the string-
+    keyed entry's oracle verbatim."""
+    return D.hamming_key_pairs(
+        T(spark, sf_dir, "documents"), "doc_id", "text",
+        key_len=24, max_dist=2, hash_keys=True,
+    )

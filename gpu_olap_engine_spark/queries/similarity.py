@@ -259,6 +259,49 @@ def sim_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_dedup_clusters",
+    oracle=_mat(f"""
+    WITH RECURSIVE {_block_sql(include_pairs=False, include_cand=False)},
+    {_ND_HITS},
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM hits
+        UNION SELECT id_b, id_a FROM hits
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach AS (
+        SELECT id, id AS root FROM nodes
+        UNION
+        SELECT e.b AS id, r.root FROM reach r JOIN edges e ON e.a = r.id
+    )
+    SELECT id AS vec_id, CAST(MIN(root) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id
+    """),
+)
+def sim_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive clusters over the EMBEDDING near-dup graph (r9): the
+    semantic twin of dedup_clusters (which clusters the MinHash text
+    graph) — connected components via iterative label propagation over
+    sim_near_dup_pairs edges, cluster id = minimum reachable vec_id (a
+    schedule-independent fixpoint; the oracle recomputes it with a
+    recursive CTE). Together with sim_semdedup this completes the two
+    standard semantic-dedup policies: cluster-bounded keep-lowest
+    (SemDeDup) and full transitive closure; a curation pipeline picks
+    one canonical per transitive cluster when paraphrase chains should
+    collapse (A~B, B~C => one keeper even if cos(A,C) < threshold).
+    Near-dup graphs are cliques-ish (tiny diameter), so label
+    propagation converges in O(diameter) distributed rounds."""
+    from gpu_olap_engine_spark.operators.graph import connected_components
+
+    pairs = S.near_dup_pairs(
+        T(spark, sf_dir, "embeddings"), threshold=0.45, block_m=10
+    )
+    return connected_components(pairs).select(
+        F.col("id").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 # Squared-L2 distance between a row vector `v` and a centroid list
 # `cv`, replicating operators.similarity._sq_l2's IEEE fold exactly:
 # terms in dim order, left-to-right addition (list_reduce(t1..tn) ==

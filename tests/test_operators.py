@@ -947,3 +947,32 @@ def test_scaled_dot_batch_degenerate_inputs(spark):
     )
     out = bad.select(dot(F.col("a"), F.col("b")).alias("d")).collect()
     assert [r["d"] for r in out] == [None, None]
+
+
+def test_hamming_hashed_blocking_equivalent(spark, tmp_path):
+    """r9: the xxhash64-keyed blocking twin must return exactly the
+    string-keyed operator's pair set (collisions can only add
+    candidates, and the exact verify removes them)."""
+    import random
+
+    from gpu_olap_engine_spark.operators.dedup import hamming_key_pairs
+
+    rng = random.Random(13)
+    rows = [
+        (i, "".join(rng.choice("abcd") for _ in range(rng.randint(2, 30))))
+        for i in range(150)
+    ]
+    path = str(tmp_path / "hh.parquet")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(path)
+    df = spark.read.parquet(path)
+    plain = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_key_pairs(df, "doc_id", "text").collect()
+    }
+    hashed = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_key_pairs(
+            df, "doc_id", "text", hash_keys=True
+        ).collect()
+    }
+    assert plain == hashed and len(plain) > 0
