@@ -570,6 +570,15 @@ def _bucketed_micros(spark, ms: float, deadline: float, emit_run):
     def rows(n: int) -> int:
         return max(int(n * ms), 1000)
 
+    # r9: one sorted file per bucket + the legacy outputOrdering conf
+    # => the join plan drops its per-side Sort nodes too (the scan
+    # reports the sortBy order), leaving a pure zipper merge of
+    # pre-sorted buckets — zero exchange AND zero sort. Before this
+    # the "zero-exchange" micro still re-sorted 2 x 100M rows per rep
+    # because multi-file buckets void the sortBy guarantee.
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    )
     a100 = spark.range(rows(100_000_000), numPartitions=64).select(
         F.col("id").alias("k"), (F.col("id") * 2).alias("va")
     )
@@ -577,11 +586,13 @@ def _bucketed_micros(spark, ms: float, deadline: float, emit_run):
         F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
     )
     t0 = time.perf_counter()
-    write_bucketed(a100, "bench_ba", ["k"], num_buckets=64, sort_cols=["k"])
+    write_bucketed(a100, "bench_ba", ["k"], num_buckets=64,
+                   sort_cols=["k"], one_file_per_bucket=True)
     first_write = time.perf_counter() - t0
     if time.monotonic() + first_write > deadline:
         raise TimeoutError("bucketed writes exceed remaining budget")
-    write_bucketed(b100, "bench_bb", ["k"], num_buckets=64, sort_cols=["k"])
+    write_bucketed(b100, "bench_bb", ["k"], num_buckets=64,
+                   sort_cols=["k"], one_file_per_bucket=True)
     ba, bb = spark.table("bench_ba"), spark.table("bench_bb")
     return [
         (

@@ -159,11 +159,29 @@ def write_bucketed(
     num_buckets: int = 32,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    one_file_per_bucket: bool = False,
 ) -> None:
     """Bucketed managed table: co-locates both sides of a recurring
     equi-join so it runs WITHOUT a shuffle — the persistent analog of
     the reference's radix partitioning (join_kernels.cuh:45-76), done
-    once at write time instead of per query."""
+    once at write time instead of per query.
+
+    one_file_per_bucket=True additionally repartitions on the bucket
+    columns (Spark's repartition hash == the bucketing hash, so each
+    write task holds exactly one bucket) producing ONE sorted file
+    per bucket. With that layout AND
+    `spark.sql.legacy.bucketedTableScan.outputOrdering=true` on the
+    reading session, a sorted-bucket equi-join drops its per-side
+    Sort nodes too — the scan reports the sortBy order, so the
+    SortMergeJoin zipper-merges pre-sorted buckets (zero exchange AND
+    zero sort; r9 bench: the 100M x 100M bucketed join's remaining
+    cost was two 100M-row sorts Spark re-ran because multi-file
+    buckets void the sortBy guarantee). The trade at 100 TB: one
+    file per bucket caps write parallelism at num_buckets and makes
+    single files large — size num_buckets to the cluster, not to 64.
+    """
+    if one_file_per_bucket:
+        df = df.repartition(num_buckets, *bucket_cols)
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

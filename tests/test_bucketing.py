@@ -207,3 +207,45 @@ def test_zorder_box_query_skips_row_groups(spark, tmp_path):
     zc = spark.read.parquet(zpath).filter(pred).count()
     rc = spark.read.parquet(rpath).filter(pred).count()
     assert zc == rc > 0
+
+
+def test_sorted_single_file_buckets_drop_the_sort(spark):
+    """r9: one sorted file per bucket + the legacy outputOrdering conf
+    must plan the bucketed equi-join with NEITHER an Exchange NOR a
+    Sort — the SortMergeJoin zipper-merges pre-sorted buckets (the
+    bench's "zero-exchange" micro was silently re-sorting 2 x 100M
+    rows before this). Results must match the plain join exactly."""
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    old = spark.conf.get(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+    )
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try:
+        write_bucketed(
+            orders, "orders_sb", ["o_custkey"], num_buckets=8,
+            sort_cols=["o_custkey"], one_file_per_bucket=True,
+        )
+        write_bucketed(
+            orders.select(
+                F.col("o_custkey").alias("c2"),
+                F.col("o_totalprice").alias("p2"),
+            ),
+            "orders_sb2", ["c2"], num_buckets=8,
+            sort_cols=["c2"], one_file_per_bucket=True,
+        )
+        a, b = spark.table("orders_sb"), spark.table("orders_sb2")
+        j = a.join(b.hint("merge"), a.o_custkey == b.c2)
+        plan = plan_string(j, "simple")
+        assert "Exchange" not in plan, plan
+        assert "Sort" not in plan.replace("SortMergeJoin", "SMJ"), plan
+        want = orders.alias("x").join(
+            orders.alias("y"),
+            F.col("x.o_custkey") == F.col("y.o_custkey"),
+        ).count()
+        assert j.count() == want
+    finally:
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", old
+        )
+        spark.sql("DROP TABLE IF EXISTS orders_sb")
+        spark.sql("DROP TABLE IF EXISTS orders_sb2")
