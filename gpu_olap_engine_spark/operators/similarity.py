@@ -755,6 +755,84 @@ def gram_pairs(
     )
 
 
+def gram_cross_pairs(
+    keyed_big: DataFrame,
+    keyed_small: DataFrame,
+    threshold: float,
+    max_bucket: int = 16384,
+    chunk: int = 8192,
+    block_rows: int = 1024,
+) -> DataFrame:
+    """Cross-relation cosine pairs >= threshold between a BIG keyed
+    relation and a SMALL one (both (vid, qvec, bkey), ids disjoint,
+    same quantization as gram_pairs): the asymmetric complement of
+    gram_pairs for eval-vs-corpus shapes (decontamination, labeled
+    probes). The big side hash-tiles exactly like gram_pairs' hot
+    buckets; the small side REPLICATES into every chunk of its bucket
+    — the grouped-shuffle analog of broadcasting the tiny side, so
+    big-side rows still move ONCE per blocking key and no big-big
+    pair is ever formed (gram_pairs would verify the big side against
+    itself too — quadratic work this shape never needs). Returns
+    distinct (id_big, id_small, cosine)."""
+    sizes = keyed_big.groupBy("bkey").agg(F.count("*").alias("bsz"))
+    nch = (
+        F.when(F.col("bsz") <= max_bucket, F.lit(1))
+        .otherwise(F.ceil(F.col("bsz") / chunk))
+        .cast("int")
+    )
+    big = (
+        keyed_big.join(F.broadcast(sizes), "bkey")
+        .select(
+            "bkey", "vid", "qvec",
+            F.pmod(F.xxhash64(F.col("vid")), nch).cast("int").alias("ci"),
+            F.lit(0).alias("side"),
+        )
+    )
+    small = (
+        keyed_small.join(F.broadcast(sizes), "bkey")  # inner: buckets
+        # with no big rows can hold no cross pairs
+        .select(
+            "bkey", "vid", "qvec",
+            F.explode(F.sequence(F.lit(0), nch - 1)).alias("ci"),
+            F.lit(1).alias("side"),
+        )
+    )
+
+    empty = pd.DataFrame(
+        {"id_big": pd.Series([], dtype="int64"),
+         "id_small": pd.Series([], dtype="int64"),
+         "cosine": pd.Series([], dtype="float64")}
+    )
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        pa, pb = pdf[pdf["side"] == 0], pdf[pdf["side"] == 1]
+        if len(pa) == 0 or len(pb) == 0:
+            return empty
+        ida, idb = pa["vid"].to_numpy(), pb["vid"].to_numpy()
+        qa = np.stack(pa["qvec"].to_numpy()).astype(np.float64)
+        qb = np.stack(pb["qvec"].to_numpy()).astype(np.float64)
+        na = np.sqrt((qa * qa).sum(axis=1))  # exact integer sums
+        nb = np.sqrt((qb * qb).sum(axis=1))
+        out = []
+        for s in range(0, len(ida), block_rows):
+            e = min(s + block_rows, len(ida))
+            g = qa[s:e] @ qb.T  # exact: int-valued doubles < 2^53
+            cos = g / np.outer(na[s:e], nb)
+            r, c = np.nonzero(cos >= threshold)
+            out.append(pd.DataFrame(
+                {"id_big": ida[s + r], "id_small": idb[c],
+                 "cosine": cos[r, c]}
+            ))
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    return (
+        big.unionByName(small)
+        .groupBy("bkey", "ci")
+        .applyInPandas(verify, "id_big long, id_small long, cosine double")
+        .distinct()
+    )
+
+
 def _near_dup_keyed(
     corpus: DataFrame, id_col: str, vec_col: str, block_m: int
 ) -> DataFrame:

@@ -233,29 +233,28 @@ def sim_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     long n-gram but keeps its embedding). Eval set = the
     deterministic fixture stand-in vec_id % 7 == 0 (same convention
     as q73); in production the eval suite's own embeddings. Pairs
-    come from the SAME blocked Gram verify as sim_near_dup_pairs —
-    one operator, two products — and a pair contaminates its
-    training-side member only (eval-eval and train-train pairs drop).
-    Emits (vec_id, n_eval_hits, max_cosine) per contaminated training
-    vector; max over bit-identical IEEE cosines is cross-engine
-    exact. At 100 TB the eval side is tiny so its blocking keys
-    broadcast; the corpus-side scan stays linear."""
-    pairs = S.near_dup_pairs(
-        T(spark, sf_dir, "embeddings"), threshold=0.45, block_m=10
+    use the same blocking + quantized Gram arithmetic as
+    sim_near_dup_pairs, but through the ASYMMETRIC cross verify
+    (gram_cross_pairs): only train x eval products are ever formed —
+    the train side moves once per blocking key exactly like
+    near_dup_pairs, while the tiny eval side replicates into each
+    train chunk (the grouped-shuffle analog of a broadcast), so the
+    quadratic train-train work the symmetric operator would pay is
+    skipped entirely. Emits (vec_id, n_eval_hits, max_cosine) per
+    contaminated training vector; max over bit-identical IEEE cosines
+    is cross-engine exact."""
+    keyed = S._near_dup_keyed(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding", 10
     )
-    ea = F.col("id_a") % 7 == 0
-    eb = F.col("id_b") % 7 == 0
-    tagged = (
-        pairs.filter(ea & ~eb)
-        .select(F.col("id_b").alias("vec_id"), "cosine")
-        .unionByName(
-            pairs.filter(~ea & eb)
-            .select(F.col("id_a").alias("vec_id"), "cosine")
+    train = keyed.filter(F.col("vid") % 7 != 0)
+    ev = keyed.filter(F.col("vid") % 7 == 0)
+    return (
+        S.gram_cross_pairs(train, ev, threshold=0.45)
+        .groupBy(F.col("id_big").alias("vec_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_eval_hits"),
+            F.max("cosine").alias("max_cosine"),
         )
-    )
-    return tagged.groupBy("vec_id").agg(
-        F.count("*").cast("long").alias("n_eval_hits"),
-        F.max("cosine").alias("max_cosine"),
     )
 
 

@@ -976,3 +976,58 @@ def test_hamming_hashed_blocking_equivalent(spark, tmp_path):
         ).collect()
     }
     assert plain == hashed and len(plain) > 0
+
+
+def test_gram_cross_pairs_matches_symmetric_filter(spark, tmp_path):
+    """r9: the asymmetric cross verify must return exactly the
+    symmetric operator's cross-side subset — including through a
+    pathological hot bucket (every vector shares the dominant dim, so
+    the big side tiles and the small side replicates per chunk) —
+    with bit-identical cosines."""
+    import numpy as np
+
+    from gpu_olap_engine_spark.operators.similarity import (
+        _near_dup_keyed,
+        gram_cross_pairs,
+        near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(23)
+    n, dim = 260, 8
+    vecs = rng.uniform(-0.3, 0.3, size=(n, dim))
+    vecs[:, 0] = 1.0  # one hot bucket
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    path = str(tmp_path / "cross.parquet")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+
+    sym = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in near_dup_pairs(
+            df, threshold=0.8, block_m=1, max_bucket=32, chunk=16
+        ).collect()
+    }
+    want = {}
+    for (a, b), c in sym.items():  # cross pairs only, oriented big->small
+        ea, eb = a % 7 == 0, b % 7 == 0
+        if ea and not eb:
+            want[(b, a)] = c
+        elif eb and not ea:
+            want[(a, b)] = c
+
+    keyed = _near_dup_keyed(df, "vec_id", "embedding", 1)
+    big = keyed.filter(F.col("vid") % 7 != 0)
+    small = keyed.filter(F.col("vid") % 7 == 0)
+    got = {
+        (r["id_big"], r["id_small"]): r["cosine"]
+        for r in gram_cross_pairs(
+            big, small, threshold=0.8, max_bucket=32, chunk=16,
+            block_rows=7,
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])
+    assert len(want) > 10  # the planted hot bucket has real cross pairs
