@@ -160,6 +160,25 @@ ALL_MICROS = [n for g in GROUP_ORDER for n in MICRO_GROUPS[g]]
 MIN_REPS = 3
 MAX_REPS = 5
 CONVERGED_PCT = 0.10  # last run within 10% of the observed min
+# Converged idle-box floors recorded across rounds 6-9 for the
+# adaptive (baseline-comparison) micros. A min pinned >10% above its
+# floor means the box was loaded for the WHOLE rep sequence — the
+# case r9's SHJ row proved the spread/descent guards cannot see
+# (reps 9.68/6.70/7.02: spread 1.44, not descending, min 20% above
+# the 5.54-5.63 s record) — so the runner keeps spending reps while
+# the budget allows. Floors are evidence thresholds, not targets:
+# they only ever ADD reps, never stop early, and only apply at full
+# micro scale (the shapes they were measured at).
+KNOWN_FLOORS = (
+    {
+        "micro_join_int_100m_x_100m": 5.4,
+        "micro_join_int_100m_x_100m_shj": 5.5,
+        "micro_groupby_agg_100m": 0.48,
+        "micro_join_bucketed_100m_x_100m": 0.70,
+    }
+    if float(os.environ.get("SPARK_GRAFT_MICRO_SCALE", "1.0")) == 1.0
+    else {}
+)
 
 
 def _mk_spark(cpus: str, extra: dict | None = None, pretouch: bool = False):
@@ -490,12 +509,16 @@ def run_micro_child(group: str, runs_path: str, budget: float) -> None:
         # box — min pinned ~2x above the 0.57 s idle floor because the
         # converged check passed. It gets the same adaptive + still-
         # descending treatment the join rows got in r6-r8.
-        max_reps = (
-            MAX_REPS + 1 if group_adaptive or group == "light" else MAX_REPS
-        )
-        for rep in range(max_reps):
+        # r10 (ADVICE): the +1 rep slot is gated PER NAME on the
+        # adaptive flag, not per group — r9 gave all five 'light'
+        # micros a 6th-rep budget the comment only justified for the
+        # groupby row.
+        for rep in range(MAX_REPS + 1):
             for name, df in micros:
                 adaptive = group_adaptive or name == "micro_groupby_agg_100m"
+                name_max_reps = MAX_REPS + 1 if adaptive else MAX_REPS
+                if rep >= name_max_reps:
+                    continue
                 r = runs[name]
                 # rep 1 always runs (it guarantees the row); later reps
                 # only if the projected rep fits the remaining budget.
@@ -516,17 +539,38 @@ def run_micro_child(group: str, runs_path: str, budget: float) -> None:
                     adaptive and r and max(r) > 1.5 * min(r)
                     and rep < MAX_REPS  # the +1 slot is the last word
                 )
-                # bucketed-specific: treat a still-descending sequence
-                # as unconverged even inside the 1.5x spread (r7 shows
-                # 4.07 -> 3.82 at cutoff, spread 1.9 but the LAST two
-                # within it) — require the final rep to sit on the min.
+                # still-descending: treat a descending sequence as
+                # unconverged even inside the 1.5x spread (r7 bucketed
+                # shows 4.07 -> 3.82 at cutoff, spread 1.9 but the
+                # LAST two within it) — require the final rep to sit
+                # on the min. r10: extended from bucketed/groupby to
+                # ALL adaptive rows, i.e. the join100 group too — r9's
+                # one weak row was SHJ 6.70 s off reps [9.68, 6.70,
+                # 7.02] while the idle floor is 5.54-5.63 s; this
+                # guard is what rescued groupby (3.66 -> 0.478).
                 if (
-                    (group == "bucketed" or name == "micro_groupby_agg_100m")
+                    adaptive
                     and rep >= MIN_REPS
-                    and rep < max_reps
+                    and rep < name_max_reps
                     and len(r) >= 2
                     and r[-1] < r[-2] * 0.95
                     and r[-1] <= min(r) * 1.001
+                ):
+                    spread_bad = True
+                # floor-pinned: r9's SHJ row proved neither guard
+                # above catches a uniformly-loaded box — reps [9.68,
+                # 6.70, 7.02] pass the spread check (1.44 < 1.5) and
+                # are not descending, yet the min sits 20% above the
+                # 5.54-5.63 s floor three prior rounds converged to.
+                # While an adaptive row's min is pinned above its
+                # recorded idle floor, keep spending reps (budget
+                # projection above still caps the cost). Floors only
+                # apply at full micro scale.
+                if (
+                    adaptive
+                    and rep < name_max_reps
+                    and r
+                    and min(r) > KNOWN_FLOORS.get(name, float("inf")) * 1.10
                 ):
                     spread_bad = True
                 if rep >= MIN_REPS and not spread_bad and all(
@@ -593,6 +637,26 @@ def _bucketed_micros(spark, ms: float, deadline: float, emit_run):
         raise TimeoutError("bucketed writes exceed remaining budget")
     write_bucketed(b100, "bench_bb", ["k"], num_buckets=64,
                    sort_cols=["k"], one_file_per_bucket=True)
+    # The legacy outputOrdering conf above is only sound when every
+    # bucket is a single sorted file (ADVICE r9): verify the layout
+    # actually landed that way before any join reads the tables — a
+    # multi-file bucket here would make the sort-free merge silently
+    # wrong, which is worse than a failed bench.
+    for t in ("bench_ba", "bench_bb"):
+        loc = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {t}")
+            .where("col_name = 'Location'")
+            .collect()[0]["data_type"]
+        ).replace("file:", "")
+        nfiles = len(
+            [f for f in os.listdir(loc) if f.endswith(".parquet")]
+        )
+        if nfiles != 64:
+            raise RuntimeError(
+                f"{t}: {nfiles} parquet files for 64 buckets — "
+                "one-file-per-bucket layout violated; refusing to "
+                "run the sort-free merge micro on it"
+            )
     ba, bb = spark.table("bench_ba"), spark.table("bench_bb")
     return [
         (
@@ -693,17 +757,32 @@ def main() -> None:
         }
         line = json.dumps(payload, separators=(",", ":"))
         # staged shrink: never let the one-line contract outgrow the
-        # tail capture again, whatever the future entry count. Micros
-        # are the baseline-comparison rows — they stay; longest-named
-        # headline entries spill to the detail file first.
-        while len(line) > 1800 and payload["queries"]:
-            droppable = [
-                n
-                for n in payload["queries"]
-                if not n.startswith(("micro_", "duckdb_"))
-            ] or list(payload["queries"])
-            del payload["queries"][max(droppable, key=len)]
-            payload["detail"] = "BENCH_DETAIL.json (queries truncated)"
+        # tail capture, and NEVER drop a headline row from the map
+        # (r9's truncation dropped q72 — arithmetically consistent
+        # but a reader of the compact map alone thought it was
+        # skipped). Controls are already stripped; the next lever is
+        # float precision — 1 decimal for rows >= 1 s, then 1 decimal
+        # everywhere (at 61 rows: 1810 chars at 2dp, 1758 at 1dp).
+        # Row-dropping survives only as a last resort that should be
+        # unreachable, and it drops longest-named rows with an
+        # explicit truncation marker.
+        if len(line) > 1800:
+            payload["queries"] = {
+                n: round(t, 1) if t >= 1.0 else round(t, 2)
+                for n, t in timings.items()
+                if n not in compact_controls
+            }
+            line = json.dumps(payload, separators=(",", ":"))
+        if len(line) > 1800:
+            payload["queries"] = {
+                n: round(t, 1)
+                for n, t in timings.items()
+                if n not in compact_controls
+            }
+            line = json.dumps(payload, separators=(",", ":"))
+        while len(line) > 1900 and payload["queries"]:
+            del payload["queries"][max(payload["queries"], key=len)]
+            payload["detail"] = "BENCH_DETAIL.json (queries TRUNCATED)"
             line = json.dumps(payload, separators=(",", ":"))
         print(line)
         sys.stdout.flush()

@@ -179,8 +179,28 @@ def write_bucketed(
     buckets void the sortBy guarantee). The trade at 100 TB: one
     file per bucket caps write parallelism at num_buckets and makes
     single files large — size num_buckets to the cluster, not to 64.
+
+    Precondition for one_file_per_bucket:
+    ``spark.sql.files.maxRecordsPerFile`` must be 0 (the default).
+    A non-zero value splits each bucket's write task into multiple
+    sorted files, silently voiding the one-file layout — and a reader
+    that then enables the legacy outputOrdering conf would skip a
+    Sort the merge join still needs (wrong join results, the exact
+    failure mode that conf is known for). Enforced below.
     """
     if one_file_per_bucket:
+        max_rpf = df.sparkSession.conf.get(
+            "spark.sql.files.maxRecordsPerFile", "0"
+        )
+        if str(max_rpf) not in ("0", "None"):
+            raise ValueError(
+                "one_file_per_bucket=True requires "
+                "spark.sql.files.maxRecordsPerFile=0 (got "
+                f"{max_rpf}): a per-file record cap splits buckets "
+                "into multiple sorted files, voiding the single-file "
+                "ordering guarantee that legacy "
+                "bucketedTableScan.outputOrdering relies on"
+            )
         df = df.repartition(num_buckets, *bucket_cols)
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:

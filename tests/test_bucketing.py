@@ -249,3 +249,31 @@ def test_sorted_single_file_buckets_drop_the_sort(spark):
         )
         spark.sql("DROP TABLE IF EXISTS orders_sb")
         spark.sql("DROP TABLE IF EXISTS orders_sb2")
+
+
+def test_one_file_per_bucket_rejects_max_records_per_file(spark):
+    """r10 (ADVICE r9): a non-zero spark.sql.files.maxRecordsPerFile
+    splits each bucket's single write task into multiple sorted files,
+    silently voiding the one-file layout the legacy outputOrdering
+    conf depends on — write_bucketed must refuse rather than let a
+    later sort-free merge join return wrong rows."""
+    import pytest
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "100")
+    try:
+        with pytest.raises(ValueError, match="maxRecordsPerFile"):
+            write_bucketed(
+                orders, "orders_mrpf", ["o_custkey"], num_buckets=4,
+                sort_cols=["o_custkey"], one_file_per_bucket=True,
+            )
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
+        spark.sql("DROP TABLE IF EXISTS orders_mrpf")
+    # multi-file buckets without the flag remain fine
+    write_bucketed(
+        orders, "orders_mrpf", ["o_custkey"], num_buckets=4,
+        sort_cols=["o_custkey"],
+    )
+    assert spark.table("orders_mrpf").count() == orders.count()
+    spark.sql("DROP TABLE IF EXISTS orders_mrpf")
