@@ -61,7 +61,78 @@ SUITE = [
     "sim_near_dup_pairs",
     "text_token_stats",
     "q77_tpch_q1",
+    # r10 widening (round-9 verdict #6): two composed TPC-H shapes —
+    # the snowflake join (Q5) and the HAVING semi-join (Q18) — over
+    # the 60M-row lineitem plus replicated orders/customer
+    "q80_tpch_q5",
+    "q84_tpch_q18",
 ]
+
+# Rows whose output size measures corpus structure (candidate/dup/
+# pair mass), emitted alongside wall so a reader can separate
+# data-structure growth from engine cost (round-9 verdict #3): a
+# superlinear wall with ~flat wall-per-output-row is the corpus
+# getting denser, not the plan degrading.
+COUNT_ROWS = {
+    "dedup_minhash_lsh",
+    "dedup_span_stats",
+    "sim_bucketed_ann",
+    "dedup_exact_key",
+    "dedup_simhash",
+    "dedup_lines_keep_first",
+    "sim_near_dup_pairs",
+}
+
+GEN_VERSION = "v3"  # bump when generate() writes new tables
+
+
+def _cand_minhash(spark, d: str) -> int:
+    """True LSH candidate-pair count (post-banding, pre-verify)."""
+    from gpu_olap_engine_spark.operators import dedup as D
+
+    sh = D.shingles(T(spark, d, "documents"), "doc_id", "text", k=3)
+    return D.lsh_candidate_pairs(D.minhash_signatures(sh)).count()
+
+
+def _cand_near_dup(spark, d: str) -> int:
+    """Gram verify-work pair count: sum over blocking buckets of
+    C(n, 2). This is the number of cosine evaluations the per-bucket
+    matmul performs (a pair sharing m keys is counted m times — that
+    recount IS work done), independent of hot-bucket tiling, which
+    only partitions the same pair set into bounded groups."""
+    from gpu_olap_engine_spark.operators.similarity import _near_dup_keyed
+
+    keyed = _near_dup_keyed(
+        T(spark, d, "embeddings"), "vec_id", "embedding", 10
+    )
+    row = (
+        keyed.groupBy("bkey")
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("p"))
+        .collect()[0]
+    )
+    return int(row["p"] or 0)
+
+
+def _cand_span(spark, d: str) -> int:
+    """Duplicated-span occurrence mass: total 8-gram positions that
+    land in a corpus-wide duplicated gram — the size of the gram-keyed
+    aggregation's hot part, i.e. the operator's data-dependent work."""
+    from gpu_olap_engine_spark.operators import dedup as D
+
+    df = D.duplicated_span_stats(T(spark, d, "documents"), "doc_id", "text", k=8)
+    return int(df.agg(F.sum("n_dup_spans")).collect()[0][0] or 0)
+
+
+# True candidate/work-mass counters for the rows whose two-decade
+# wall ratios are superlinear (round-9 verdict #3): counted at BOTH
+# decades so the table can show wall-per-candidate ~flat — corpus
+# densification, not plan degradation.
+CANDIDATES = {
+    "dedup_minhash_lsh": _cand_minhash,
+    "sim_near_dup_pairs": _cand_near_dup,
+    "dedup_span_stats": _cand_span,
+}
 
 
 def generate(spark, src_dir: str, out_dir: str) -> None:
@@ -114,7 +185,7 @@ def generate(spark, src_dir: str, out_dir: str) -> None:
         f"{out_dir}/embeddings.parquet"
     )
 
-    # lineitem for the TPC-H shape (60M rows at K=100): key-offset
+    # lineitem for the TPC-H shapes (60M rows at K=100): key-offset
     # replicas, same rule as scripts/bench_scale.py
     li = T(spark, src_dir, "lineitem")
     li_parts = [
@@ -127,8 +198,43 @@ def generate(spark, src_dir: str, out_dir: str) -> None:
     out.repartition(64).write.mode("overwrite").parquet(
         f"{out_dir}/lineitem.parquet"
     )
+
+    # r10: Q5/Q18 also read orders (15M) and customer (1.5M) — both
+    # key-offset in lockstep with lineitem so o_orderkey/l_orderkey
+    # and o_custkey/c_custkey keep referential integrity per replica;
+    # c_nationkey is untouched so Q5's c_nationkey = s_nationkey
+    # residual keeps its selectivity. supplier/nation/region stay
+    # single-copy (dimensions: l_suppkey was never offset).
+    orders = T(spark, src_dir, "orders")
+    o_parts = [
+        orders.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(i * KEY_OFFSET)
+        ).withColumn("o_custkey", F.col("o_custkey") + F.lit(i * KEY_OFFSET))
+        for i in range(K)
+    ]
+    out = o_parts[0]
+    for p in o_parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/orders.parquet"
+    )
+    cust = T(spark, src_dir, "customer")
+    c_parts = [
+        cust.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * KEY_OFFSET))
+        for i in range(K)
+    ]
+    out = c_parts[0]
+    for p in c_parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(16).write.mode("overwrite").parquet(
+        f"{out_dir}/customer.parquet"
+    )
+    for dim in ("supplier", "nation", "region"):
+        T(spark, src_dir, dim).write.mode("overwrite").parquet(
+            f"{out_dir}/{dim}.parquet"
+        )
     with open(f"{out_dir}/_COMPLETE", "w") as f:
-        f.write("ok\n")
+        f.write(GEN_VERSION + "\n")
 
 
 def main() -> None:
@@ -143,11 +249,13 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # lineitem joined the dataset in r9: a kept r8 dir without it must
-    # regenerate
-    if not os.path.exists(f"{out_dir}/_COMPLETE") or not os.path.exists(
-        f"{out_dir}/lineitem.parquet"
-    ):
+    # generated-table set versioned via the _COMPLETE marker: a kept
+    # dir from an older round (no orders/customer) must regenerate
+    marker = f"{out_dir}/_COMPLETE"
+    have = (
+        open(marker).read().strip() if os.path.exists(marker) else ""
+    )
+    if have != GEN_VERSION:
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
         generate(spark, src_dir, out_dir)
@@ -157,6 +265,8 @@ def main() -> None:
 
     registry = load_all()
     timings: dict[str, float] = {}
+    rows10: dict[str, int] = {}
+    rows01: dict[str, int] = {}
     for name in SUITE:
         runs = []
         for _ in range(2):
@@ -166,6 +276,17 @@ def main() -> None:
             ).save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 3)
+        if name in COUNT_ROWS:
+            # untimed: output-row mass at both decades, so the table
+            # can report wall-per-output-row across the 100x jump
+            rows10[name] = registry[name].fn(spark, out_dir).count()
+            rows01[name] = registry[name].fn(spark, src_dir).count()
+
+    cand10: dict[str, int] = {}
+    cand01: dict[str, int] = {}
+    for name, fn in CANDIDATES.items():
+        cand10[name] = fn(spark, out_dir)
+        cand01[name] = fn(spark, src_dir)
 
     print(
         json.dumps(
@@ -174,6 +295,10 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "out_rows_sf10": rows10,
+                "out_rows_sf01": rows01,
+                "cand_pairs_sf10": cand10,
+                "cand_pairs_sf01": cand01,
                 "sf": 10.0,
                 "generate_sec": gen_s,
             }
