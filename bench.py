@@ -181,6 +181,51 @@ KNOWN_FLOORS = (
 )
 
 
+def should_run_rep(
+    r: list, rep: int, adaptive: bool, floor: float | None
+) -> bool:
+    """Decide whether rep index `rep` should run given timings `r` so
+    far (pure function; unit-tested in tests/test_bench_protocol.py
+    against the recorded r6-r9 rep sequences).
+
+    Rules, in order:
+    - reps below MIN_REPS always run; non-adaptive rows stop at
+      MAX_REPS, adaptive rows get one extra slot (ADVICE r9: the +1
+      is per-name, not per-group);
+    - converged (last two reps within 10% + 0.2 s of the min) stops
+      the sequence UNLESS an adaptive guard says the min is not
+      trustworthy yet:
+      * spread: max/min > 1.5 means a contention spike sat in the
+        sequence (r6 join: 7.2/15.8/6.6/6.2) — but the +1 slot is
+        the last word, it cannot itself demand another;
+      * still-descending: the last rep is both the min and >= 5%
+        below its predecessor (r7 bucketed: 4.07 -> 3.82 at cutoff);
+      * floor-pinned (r10): min sits > 10% above the recorded
+        idle-box floor — the uniformly-loaded-box case neither guard
+        above can see (r9 SHJ: reps 9.68/6.70/7.02, spread 1.44, not
+        descending, min 20% over the 5.54-5.63 s record).
+    """
+    name_max_reps = MAX_REPS + 1 if adaptive else MAX_REPS
+    if rep >= name_max_reps:
+        return False
+    if rep < MIN_REPS or not r:
+        return True
+    spread_bad = adaptive and max(r) > 1.5 * min(r) and rep < MAX_REPS
+    if (
+        adaptive
+        and len(r) >= 2
+        and r[-1] < r[-2] * 0.95
+        and r[-1] <= min(r) * 1.001
+    ):
+        spread_bad = True
+    if adaptive and floor is not None and min(r) > floor * 1.10:
+        spread_bad = True
+    converged = all(
+        x <= min(r) * (1 + CONVERGED_PCT) + 0.2 for x in r[-2:]
+    )
+    return spread_bad or not converged
+
+
 def _mk_spark(cpus: str, extra: dict | None = None, pretouch: bool = False):
     from gpu_olap_engine_spark.config import EngineConfig  # noqa: PLC0415
     from gpu_olap_engine_spark.session import get_spark  # noqa: PLC0415
@@ -532,52 +577,9 @@ def run_micro_child(group: str, runs_path: str, budget: float) -> None:
                     proj = min(r) if len(r) >= 2 else r[0] / 4
                     if time.monotonic() + proj > deadline:
                         continue
-                # beyond MIN_REPS, keep going only while the timing has
-                # not converged (the JVM was still faulting in memory):
-                # converged = the last TWO runs both sit at the floor
-                spread_bad = (
-                    adaptive and r and max(r) > 1.5 * min(r)
-                    and rep < MAX_REPS  # the +1 slot is the last word
-                )
-                # still-descending: treat a descending sequence as
-                # unconverged even inside the 1.5x spread (r7 bucketed
-                # shows 4.07 -> 3.82 at cutoff, spread 1.9 but the
-                # LAST two within it) — require the final rep to sit
-                # on the min. r10: extended from bucketed/groupby to
-                # ALL adaptive rows, i.e. the join100 group too — r9's
-                # one weak row was SHJ 6.70 s off reps [9.68, 6.70,
-                # 7.02] while the idle floor is 5.54-5.63 s; this
-                # guard is what rescued groupby (3.66 -> 0.478).
-                if (
-                    adaptive
-                    and rep >= MIN_REPS
-                    and rep < name_max_reps
-                    and len(r) >= 2
-                    and r[-1] < r[-2] * 0.95
-                    and r[-1] <= min(r) * 1.001
+                if not should_run_rep(
+                    r, rep, adaptive, KNOWN_FLOORS.get(name)
                 ):
-                    spread_bad = True
-                # floor-pinned: r9's SHJ row proved neither guard
-                # above catches a uniformly-loaded box — reps [9.68,
-                # 6.70, 7.02] pass the spread check (1.44 < 1.5) and
-                # are not descending, yet the min sits 20% above the
-                # 5.54-5.63 s floor three prior rounds converged to.
-                # While an adaptive row's min is pinned above its
-                # recorded idle floor, keep spending reps (budget
-                # projection above still caps the cost). Floors only
-                # apply at full micro scale.
-                if (
-                    adaptive
-                    and rep < name_max_reps
-                    and r
-                    and min(r) > KNOWN_FLOORS.get(name, float("inf")) * 1.10
-                ):
-                    spread_bad = True
-                if rep >= MIN_REPS and not spread_bad and all(
-                    x <= min(r) * (1 + CONVERGED_PCT) + 0.2 for x in r[-2:]
-                ):
-                    # +0.2s absolute: sub-second micros jitter past a
-                    # pure 10% band and would always run all 5 reps
                     continue
                 t0 = time.perf_counter()
                 if callable(df):
