@@ -237,6 +237,60 @@ def generate(spark, src_dir: str, out_dir: str) -> None:
         f.write(GEN_VERSION + "\n")
 
 
+def run_streaming(spark, src_dir: str, out_dir: str) -> None:
+    """sf10 streaming point (round-9 verdict stretch #8): the bounded
+    dedup-state path (stream_dedup_keys: dropDuplicatesWithinWatermark
+    through a real writeStream) over a 10M-row events replica written
+    as 32 files -> many micro-batches. Verified against the batch
+    COUNT(DISTINCT) on the same replica (the entry's defining
+    invariant), then timed. Prints its own JSON line."""
+    ev_path = f"{out_dir}/events.parquet"
+    gen_s = 0.0
+    if not os.path.exists(ev_path):
+        ev = T(spark, src_dir, "events")
+        parts = []
+        for i in range(K):
+            p = ev
+            for c in ("event_id", "user_id"):
+                p = p.withColumn(c, F.col(c) + F.lit(i * KEY_OFFSET))
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        t0 = time.perf_counter()
+        out.repartition(32).write.mode("overwrite").parquet(ev_path)
+        gen_s = round(time.perf_counter() - t0, 1)
+
+    registry = load_all()
+    fn = registry["stream_dedup_keys"].fn
+    t0 = time.perf_counter()
+    got = sorted(map(tuple, fn(spark, out_dir).collect()))
+    wall = round(time.perf_counter() - t0, 3)
+    want = sorted(
+        map(
+            tuple,
+            T(spark, out_dir, "events")
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n_users"))
+            .collect(),
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "scale10_streaming_dedup_state",
+                "query": "stream_dedup_keys",
+                "events_rows": spark.read.parquet(ev_path).count(),
+                "wall_sec": wall,
+                "matches_batch_distinct": got == want,
+                "result_rows": len(got),
+                "generate_sec": gen_s,
+                "sf": 10.0,
+            }
+        )
+    )
+
+
 def main() -> None:
     src_dir = "/root/testdata/sf0.1"
     out_dir = os.environ.get("SPARK_GRAFT_SCALE10_DIR", "/tmp/spark_graft_sf10")
@@ -248,6 +302,14 @@ def main() -> None:
         master=f"local[{cpus}]",
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    if "--streaming" in sys.argv:
+        # standalone streaming point over a kept dir (events generated
+        # lazily, independent of the batch-suite marker)
+        os.makedirs(out_dir, exist_ok=True)
+        run_streaming(spark, src_dir, out_dir)
+        spark.stop()
+        return
 
     # generated-table set versioned via the _COMPLETE marker: a kept
     # dir from an older round (no orders/customer) must regenerate
