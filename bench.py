@@ -171,8 +171,12 @@ CONVERGED_PCT = 0.10  # last run within 10% of the observed min
 # micro scale (the shapes they were measured at).
 KNOWN_FLOORS = (
     {
-        "micro_join_int_100m_x_100m": 5.4,
-        "micro_join_int_100m_x_100m_shj": 5.5,
+        # r10 zstd-era joins: sub-5 recorded (SMJ 4.963 / SHJ 4.88,
+        # BENCH_DETAIL_r10_builder.json; 5.28-5.53 under load-18).
+        # Floors sit just above the recorded minima so the guard
+        # keeps hunting on a loaded box without demanding a record.
+        "micro_join_int_100m_x_100m": 5.1,
+        "micro_join_int_100m_x_100m_shj": 5.0,
         "micro_groupby_agg_100m": 0.48,
         "micro_join_bucketed_100m_x_100m": 0.70,
     }
