@@ -346,21 +346,26 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
     between semi-joining against ~orders rows and against ~lineitem
     rows. o_orderkey is the unique tiebreaker."""
     li = T(spark, sf_dir, "lineitem")
+    # ONE pass over the fact table (r10): the final projection groups
+    # by o_orderkey (plus functionally-dependent customer/order
+    # attributes), so its SUM(l_quantity) per group IS the per-order
+    # total the HAVING subquery already computed — the textbook plan's
+    # second full-lineitem aggregation is redundant. Reusing the
+    # aggregate turns Q18 into: one lineitem aggregate, a filter, and
+    # two orders-sized joins. At 100 TB that removes a second full
+    # scan+shuffle of the largest table; bit-identical (same dsum over
+    # the same row set).
     big_orders = (
         li.groupBy("l_orderkey")
-        .agg(dsum("l_quantity", "q"))
-        .filter(F.col("q") > 250)
-        .select(F.col("l_orderkey").alias("big_key"))
+        .agg(dsum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > 250)
     )
     orders = T(spark, sf_dir, "orders").join(
-        big_orders, F.col("o_orderkey") == F.col("big_key"), "left_semi"
+        big_orders, F.col("o_orderkey") == F.col("l_orderkey")
     )
     cust = T(spark, sf_dir, "customer")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum("l_quantity", "sum_qty"))
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "c_name",
