@@ -181,11 +181,15 @@ def test_tpch_q19_disjunction_decomposes_into_scan(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
-def test_tpch_q18_semi_join_then_topk(spark):
-    """The HAVING-derived key set applies as a semi join (orders rows
-    never duplicate), and the final top-100 fuses to TakeOrdered."""
+def test_tpch_q18_single_fact_pass_then_topk(spark):
+    """r10 plan: Q18's HAVING aggregate IS the output sum (one
+    lineitem pass), so the plan must contain exactly ONE scan of the
+    fact table, no second aggregate after the joins, and the final
+    top-100 fused to TakeOrdered. (Replaces the r5-era semi-join
+    assertion: the semi join existed to support the now-removed
+    second lineitem aggregation.)"""
     plan = plan_of(REGISTRY["q84_tpch_q18"].fn(spark, SF_ORACLE))
-    assert "LeftSemi" in plan
+    assert plan.count("lineitem.parquet") == 1, plan
     assert "TakeOrderedAndProject" in plan
 
 
