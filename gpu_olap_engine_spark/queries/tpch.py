@@ -40,13 +40,14 @@ def _rev() -> F.Column:
     "q77_tpch_q1",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           {o_dsum('l_quantity')} AS sum_qty,
-           {o_dsum('l_extendedprice')} AS sum_base_price,
+           {_o_qsum('l_quantity')} AS sum_qty,
+           {_o_qsum('l_extendedprice')} AS sum_base_price,
            {_o_qsum(_REV)} AS sum_disc_price,
            {_o_qsum(_REV + ' * (1 + l_tax)')} AS sum_charge,
-           {o_davg('l_quantity')} AS avg_qty,
-           {o_davg('l_extendedprice')} AS avg_price,
-           {o_davg('l_discount')} AS avg_disc,
+           ({_o_qsum('l_quantity')}) / COUNT(l_quantity) AS avg_qty,
+           ({_o_qsum('l_extendedprice')}) / COUNT(l_extendedprice)
+               AS avg_price,
+           ({_o_qsum('l_discount')}) / COUNT(l_discount) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= DATE '2001-09-01'
@@ -58,18 +59,37 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered scan. One shuffle (partial+final agg over 6 groups); the
     shipdate predicate pushes into parquet. At 100 TB this is the
     map-side-combine showcase: 6 groups mean the exchange moves ~6 rows
-    per map task regardless of input size."""
+    per map task regardless of input size.
+
+    r10 arithmetic: ALL eight aggregates use the floor-quantized
+    int64 convention (_qsum; avg = qsum / count with the division
+    order mirrored in the oracle). Measured at sf10 the decimal
+    accumulators were the query, not the scan: count-only 0.83 s, one
+    decimal SUM +0.8 s, one floor-long SUM +0.05 s; six decimal aggs
+    put Q1 at 5.6 s vs ~1.5 s quantized. Cross-engine equality is
+    unchanged (both engines floor identical doubles); the floor
+    convention was already this query's rule for the computed
+    sum_disc_price/sum_charge terms and is exact for the integral
+    l_quantity. At 100 TB the long accumulator also has MORE headroom
+    than DECIMAL(18,4) (9.2e14 vs 1e14 at scale 4)."""
     li = T(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2001-09-01").cast("date")
     )
+
+    def _qavg(col, alias: str):
+        return (
+            (F.sum(F.floor(col * 10000).cast("long")).cast("double") / 10000)
+            / F.count(col)
+        ).alias(alias)
+
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        dsum("l_quantity", "sum_qty"),
-        dsum("l_extendedprice", "sum_base_price"),
+        _qsum(F.col("l_quantity"), "sum_qty"),
+        _qsum(F.col("l_extendedprice"), "sum_base_price"),
         _qsum(_rev(), "sum_disc_price"),
         _qsum(_rev() * (1 + F.col("l_tax")), "sum_charge"),
-        davg("l_quantity", "avg_qty"),
-        davg("l_extendedprice", "avg_price"),
-        davg("l_discount", "avg_disc"),
+        _qavg(F.col("l_quantity"), "avg_qty"),
+        _qavg(F.col("l_extendedprice"), "avg_price"),
+        _qavg(F.col("l_discount"), "avg_disc"),
         F.count("*").alias("count_order"),
     )
 
@@ -324,16 +344,18 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q84_tpch_q18",
     oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey,
+               SUM(CAST(floor(l_quantity * 10000) AS BIGINT)) AS q_l
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(floor(l_quantity * 10000) AS BIGINT)) > 2500000
+    )
     SELECT c_custkey, c_name, o_orderkey,
            strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_date,
            o_totalprice,
-           {o_dsum('l_quantity')} AS sum_qty
-    FROM customer, orders, lineitem
-    WHERE o_orderkey IN (
-            SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-            HAVING {o_dsum('l_quantity')} > 250)
-      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
-    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+           CAST(q_l AS DOUBLE) / 10000 AS sum_qty
+    FROM customer, orders, big
+    WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
     ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
     """,
 )
@@ -355,10 +377,26 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two orders-sized joins. At 100 TB that removes a second full
     # scan+shuffle of the largest table; bit-identical (same dsum over
     # the same row set).
+    # q182-proof arithmetic (r10): the quantity total accumulates as
+    # floor-quantized int64 and the HAVING threshold compares in
+    # PURE INTEGERS (q_l > 2_500_000) — never a double compare whose
+    # cross-engine equality leans on fixture values; the emitted
+    # sum_qty is one exact long -> double division in both engines.
+    # l_quantity is integral so the quantized sum equals the exact
+    # decimal sum bit-for-bit; the long aggregate runs ~10x faster
+    # than the DECIMAL(18,4) accumulator (measured at sf10, see Q1).
     big_orders = (
         li.groupBy("l_orderkey")
-        .agg(dsum("l_quantity", "sum_qty"))
-        .filter(F.col("sum_qty") > 250)
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") * 10000).cast("long")).alias(
+                "q_l"
+            )
+        )
+        .filter(F.col("q_l") > 2_500_000)
+        .select(
+            "l_orderkey",
+            (F.col("q_l").cast("double") / 10000).alias("sum_qty"),
+        )
     )
     orders = T(spark, sf_dir, "orders").join(
         big_orders, F.col("o_orderkey") == F.col("l_orderkey")
