@@ -360,13 +360,16 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 large-volume customers: an aggregate-derived key set
-    (orders whose total quantity clears a threshold) semi-joins back
-    into the same fact table it came from, then re-aggregates with
-    customer attributes. The HAVING subquery reduces lineitem to one
-    row per order before the IN — at 100 TB that is the difference
-    between semi-joining against ~orders rows and against ~lineitem
-    rows. o_orderkey is the unique tiebreaker."""
+    """TPC-H Q18 large-volume customers in ONE fact pass (r10): the
+    output groups by o_orderkey (customer/order attributes are
+    functionally dependent on it), so the per-order quantity total
+    the HAVING filter computes IS the output sum_qty — the textbook
+    plan's second lineitem aggregation is redundant and this plan
+    does one lineitem aggregate, a pure-integer threshold filter
+    (q_l > 2_500_000 on the floor-quantized int64 total — the
+    q182-proof compare), and two orders-sized joins. At 100 TB that
+    removes a full scan+shuffle of the largest table per run.
+    o_orderkey is the unique tiebreaker."""
     li = T(spark, sf_dir, "lineitem")
     # ONE pass over the fact table (r10): the final projection groups
     # by o_orderkey (plus functionally-dependent customer/order
