@@ -902,11 +902,11 @@ def test_near_dup_hot_bucket_split_bounded_and_exact(spark, tmp_path):
 def test_scaled_dot_batch_degenerate_inputs(spark):
     """r9 advice: the Arrow batch twin must survive all-null batches
     (object-array stack -> TypeError) and NaN-element vectors, and
-    must agree with the Catalyst twin on every well-formed row.
-    Degenerate rows return NULL: NULL/ragged match Catalyst exactly;
-    NaN elements arrive indistinguishable from element-NULLs through
-    the Arrow list boundary, so NaN rows also map to NULL (documented
-    divergence from Catalyst's floor(NaN)->0 cast artifact)."""
+    must agree with the Catalyst twin on EVERY row — r10 closed the
+    last divergence by giving Catalyst's scaled_dot the same
+    NaN -> NULL rule (exists(isnan) guard), so NULL / ragged / NaN
+    rows are NULL on both paths and well-formed rows are
+    bit-identical."""
     from pyspark.sql import functions as F
 
     from gpu_olap_engine_spark.operators.similarity import (
@@ -936,8 +936,11 @@ def test_scaled_dot_batch_degenerate_inputs(spark):
             "id", scaled_dot(F.col("a"), F.col("b")).alias("d")
         ).collect()
     }
+    # full twin parity: degenerate rows NULL on BOTH paths (r10),
+    # well-formed rows bit-identical
+    assert cat == got
     for i in (1, 5):
-        assert got[i] == cat[i] and got[i] is not None
+        assert got[i] is not None
 
     # an ALL-degenerate relation (the object-array stack path) must
     # not fail the task
