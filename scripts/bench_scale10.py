@@ -66,6 +66,11 @@ SUITE = [
     # the 60M-row lineitem plus replicated orders/customer
     "q80_tpch_q5",
     "q84_tpch_q18",
+    # r10 session-2: the asymmetric cross verify (gram_cross_pairs) —
+    # the 100 TB decontamination shape (train moves once per blocking
+    # key, tiny eval side replicates per chunk) gets its second-decade
+    # record alongside the symmetric near-dup it derives from
+    "sim_decontaminate",
 ]
 
 # Rows whose output size measures corpus structure (candidate/dup/
@@ -81,6 +86,7 @@ COUNT_ROWS = {
     "dedup_simhash",
     "dedup_lines_keep_first",
     "sim_near_dup_pairs",
+    "sim_decontaminate",
 }
 
 GEN_VERSION = "v3"  # bump when generate() writes new tables
@@ -128,10 +134,30 @@ def _cand_span(spark, d: str) -> int:
 # wall ratios are superlinear (round-9 verdict #3): counted at BOTH
 # decades so the table can show wall-per-candidate ~flat — corpus
 # densification, not plan degradation.
+def _cand_decontaminate(spark, d: str) -> int:
+    """Asymmetric verify-work mass: sum over blocking buckets of
+    n_train x n_eval — the number of cosine evaluations
+    gram_cross_pairs performs (vs _cand_near_dup's C(n, 2) for the
+    symmetric operator over the same buckets; the gap between the two
+    IS the train-train work the asymmetric shape skips)."""
+    from gpu_olap_engine_spark.operators.similarity import _near_dup_keyed
+
+    keyed = _near_dup_keyed(
+        T(spark, d, "embeddings"), "vec_id", "embedding", 10
+    )
+    per = keyed.groupBy("bkey").agg(
+        F.sum((F.col("vid") % 7 == 0).cast("long")).alias("ne"),
+        F.sum((F.col("vid") % 7 != 0).cast("long")).alias("nt"),
+    )
+    row = per.agg(F.sum(F.col("ne") * F.col("nt")).alias("p")).collect()[0]
+    return int(row["p"] or 0)
+
+
 CANDIDATES = {
     "dedup_minhash_lsh": _cand_minhash,
     "sim_near_dup_pairs": _cand_near_dup,
     "dedup_span_stats": _cand_span,
+    "sim_decontaminate": _cand_decontaminate,
 }
 
 
