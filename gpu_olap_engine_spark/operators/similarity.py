@@ -627,6 +627,28 @@ def top_dim_keys(vec: Column, m: int = 6) -> Column:
 QSCALE = 1_000_000  # vector-level quantization for the matmul verify
 
 
+def _prefilter_lim(threshold: float) -> float:
+    """Slackened threshold for the multiply-form Gram prefilter.
+
+    The exact predicate (the oracle's) is ``fl(g / (na*nb)) >= t``.
+    Evaluating it directly costs a full-matrix IEEE division plus a
+    second slab-sized array per Gram tile — at sf10 that is ~15.7e9
+    divides and the dominant elementwise cost of the verify (measured
+    ~30% of the near-dup row). The multiply form ``g >= t * na * nb``
+    needs one multiply per cell and no second array, and differs from
+    the exact predicate only within a few ulp of the boundary (each
+    IEEE op contributes ~1e-16 relative error). Prefiltering with a
+    1e-9 relative slack — seven orders of magnitude wider than the
+    worst-case rounding gap — therefore yields a strict SUPERSET of
+    the exact passes; the exact division compare then runs on the
+    survivors only (the true pairs plus a measure-zero boundary band),
+    so the emitted pair set and cosines are bit-identical to the
+    unfiltered division. Sign-safe: the slack widens toward -inf for
+    either sign of t (norms are non-negative; a zero norm makes the
+    exact cosine NaN, which fails ``>= t`` just as it did before)."""
+    return threshold - abs(threshold) * 1e-9
+
+
 def near_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -730,6 +752,8 @@ def gram_pairs(
             {"id_a": lo[good], "id_b": hi[good], "cosine": cos[good]}
         )
 
+    lim = _prefilter_lim(threshold)
+
     def verify(key, pdf: pd.DataFrame) -> pd.DataFrame:
         _, gi, gj = key
         out = []
@@ -744,11 +768,16 @@ def gram_pairs(
             for s in range(0, k, block_rows):
                 e = min(s + block_rows, k)
                 g = q[s:e] @ q.T  # exact: int-valued doubles < 2^53
-                cos = g / np.outer(nrm[s:e], nrm)
+                # multiply-form prefilter (no full-matrix division —
+                # see _prefilter_lim), then the oracle's exact
+                # division compare on the survivors only
                 r, c = np.nonzero(
-                    (cos >= threshold) & (col > np.arange(s, e)[:, None])
+                    (g >= np.outer(lim * nrm[s:e], nrm))
+                    & (col > np.arange(s, e)[:, None])
                 )
-                out.append(_emit(ids[s + r], ids[c], cos[r, c]))
+                cos = g[r, c] / (nrm[s + r] * nrm[c])
+                keep = cos >= threshold
+                out.append(_emit(ids[s + r][keep], ids[c][keep], cos[keep]))
         else:  # cross-chunk: full rectangle, each pair in ONE group
             pa, pb = pdf[pdf["ck"] == gi], pdf[pdf["ck"] == gj]
             if len(pa) == 0 or len(pb) == 0:
@@ -761,9 +790,10 @@ def gram_pairs(
             for s in range(0, len(ida), block_rows):
                 e = min(s + block_rows, len(ida))
                 g = qa[s:e] @ qb.T
-                cos = g / np.outer(na[s:e], nb)
-                r, c = np.nonzero(cos >= threshold)
-                out.append(_emit(ida[s + r], idb[c], cos[r, c]))
+                r, c = np.nonzero(g >= np.outer(lim * na[s:e], nb))
+                cos = g[r, c] / (na[s + r] * nb[c])
+                keep = cos >= threshold
+                out.append(_emit(ida[s + r][keep], idb[c][keep], cos[keep]))
         return pd.concat(out, ignore_index=True) if out else empty
 
     return (
@@ -822,6 +852,8 @@ def gram_cross_pairs(
          "cosine": pd.Series([], dtype="float64")}
     )
 
+    lim = _prefilter_lim(threshold)
+
     def verify(pdf: pd.DataFrame) -> pd.DataFrame:
         pa, pb = pdf[pdf["side"] == 0], pdf[pdf["side"] == 1]
         if len(pa) == 0 or len(pb) == 0:
@@ -835,11 +867,14 @@ def gram_cross_pairs(
         for s in range(0, len(ida), block_rows):
             e = min(s + block_rows, len(ida))
             g = qa[s:e] @ qb.T  # exact: int-valued doubles < 2^53
-            cos = g / np.outer(na[s:e], nb)
-            r, c = np.nonzero(cos >= threshold)
+            # multiply-form prefilter + exact division on survivors
+            # (bit-identical output; see _prefilter_lim)
+            r, c = np.nonzero(g >= np.outer(lim * na[s:e], nb))
+            cos = g[r, c] / (na[s + r] * nb[c])
+            keep = cos >= threshold
             out.append(pd.DataFrame(
-                {"id_big": ida[s + r], "id_small": idb[c],
-                 "cosine": cos[r, c]}
+                {"id_big": ida[s + r][keep], "id_small": idb[c][keep],
+                 "cosine": cos[keep]}
             ))
         return pd.concat(out, ignore_index=True) if out else empty
 
