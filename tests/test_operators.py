@@ -836,6 +836,82 @@ def test_near_dup_matmul_no_false_positives_and_recall(spark):
     assert len(truth) == 14 and len(got) == 14  # full recall at sf0.01
 
 
+def test_cosine_similarity_nan_vector_is_null(spark):
+    """r10: the NaN -> NULL rule must reach the composed Catalyst
+    surface too — cosine_similarity over a NaN-bearing vector is NULL
+    (the dot is NULL via _fold_scaled's guard and NULL propagates
+    through sqrt/divide), never a silently-corrupted value from
+    floor(NaN) -> 0 terms."""
+    from pyspark.sql import functions as F
+
+    from gpu_olap_engine_spark.operators.similarity import (
+        cosine_similarity,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], [1.0, 0.0]),
+            (2, [float("nan"), 1.0], [1.0, 0.0]),
+        ],
+        "id long, a array<double>, b array<double>",
+    )
+    got = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id", cosine_similarity(F.col("a"), F.col("b")).alias("c")
+        ).collect()
+    }
+    assert got[1] == 1.0 and got[2] is None
+
+
+def test_gram_prefilter_negative_threshold_exact(spark):
+    """r10 prefilter: _prefilter_lim claims sign-safety — with a
+    NEGATIVE threshold (where the multiply form's inequality direction
+    is the hazard) gram_pairs must still emit exactly the pairs whose
+    division-form cosine clears the threshold, bit-identical to the
+    direct numpy ground truth."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from gpu_olap_engine_spark.operators.similarity import (
+        _near_dup_keyed,
+        gram_pairs,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    thr = -0.2
+    keyed = _near_dup_keyed(emb, "vec_id", "embedding", 2)
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in gram_pairs(keyed, threshold=thr).collect()
+    }
+    # ground truth: division-form cosine over the SAME blocking pairs
+    pdf = emb.toPandas()
+    q = np.floor(
+        np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 1e6
+    )
+    g = q @ q.T
+    nrm = np.sqrt(np.diag(g))
+    c = g / np.outer(nrm, nrm)
+    ids = pdf["vec_id"].to_numpy()
+    pos = {v: i for i, v in enumerate(ids)}
+    kpdf = keyed.groupBy("bkey").agg(
+        F.collect_list("vid").alias("vs")
+    ).collect()
+    truth = {}
+    for row in kpdf:
+        vs = row["vs"]
+        for i in range(len(vs)):
+            for j in range(i + 1, len(vs)):
+                a, b = sorted((vs[i], vs[j]))
+                val = c[pos[a], pos[b]]
+                if val >= thr:
+                    truth[(a, b)] = val
+    assert got == truth and len(truth) > 0
+
+
 def test_near_dup_hot_bucket_split_bounded_and_exact(spark, tmp_path):
     """r9 hardening (VERDICT #4 / advice): a pathologically hot
     blocking key — every vector sharing the same dominant dim — must
