@@ -34,9 +34,22 @@ def connected_components(
     spills rather than OOMs. For high-diameter graphs use
     ``connected_components_star`` (O(log n) rounds).
     """
+    # symmetrize via explode(array(fwd, rev)) rather than a two-branch
+    # union: the union would evaluate the CALLER's edges subtree once
+    # per branch during the eager checkpoint, and every registered
+    # caller passes an expensive near-dup pair derivation (minhash /
+    # Gram verify) as edges — explode emits both orientations from a
+    # single evaluation
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
         .distinct()
         .localCheckpoint(eager=True)
     )

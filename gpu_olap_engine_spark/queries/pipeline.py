@@ -269,18 +269,22 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpu_olap_engine_spark.operators import similarity as S
 
     docs = T(spark, sf_dir, "documents")
+    # explode(array(id_a, id_b)), not a two-branch union: the union
+    # would run each (expensive) pair derivation once per branch
     text_pairs = D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5)
     text_dups = (
-        text_pairs.select(F.col("id_a").alias("doc_id"))
-        .union(text_pairs.select(F.col("id_b").alias("doc_id")))
+        text_pairs.select(
+            F.explode(F.array("id_a", "id_b")).alias("doc_id")
+        )
         .distinct()
         .withColumn("by_text", F.lit(1))
     )
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     emb_pairs = S.near_dup_pairs(emb, threshold=0.45)
     emb_dups = (
-        emb_pairs.select(F.col("id_a").alias("doc_id"))
-        .union(emb_pairs.select(F.col("id_b").alias("doc_id")))
+        emb_pairs.select(
+            F.explode(F.array("id_a", "id_b")).alias("doc_id")
+        )
         .distinct()
         .withColumn("by_embedding", F.lit(1))
     )

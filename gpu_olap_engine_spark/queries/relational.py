@@ -1201,11 +1201,13 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bc.b").alias("z"),
         )
     )
-    member = (
-        tri.select(F.col("x").alias("part"))
-        .unionAll(tri.select(F.col("y").alias("part")))
-        .unionAll(tri.select(F.col("z").alias("part")))
-    )
+    # one pass over tri: a 3-way unionAll of selects from tri would
+    # re-execute the two join stages once PER BRANCH (the same
+    # inlining hazard _kcore_oracle documents below; measured 3x the
+    # whole query's join work — 27 s of a 40 s wall at sf0.1);
+    # explode(array(x, y, z)) emits the identical three member rows
+    # per triangle from a single evaluation of the join tree
+    member = tri.select(F.explode(F.array("x", "y", "z")).alias("part"))
     return member.groupBy("part").agg(F.count("*").alias("n_triangles"))
 
 
