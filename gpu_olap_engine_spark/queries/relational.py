@@ -1363,9 +1363,21 @@ def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.pk").alias("a"), F.col("b.pk").alias("b"))
         .distinct()
     )
-    eb = e.unionAll(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
+    # symmetrize via explode, not a two-branch union: the union would
+    # run the edge-generation self-join twice during the eager
+    # checkpoint (same hazard as q141's member aggregation)
+    eb = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("ed")
+        )
+        .select(F.col("ed.a").alias("a"), F.col("ed.b").alias("b"))
+        .localCheckpoint(eager=True)
+    )
     seeds = op.select(F.col("pk").alias("nd")).distinct().filter(
         F.col("nd") % 97 == 0
     )
