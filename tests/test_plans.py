@@ -202,6 +202,19 @@ def test_incremental_rollup_merge_reuses_partitioning(spark):
     assert shuffle_count(df) == 2
 
 
+def test_triangle_count_single_member_pass(spark):
+    """r10: the member aggregation must be ONE explode pass over the
+    triangle join tree, not a 3-branch unionAll that re-executes the
+    wedge + closing joins per branch (the recompute cost 27 s of a
+    40 s wall at sf0.1). The edge frame e is referenced 3x by the two
+    joins (inherent to the single-plan formulation), each reference
+    scanning lineitem twice via the op self-join -> exactly 6 fact
+    scans; the unionAll shape had 18."""
+    plan = plan_of(REGISTRY["q141_triangle_count"].fn(spark, SF_ORACLE))
+    assert plan.count("lineitem.parquet") == 6, plan.count("lineitem.parquet")
+    assert "Generate explode" in plan or "Generate" in plan
+
+
 def test_span_dedup_is_gram_keyed_not_all_pairs(spark):
     """Duplicated-span stats must stay a gram-keyed aggregation +
     semi join — never a text-to-text or all-pairs comparison."""
