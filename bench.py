@@ -498,6 +498,16 @@ def run_micro_child(group: str, runs_path: str, budget: float) -> None:
     ms = float(os.environ.get("SPARK_GRAFT_MICRO_SCALE", "1.0"))
 
     extra = {}
+    if group == "join100" and not os.environ.get("SPARK_GRAFT_DRIVER_MEMORY"):
+        # r10: a floor-guard-extended rep sequence OOMed the default
+        # 24g child heap on a late SHJ rep (java.lang.OutOfMemoryError
+        # after 7+ full-scale reps; every completed rep was already
+        # flushed, so the artifact survived — but the dead child
+        # forfeits its remaining rep budget). The two 100M-row hash
+        # builds plus per-rep AQE plan state want headroom: 32g. The
+        # box has 128 GiB and micro children run sequentially, so the
+        # only cost is ~1 s more untimed AlwaysPreTouch memset.
+        os.environ["SPARK_GRAFT_DRIVER_MEMORY"] = "32g"
     if group == "join100":
         # The 100M x 100M join wants a NARROWER initial partition count
         # than the engine's AQE default (256, sized for bounded sort
