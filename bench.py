@@ -171,12 +171,13 @@ CONVERGED_PCT = 0.10  # last run within 10% of the observed min
 # micro scale (the shapes they were measured at).
 KNOWN_FLOORS = (
     {
-        # r10 zstd-era joins: sub-5 recorded (SMJ 4.963 / SHJ 4.88,
-        # BENCH_DETAIL_r10_builder.json; 5.28-5.53 under load-18).
-        # Floors sit just above the recorded minima so the guard
-        # keeps hunting on a loaded box without demanding a record.
-        "micro_join_int_100m_x_100m": 5.1,
-        "micro_join_int_100m_x_100m_shj": 5.0,
+        # r10 zstd-era joins: records SMJ 4.53 / SHJ 4.18 on the 32g
+        # child (BENCH_DETAIL_r10s2_builder.json; earlier same-conf
+        # tree 4.963/4.88). Floors sit just above the recorded minima
+        # so the guard keeps hunting on a loaded box without
+        # demanding a record.
+        "micro_join_int_100m_x_100m": 4.7,
+        "micro_join_int_100m_x_100m_shj": 4.4,
         "micro_groupby_agg_100m": 0.48,
         "micro_join_bucketed_100m_x_100m": 0.70,
     }
