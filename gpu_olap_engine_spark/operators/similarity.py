@@ -93,8 +93,11 @@ def scaled_dot_batch() -> Column:
     rows with a NaN element return NULL too — element-level NULLs
     arrive as NaN through the Arrow list boundary, so NaN-means-NULL
     is the only total rule. Catalyst's scaled_dot applies the same
-    rule via an exists(isnan) guard (r10), so the two implementations
-    agree on EVERY input, degenerate or not. An all-NULL batch stacks
+    rule via the per-element NaN->NULL guard inside _fold_scaled's
+    transform (a NaN term nulls the array sum; the up-front
+    exists(isnan) pass was measured 30-45% slower and rejected — see
+    _fold_scaled), so the two implementations agree on EVERY input,
+    degenerate or not. An all-NULL batch stacks
     into an object array (TypeError, not ValueError) — both fall
     back."""
     from pyspark.sql.functions import pandas_udf  # noqa: PLC0415

@@ -212,7 +212,9 @@ def test_triangle_count_single_member_pass(spark):
     scans; the unionAll shape had 18."""
     plan = plan_of(REGISTRY["q141_triangle_count"].fn(spark, SF_ORACLE))
     assert plan.count("lineitem.parquet") == 6, plan.count("lineitem.parquet")
-    assert "Generate explode" in plan or "Generate" in plan
+    # the single-pass shape specifically: a Generate node whose
+    # argument is explode(array(...)) — not merely any Generate
+    assert "Generate" in plan and "explode(array(" in plan
 
 
 def test_span_dedup_is_gram_keyed_not_all_pairs(spark):
