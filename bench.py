@@ -149,7 +149,13 @@ MICRO_GROUPS = {
 # floor (reclaim pressure), eating the group's whole budget. join100
 # (the baseline-headline shape) still gets a box no other JVM has
 # touched, since each group's JVM dies before the next starts.
-GROUP_ORDER = ("duckdb", "join100", "light", "bucketed")
+# bucketed runs BEFORE light (r11, VERDICT r10 #1): r10's artifact
+# recorded the marquee bucketed row from ONE wall-starved cold rep
+# (5.8 s vs a 0.73-0.84 s converged floor) because the group ran
+# last on a loaded box. light is the cheapest and least
+# baseline-critical group — a budget squeeze now drops sub-second
+# context rows instead of the marquee number.
+GROUP_ORDER = ("duckdb", "join100", "bucketed", "light")
 ALL_MICROS = [n for g in GROUP_ORDER for n in MICRO_GROUPS[g]]
 # Adaptive reps: at least MIN_REPS (round-4 protocol), up to MAX_REPS
 # while the budget allows and the timings have not converged. A fresh
@@ -474,8 +480,14 @@ def run_duckdb_child(runs_path: str, budget: float) -> None:
                     proj = min(r) if len(r) >= 2 else r[0] / 4
                     if time.monotonic() + proj > deadline:
                         continue
+                # controls converge on a LOOSER rule (15% + 0.3 s):
+                # they exist for ratio context, ~10% accuracy is
+                # plenty, and r10 spent 5 join reps (12.2-14.1 s,
+                # ~25 s of wall) chasing the strict 10% band on a
+                # noisy box — wall that the marquee bucketed group
+                # needed (r11).
                 if rep >= MIN_REPS and all(
-                    x <= min(r) * (1 + CONVERGED_PCT) + 0.2 for x in r[-2:]
+                    x <= min(r) * 1.15 + 0.3 for x in r[-2:]
                 ):
                     continue
                 t0 = time.perf_counter()
@@ -639,15 +651,6 @@ def _bucketed_micros(spark, ms: float, deadline: float, emit_run):
     def rows(n: int) -> int:
         return max(int(n * ms), 1000)
 
-    # r9: one sorted file per bucket + the legacy outputOrdering conf
-    # => the join plan drops its per-side Sort nodes too (the scan
-    # reports the sortBy order), leaving a pure zipper merge of
-    # pre-sorted buckets — zero exchange AND zero sort. Before this
-    # the "zero-exchange" micro still re-sorted 2 x 100M rows per rep
-    # because multi-file buckets void the sortBy guarantee.
-    spark.conf.set(
-        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
-    )
     a100 = spark.range(rows(100_000_000), numPartitions=64).select(
         F.col("id").alias("k"), (F.col("id") * 2).alias("va")
     )
@@ -683,12 +686,37 @@ def _bucketed_micros(spark, ms: float, deadline: float, emit_run):
                 "run the sort-free merge micro on it"
             )
     ba, bb = spark.table("bench_ba"), spark.table("bench_bb")
-    return [
-        (
-            "micro_join_bucketed_100m_x_100m",
-            ba.join(bb, "k").select(F.count("*").alias("c")),
-        )
-    ]
+    joined = ba.join(bb, "k").select(F.count("*").alias("c"))
+
+    # r9: one sorted file per bucket + the legacy outputOrdering conf
+    # => the join plan drops its per-side Sort nodes too (the scan
+    # reports the sortBy order), leaving a pure zipper merge of
+    # pre-sorted buckets — zero exchange AND zero sort. Before this
+    # the "zero-exchange" micro still re-sorted 2 x 100M rows per rep
+    # because multi-file buckets void the sortBy guarantee.
+    # r11 (ADVICE r9 #1, stricter half): the conf is set/restored
+    # around each timed rep — Catalyst reads session conf at action
+    # time, so scoping it to the callable keeps it exact while
+    # guaranteeing no other micro that ever joins this session can
+    # inherit it. The layout assertion above remains the soundness
+    # gate (the conf is only trusted on verified one-file buckets).
+    conf_key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+
+    def run_bucketed_join() -> None:
+        try:
+            prev = spark.conf.get(conf_key)
+        except Exception:  # noqa: BLE001  # unset in this session
+            prev = None
+        spark.conf.set(conf_key, "true")
+        try:
+            joined.write.format("noop").mode("overwrite").save()
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
+
+    return [("micro_join_bucketed_100m_x_100m", run_bucketed_join)]
 
 
 def main() -> None:
@@ -873,10 +901,23 @@ def main() -> None:
     # wall at each launch).
     group_weight = {
         "duckdb": 0.20,
-        "join100": 0.40,
+        "join100": 0.36,
+        "bucketed": 0.32,
         "light": 0.12,
-        "bucketed": 0.35,
     }
+    # floor of 75s: enough for session start + the cold rep-1 pass
+    # that guarantees each micro's row (the child only gates reps
+    # >= 2 on its deadline, so a floored child still lands rep 1).
+    # duckdb gets a 150s floor: its cold rep-1 spread (14-32 s
+    # measured against an 11 s floor) needs 3 reps of each shape
+    # to converge, and its weight share lands under the generic
+    # floor anyway — the slack comes out of the joins' surplus.
+    # bucketed gets a 130s floor (r11): its untimed setup (session +
+    # pre-touch + two one-file-per-bucket 100M-row writes) measured
+    # ~95s on r10's loaded box; the floor guarantees the >= 3 reps
+    # of the ~0.8s join that ARE the row, even when everything
+    # before overspent.
+    group_floor = {"duckdb": 150.0, "bucketed": 130.0}
     for gi, group in enumerate(GROUP_ORDER):
         remaining = deadline - time.monotonic()
         if remaining < 45:
@@ -885,18 +926,21 @@ def main() -> None:
         fd, runs_path = tempfile.mkstemp(prefix=f"bench_runs_{group}_")
         os.close(fd)
         later = sum(group_weight[g] for g in GROUP_ORDER[gi:])
-        # floor of 75s: enough for session start + the cold rep-1 pass
-        # that guarantees each micro's row (the child only gates reps
-        # >= 2 on its deadline, so a floored child still lands rep 1).
-        # duckdb gets a 150s floor: its cold rep-1 spread (14-32 s
-        # measured against an 11 s floor) needs 3 reps of each shape
-        # to converge, and its weight share lands under the generic
-        # floor anyway — the slack comes out of the joins' surplus.
-        floor = 150.0 if group == "duckdb" else 75.0
+        floor = group_floor.get(group, 75.0)
         child_budget = max(
             min(remaining * group_weight[group] / later - 10, remaining - 15),
             floor,
         )
+        # marquee reserve (r11): groups running before `bucketed`
+        # never take a budget that would leave the bucketed group
+        # less than its floor on the wall — their own floors still
+        # win when the two collide (a floored child may exit early;
+        # a starved bucketed child cannot recover).
+        if "bucketed" in GROUP_ORDER[gi + 1:]:
+            reserve = group_floor["bucketed"] + 15
+            child_budget = min(
+                child_budget, max(remaining - reserve, floor)
+            )
         state["notes"].append(f"{group}: budget {child_budget:.0f}s")
         cmd = [
             sys.executable,
