@@ -8,6 +8,8 @@ sort+limit fused to TakeOrdered, aggregates partial+final.
 
 from __future__ import annotations
 
+import pytest
+
 from gpu_olap_engine_spark.plans import plan_string as plan_of
 from gpu_olap_engine_spark.plans import scan_pushdown_report, shuffle_count
 from gpu_olap_engine_spark.queries import load_all
@@ -539,3 +541,51 @@ def test_tpch_q12_derivation_stays_jvm_side(spark):
     plan = plan_of(REGISTRY["q183_tpch_q12"].fn(spark, SF_ORACLE))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Union-shape lint (r11, VERDICT r10 #4): a multi-branch union over an
+# un-materialized expensive frame re-executes its subtree once per
+# branch, and exchange reuse does NOT rescue it (per-branch column
+# pruning makes each physical subtree distinct) — the r10 audit found
+# four such shapes costing 3x their join tree (q141: 27 s of a 40 s
+# wall at sf0.1). The audit rule — union only over base scans or
+# materialized frames — is enforced here permanently: every expensive
+# dedup/graph/similarity entry declares the maximum number of times
+# each relation may be scanned in its physical plan; a regression
+# that re-introduces a branch-multiplied subtree fails the lint, not
+# a human audit N rounds later. Maxima are the audited single-pass
+# shapes (q141's 6 = the edge frame's inherent 3 references x the
+# 2-scan op self-join; sim_decontaminate's 4 = corpus/benchmark x
+# index-build/verify — asymmetric by design, see DESIGN_100TB §5).
+SCAN_BUDGETS = {
+    "q141_triangle_count": {"lineitem": 6},
+    "q70_joint_dedup_flags": {"documents": 2, "embeddings": 2},
+    "dedup_canonical_docs": {"documents": 2},
+    "dedup_exact_key": {"documents": 1},
+    "dedup_minhash_lsh": {"documents": 1},
+    "dedup_simhash": {"documents": 2},
+    "dedup_ngram_jaccard": {"documents": 1},
+    "dedup_containment": {"documents": 1},
+    "dedup_span_stats": {"documents": 3},
+    "sim_near_dup_pairs": {"embeddings": 2},
+    "sim_decontaminate": {"embeddings": 4},
+    "sim_semdedup": {"embeddings": 3},
+    "sim_bucketed_ann": {"embeddings": 2},
+    "mm_exact_dedup": {"documents": 1},
+}
+
+
+@pytest.mark.parametrize("name", sorted(SCAN_BUDGETS))
+def test_scan_count_budget(spark, name):
+    plan = plan_of(REGISTRY[name].fn(spark, SF_ORACLE))
+    for table, budget in SCAN_BUDGETS[name].items():
+        got = plan.count(f"{table}.parquet")
+        assert got <= budget, (
+            f"{name}: {table} scanned {got}x (budget {budget}) — "
+            "a union branch is re-executing the scan subtree"
+        )
+        # a silently-dropped scan (0 when the budget expects reads)
+        # means the entry stopped reading the relation at all — that
+        # is a rewrite the budget should be updated for, not pass
+        assert got >= 1, f"{name}: {table} no longer scanned"
