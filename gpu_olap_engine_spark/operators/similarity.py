@@ -630,26 +630,77 @@ def top_dim_keys(vec: Column, m: int = 6) -> Column:
 QSCALE = 1_000_000  # vector-level quantization for the matmul verify
 
 
-def _prefilter_lim(threshold: float) -> float:
-    """Slackened threshold for the multiply-form Gram prefilter.
 
-    The exact predicate (the oracle's) is ``fl(g / (na*nb)) >= t``.
-    Evaluating it directly costs a full-matrix IEEE division plus a
-    second slab-sized array per Gram tile — at sf10 that is ~15.7e9
-    divides and the dominant elementwise cost of the verify (measured
-    ~30% of the near-dup row). The multiply form ``g >= t * na * nb``
-    needs one multiply per cell and no second array, and differs from
-    the exact predicate only within a few ulp of the boundary (each
-    IEEE op contributes ~1e-16 relative error). Prefiltering with a
-    1e-9 relative slack — seven orders of magnitude wider than the
-    worst-case rounding gap — therefore yields a strict SUPERSET of
-    the exact passes; the exact division compare then runs on the
-    survivors only (the true pairs plus a measure-zero boundary band),
-    so the emitted pair set and cosines are bit-identical to the
-    unfiltered division. Sign-safe: the slack widens toward -inf for
-    either sign of t (norms are non-negative; a zero norm makes the
-    exact cosine NaN, which fails ``>= t`` just as it did before)."""
-    return threshold - abs(threshold) * 1e-9
+def _f32_margin(dim: int, threshold: float) -> np.float32:
+    """Absolute cosine-units slack for the float32 Gram PREFILTER.
+
+    r11 (supersedes r10's f64 multiply-form `_prefilter_lim`): the
+    prefilter only needs to be a SUPERSET test — survivors are
+    re-verified with the exact integer dot + IEEE division — so it can
+    run entirely in float32, where the GEMM is ~2.4x faster and every
+    slab temp is half the bytes (the post-GEMM elementwise work, not
+    the GEMM, dominated the r10 kernel: 1.4 s of a 3.3 s per-bucket
+    wall at sf10). Error budget, all ABSOLUTE in units of na*nb
+    (Cauchy-Schwarz bounds sum|a_i||b_i| <= na*nb):
+
+    - f32 sgemm on dim-term dots: |g32 - g| <= (dim+2) * 2^-24 * na*nb
+      (standard gamma_n bound; inputs are exact in f32 under the
+      |q| < 2^24 storage convention, and any residual conversion
+      rounding for larger inputs adds 2 * 2^-24, inside the margin);
+    - bound-side rounding (norm casts, t*na*nb products in f32):
+      a few ulp, scaled by |t| — covered by the (1 + |t|) factor;
+    - the exact predicate's own division rounding: ~2^-53, noise.
+
+    The margin is (dim+16) * 2^-24 * 8 * (1+|t|) — an 8x safety factor
+    over the summed worst case — subtracted ABSOLUTELY from the
+    threshold (r10's relative slack would vanish at t -> 0 while the
+    GEMM error does not; the absolute form is sign-safe for any t:
+    norms are non-negative, so widening t downward only ever ADDS
+    survivors). A zero norm makes the exact cosine NaN, which fails
+    ``>= t`` exactly as it did pre-filtering."""
+    return np.float32((dim + 16) * 2.0 ** -24 * 8.0 * (1.0 + abs(threshold)))
+
+
+def _mask_words(pdf: pd.DataFrame) -> tuple:
+    """The minimal-shared-key gate's per-row key-set bitmasks (two
+    uint64 words covering blocking keys 0..127), as shipped by
+    _near_dup_keyed. Scalar longs deliberately — an array<smallint>
+    key column was measured to DOUBLE the grouped relation's Arrow
+    boundary cost at sf10 (per-row list boxing, not bytes: movement
+    14 -> 29 s) while two int64 columns are plain numpy vectors.
+    NULL masks mean some key >= 128 (vector dim > 64): the gate's
+    single-emission guarantee cannot hold, so fail loudly rather
+    than emit silently-duplicated or dropped pairs."""
+    lo, hi = pdf["mlo"].to_numpy(), pdf["mhi"].to_numpy()
+    if lo.dtype != np.int64 or hi.dtype != np.int64:  # NULLs present
+        raise ValueError(
+            "minimal-shared-key gating needs blocking keys < 128 "
+            "(vector dim <= 64); for wider vectors build the keyed "
+            "relation without mask columns (distinct fallback)"
+        )
+    return lo.view(np.uint64), hi.view(np.uint64)
+
+
+def _mask_gate(
+    bkey: int,
+    ua: tuple, ub: tuple,
+    r: np.ndarray, c: np.ndarray,
+) -> np.ndarray:
+    """Keep mask: pair (r_i, c_i) is kept iff the two rows share NO
+    blocking key below `bkey` — i.e. `bkey` is their minimal shared
+    key (both rows carry `bkey` by construction of the bucket), so
+    exactly ONE bucket in the whole job emits any given pair and the
+    operator needs no terminal distinct. ~6 uint64 ops per survivor."""
+    b = int(bkey)
+    if b < 64:
+        blo = np.uint64((1 << b) - 1)
+        bhi = np.uint64(0)
+    else:
+        blo = np.uint64((1 << 64) - 1)
+        bhi = np.uint64((1 << (b - 64)) - 1)
+    return ((ua[0][r] & ub[0][c] & blo) == 0) & (
+        (ua[1][r] & ub[1][c] & bhi) == 0
+    )
 
 
 def near_dup_pairs(
@@ -685,15 +736,21 @@ def near_dup_pairs(
     distinct over the (tiny) post-threshold output.
 
     Bit-exact cross-engine arithmetic WITHOUT per-pair folds: vectors
-    quantize ONCE to integer-valued doubles q_i = floor(x_i * 1e6)
-    (|x| < 2 -> every product q_i*q_j <= 4e12 and every 64-term sum
-    <= 2.6e14, far under 2^53), so dgemm partial sums NEVER round —
-    any summation order gives the same exact integer. The DuckDB twin
+    quantize ONCE to integers q_i = floor(x_i * 1e6) (|x| < 2 ->
+    every product q_i*q_j <= 4e12 and every 64-term sum <= 2.6e14,
+    far under 2^53), so float64 Gram partial sums NEVER round — any
+    summation order gives the same exact integer. The DuckDB twin
     is list_inner_product over the same quantized lists; sqrt/divide
     are single IEEE ops on identical inputs. (The per-term 1e-12
     quantization used by cosine_similarity/_TERMS remains the
     convention for the ranked top-k operators, where pair counts are
     small; this vector-level scheme is the bulk-verify convention.)
+    r11: the quantized integers ship as float32 (exact below 2^24 —
+    half the shuffle/Arrow bytes), the bound scan runs in float32
+    with a proven-superset margin (_f32_margin) so only survivors
+    pay the exact integer dot, and the `keys` column's minimal-
+    shared-key gate makes every pair single-emission (no terminal
+    distinct; at sf10 the ungated path carried 3.85x duplicates).
 
     Recall on the fixture embeddings at the deliberately hard 0.45
     threshold is unchanged by the redesign (the blocking is
@@ -732,14 +789,38 @@ def gram_pairs(
     max_bucket: int = 16384,
     chunk: int = 8192,
     block_rows: int = 1024,
+    assume_unique: bool = False,
 ) -> DataFrame:
     """Within-bucket cosine pairs >= threshold over a
-    (vid, qvec, bkey) relation via the tiled per-bucket Gram verify
-    (see near_dup_pairs for the full rationale) — shared by the
+    (vid, qvec[, keys], bkey) relation via the tiled per-bucket Gram
+    verify (see near_dup_pairs for the full rationale) — shared by the
     top-dim-blocked near-dup and the cluster-blocked SemDeDup.
-    qvec must be integer-valued doubles (floor(x * QSCALE)) so every
-    Gram partial sum is exact in any order. Returns distinct
-    (id_a, id_b, cosine), id_a < id_b."""
+
+    qvec must be integer-valued (floor(x * QSCALE)), float or double;
+    workers widen to float64 where every Gram partial sum is exact in
+    any order. When shipped as float32 the values must stay < 2^24
+    (|x| < 16 at QSCALE=1e6 — the module convention is |x| < 2), so
+    the integers survive the narrower storage exactly.
+
+    r11 kernel: the bound scan runs in FLOAT32 (2.4x faster sgemm,
+    half-size slab temps; within-chunk slabs only materialize columns
+    >= the slab start, halving the triangle's cell count), slackened
+    by the proven _f32_margin so it passes a strict SUPERSET of the
+    exact predicate; survivors get the exact integer dot + the
+    oracle's IEEE division — output bit-identical to the full f64
+    scan (measured 3.6x on the sf10 median bucket).
+
+    Dedup of multi-key pairs: when `keyed` carries mlo/mhi key-set
+    bitmask columns (as _near_dup_keyed emits), each survivor pair is
+    gated on `bkey == its minimal shared key` (_mask_gate), so every
+    pair is emitted by exactly one bucket and the terminal distinct
+    disappears — at sf10 the ungated path emitted 97.4M rows (3.85x
+    multiplicity) that a ~12 s distinct then collapsed to 25.3M.
+    Without masks, `assume_unique=True` (bkey is a partition of the
+    corpus, e.g. SemDeDup's cluster ids) also skips the distinct;
+    otherwise the legacy distinct remains. Returns distinct
+    (id_a, id_b, cosine), id_a < id_b, under every mode."""
+    gated = "mlo" in keyed.columns
     grouped = _blocked_groups(keyed, max_bucket, chunk)
 
     empty = pd.DataFrame(
@@ -755,55 +836,74 @@ def gram_pairs(
             {"id_a": lo[good], "id_b": hi[good], "cosine": cos[good]}
         )
 
-    lim = _prefilter_lim(threshold)
-
     def verify(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        _, gi, gj = key
+        bkey, gi, gj = key
         out = []
         if gi == gj:  # within-chunk: strict-upper-triangle pairs
             ids = pdf["vid"].to_numpy()
             k = len(ids)
             if k < 2:
                 return empty
-            q = np.stack(pdf["qvec"].to_numpy()).astype(np.float64)
+            q32 = np.stack(pdf["qvec"].to_numpy()).astype(np.float32)
+            q = q32.astype(np.float64)  # exact: integer-valued < 2^24
             nrm = np.sqrt((q * q).sum(axis=1))  # exact integer sums
-            col = np.arange(k)[None, :]
+            n32 = nrm.astype(np.float32)
+            tl = np.float32(threshold) - _f32_margin(q.shape[1], threshold)
+            U = _mask_words(pdf) if gated else None
             for s in range(0, k, block_rows):
                 e = min(s + block_rows, k)
-                g = q[s:e] @ q.T  # exact: int-valued doubles < 2^53
-                # multiply-form prefilter (no full-matrix division —
-                # see _prefilter_lim), then the oracle's exact
-                # division compare on the survivors only
+                # columns < s can never satisfy col > row here — skip
+                # them in the GEMM itself (halves the triangle's cells)
+                g32 = q32[s:e] @ q32[s:].T
+                tri = np.arange(k - s)[None, :] > np.arange(e - s)[:, None]
                 r, c = np.nonzero(
-                    (g >= np.outer(lim * nrm[s:e], nrm))
-                    & (col > np.arange(s, e)[:, None])
+                    (g32 >= np.outer(tl * n32[s:e], n32[s:])) & tri
                 )
-                cos = g[r, c] / (nrm[s + r] * nrm[c])
+                c = c + s
+                r = r + s
+                if gated and len(r):
+                    keep = _mask_gate(bkey, U, U, r, c)
+                    r, c = r[keep], c[keep]
+                if len(r) == 0:
+                    continue
+                gex = np.einsum("ij,ij->i", q[r], q[c])  # exact ints
+                cos = gex / (nrm[r] * nrm[c])  # the oracle's division
                 keep = cos >= threshold
-                out.append(_emit(ids[s + r][keep], ids[c][keep], cos[keep]))
+                out.append(_emit(ids[r][keep], ids[c][keep], cos[keep]))
         else:  # cross-chunk: full rectangle, each pair in ONE group
             pa, pb = pdf[pdf["ck"] == gi], pdf[pdf["ck"] == gj]
             if len(pa) == 0 or len(pb) == 0:
                 return empty
             ida, idb = pa["vid"].to_numpy(), pb["vid"].to_numpy()
-            qa = np.stack(pa["qvec"].to_numpy()).astype(np.float64)
-            qb = np.stack(pb["qvec"].to_numpy()).astype(np.float64)
+            qa32 = np.stack(pa["qvec"].to_numpy()).astype(np.float32)
+            qb32 = np.stack(pb["qvec"].to_numpy()).astype(np.float32)
+            qa, qb = qa32.astype(np.float64), qb32.astype(np.float64)
             na = np.sqrt((qa * qa).sum(axis=1))
             nb = np.sqrt((qb * qb).sum(axis=1))
+            na32, nb32 = na.astype(np.float32), nb.astype(np.float32)
+            tl = np.float32(threshold) - _f32_margin(qa.shape[1], threshold)
+            Ua = _mask_words(pa) if gated else None
+            Ub = _mask_words(pb) if gated else None
             for s in range(0, len(ida), block_rows):
                 e = min(s + block_rows, len(ida))
-                g = qa[s:e] @ qb.T
-                r, c = np.nonzero(g >= np.outer(lim * na[s:e], nb))
-                cos = g[r, c] / (na[s + r] * nb[c])
+                g32 = qa32[s:e] @ qb32.T
+                r, c = np.nonzero(g32 >= np.outer(tl * na32[s:e], nb32))
+                r = r + s
+                if gated and len(r):
+                    keep = _mask_gate(bkey, Ua, Ub, r, c)
+                    r, c = r[keep], c[keep]
+                if len(r) == 0:
+                    continue
+                gex = np.einsum("ij,ij->i", qa[r], qb[c])
+                cos = gex / (na[r] * nb[c])
                 keep = cos >= threshold
-                out.append(_emit(ida[s + r][keep], idb[c][keep], cos[keep]))
+                out.append(_emit(ida[r][keep], idb[c][keep], cos[keep]))
         return pd.concat(out, ignore_index=True) if out else empty
 
-    return (
-        grouped.groupBy("bkey", "gi", "gj")
-        .applyInPandas(verify, "id_a long, id_b long, cosine double")
-        .distinct()
+    result = grouped.groupBy("bkey", "gi", "gj").applyInPandas(
+        verify, "id_a long, id_b long, cosine double"
     )
+    return result if gated or assume_unique else result.distinct()
 
 
 def gram_cross_pairs(
@@ -823,8 +923,15 @@ def gram_cross_pairs(
     — the grouped-shuffle analog of broadcasting the tiny side, so
     big-side rows still move ONCE per blocking key and no big-big
     pair is ever formed (gram_pairs would verify the big side against
-    itself too — quadratic work this shape never needs). Returns
-    distinct (id_big, id_small, cosine)."""
+    itself too — quadratic work this shape never needs).
+
+    r11: shares gram_pairs' float32 bound scan (exact survivors only)
+    and minimal-shared-key gate — with `keys` on both sides each
+    (big, small) pair is emitted by exactly one bucket, so the
+    terminal distinct disappears. Returns distinct
+    (id_big, id_small, cosine) under every mode."""
+    gated = "mlo" in keyed_big.columns and "mlo" in keyed_small.columns
+    kcols = ["mlo", "mhi"] if gated else []
     sizes = keyed_big.groupBy("bkey").agg(F.count("*").alias("bsz"))
     nch = (
         F.when(F.col("bsz") <= max_bucket, F.lit(1))
@@ -834,7 +941,7 @@ def gram_cross_pairs(
     big = (
         keyed_big.join(F.broadcast(sizes), "bkey")
         .select(
-            "bkey", "vid", "qvec",
+            "bkey", "vid", "qvec", *kcols,
             F.pmod(F.xxhash64(F.col("vid")), nch).cast("int").alias("ci"),
             F.lit(0).alias("side"),
         )
@@ -843,7 +950,7 @@ def gram_cross_pairs(
         keyed_small.join(F.broadcast(sizes), "bkey")  # inner: buckets
         # with no big rows can hold no cross pairs
         .select(
-            "bkey", "vid", "qvec",
+            "bkey", "vid", "qvec", *kcols,
             F.explode(F.sequence(F.lit(0), nch - 1)).alias("ci"),
             F.lit(1).alias("side"),
         )
@@ -855,58 +962,119 @@ def gram_cross_pairs(
          "cosine": pd.Series([], dtype="float64")}
     )
 
-    lim = _prefilter_lim(threshold)
-
-    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+    def verify(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bkey = key[0]
         pa, pb = pdf[pdf["side"] == 0], pdf[pdf["side"] == 1]
         if len(pa) == 0 or len(pb) == 0:
             return empty
         ida, idb = pa["vid"].to_numpy(), pb["vid"].to_numpy()
-        qa = np.stack(pa["qvec"].to_numpy()).astype(np.float64)
-        qb = np.stack(pb["qvec"].to_numpy()).astype(np.float64)
+        qa32 = np.stack(pa["qvec"].to_numpy()).astype(np.float32)
+        qb32 = np.stack(pb["qvec"].to_numpy()).astype(np.float32)
+        qa, qb = qa32.astype(np.float64), qb32.astype(np.float64)
         na = np.sqrt((qa * qa).sum(axis=1))  # exact integer sums
         nb = np.sqrt((qb * qb).sum(axis=1))
+        na32, nb32 = na.astype(np.float32), nb.astype(np.float32)
+        tl = np.float32(threshold) - _f32_margin(qa.shape[1], threshold)
+        Ua = _mask_words(pa) if gated else None
+        Ub = _mask_words(pb) if gated else None
         out = []
         for s in range(0, len(ida), block_rows):
             e = min(s + block_rows, len(ida))
-            g = qa[s:e] @ qb.T  # exact: int-valued doubles < 2^53
-            # multiply-form prefilter + exact division on survivors
-            # (bit-identical output; see _prefilter_lim)
-            r, c = np.nonzero(g >= np.outer(lim * na[s:e], nb))
-            cos = g[r, c] / (na[s + r] * nb[c])
+            # f32 bound scan; exact integer dot + the oracle's IEEE
+            # division on survivors only (see _f32_margin)
+            g32 = qa32[s:e] @ qb32.T
+            r, c = np.nonzero(g32 >= np.outer(tl * na32[s:e], nb32))
+            r = r + s
+            if gated and len(r):
+                keep = _mask_gate(bkey, Ua, Ub, r, c)
+                r, c = r[keep], c[keep]
+            if len(r) == 0:
+                continue
+            gex = np.einsum("ij,ij->i", qa[r], qb[c])
+            cos = gex / (na[r] * nb[c])
             keep = cos >= threshold
             out.append(pd.DataFrame(
-                {"id_big": ida[s + r][keep], "id_small": idb[c][keep],
+                {"id_big": ida[r][keep], "id_small": idb[c][keep],
                  "cosine": cos[keep]}
             ))
         return pd.concat(out, ignore_index=True) if out else empty
 
-    return (
+    result = (
         big.unionByName(small)
         .groupBy("bkey", "ci")
         .applyInPandas(verify, "id_big long, id_small long, cosine double")
-        .distinct()
     )
+    return result if gated else result.distinct()
 
 
 def _near_dup_keyed(
     corpus: DataFrame, id_col: str, vec_col: str, block_m: int
 ) -> DataFrame:
-    """(vid, qvec, bkey): one row per vector per top-m blocking key,
-    vector quantized once to integer-valued doubles (see
-    near_dup_pairs)."""
+    """(vid, qvec, mlo, mhi, bkey): one row per vector per top-m
+    blocking key. r11 transfer layout:
+
+    - qvec ships as FLOAT32: the quantized values floor(x * 1e6) are
+      integers < 2^24 under the module's |x| < 2 convention, so the
+      narrower storage is exact and halves the vector bytes through
+      the grouped shuffle + Arrow boundary (the dominant bytes of the
+      relation); workers widen back to float64 for the exact path.
+    - mlo/mhi pack the vector's FULL top-m key set into two int64
+      bitmask words (keys are dim*2+sign, so 128 slots cover dim <=
+      64), enabling the verify's minimal-shared-key gate: each
+      surviving pair is emitted by exactly one bucket, so
+      gram_pairs/gram_cross_pairs skip their terminal distinct (at
+      sf10 the ungated path emitted 3.85x duplicate rows). Scalar
+      longs, NOT an array column: an array<smallint> key list doubled
+      the grouped relation's Arrow-boundary cost (per-row list
+      boxing). When any key is >= 128 (dim > 64) both words are NULL
+      and the verify fails loudly (_mask_words) instead of emitting a
+      silently wrong pair set.
+
+    The two-step select matters: top_dim_keys is an interpreted
+    higher-order expression (array_sort over dim structs), and the
+    masks + explode reference it 4x — materializing `tkeys` in its
+    own projection makes CollapseProject keep it single-evaluation
+    (it never inlines a non-trivial expression into multiple uses)."""
     from gpu_olap_engine_spark.queries.tables import spread
 
     vecs = spread(corpus).select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
     )
-    return vecs.select(
+    step = vecs.select(
         "vid",
         F.transform(
             F.col("vec"),
-            lambda x: F.floor(x.cast("double") * QSCALE).cast("double"),
+            lambda x: F.floor(x.cast("double") * QSCALE).cast("float"),
         ).alias("qvec"),
-        F.explode(top_dim_keys(F.col("vec"), block_m)).alias("bkey"),
+        top_dim_keys(F.col("vec"), block_m).alias("tkeys"),
+    )
+    tkeys = F.col("tkeys")
+    valid = F.forall(tkeys, lambda k: k < 128)
+    # F.shiftleft only takes a python-int bit count; the SQL function
+    # accepts a column — call it through the resolver. shift-by-63
+    # lands on the sign bit (Long.MIN_VALUE): fine, the words are
+    # pure bit patterns the workers read back as uint64.
+    one = F.lit(1).cast("long")
+
+    def _shl(k):
+        return F.call_function("shiftleft", one, k.cast("int"))
+
+    mask_lo = F.aggregate(
+        F.filter(tkeys, lambda k: k < 64),
+        F.lit(0).cast("long"),
+        lambda a, k: a.bitwiseOR(_shl(k)),
+    )
+    mask_hi = F.aggregate(
+        F.filter(tkeys, lambda k: k >= 64),
+        F.lit(0).cast("long"),
+        lambda a, k: a.bitwiseOR(_shl(k - 64)),
+    )
+    return step.select(
+        "vid",
+        "qvec",
+        F.when(valid, mask_lo).alias("mlo"),
+        F.when(valid, mask_hi).alias("mhi"),
+        F.explode(tkeys).alias("bkey"),
     )
 
 
@@ -922,7 +1090,11 @@ def _blocked_groups(
     one group (its two chunk ids), so no pair is verified twice within
     a bucket and per-group rows are ~2*chunk in expectation. The
     bucket-size relation is tiny (|distinct bkey| <= 2 * vector dims)
-    so it broadcasts."""
+    so it broadcasts. A `keys` column (the minimal-shared-key gate's
+    input) rides along when present."""
+    cols = ["bkey", "vid", "qvec"] + (
+        ["mlo", "mhi"] if "mlo" in keyed.columns else []
+    )
     sizes = keyed.groupBy("bkey").agg(F.count("*").alias("bsz"))
     nch = (
         F.when(F.col("bsz") <= max_bucket, F.lit(1))
@@ -940,9 +1112,9 @@ def _blocked_groups(
         keyed.join(F.broadcast(sizes), "bkey")
         .withColumn("nch", nch)
         .withColumn("ck", ck)
-        .select("bkey", "vid", "qvec", "ck", F.explode(groups).alias("g"))
+        .select(*cols, "ck", F.explode(groups).alias("g"))
         .select(
-            "bkey", "vid", "qvec", "ck",
+            *cols, "ck",
             F.col("g.gi").alias("gi"), F.col("g.gj").alias("gj"),
         )
     )
@@ -992,12 +1164,15 @@ def semdedup(
         F.col("vec_id").alias("vid"),
         F.transform(
             F.col("vec"),
-            lambda x: F.floor(x.cast("double") * QSCALE).cast("double"),
+            lambda x: F.floor(x.cast("double") * QSCALE).cast("float"),
         ).alias("qvec"),
         F.col("cluster").alias("bkey"),
     )
+    # assume_unique: cluster ids PARTITION the corpus (one bucket per
+    # vector), so every pair already lands in exactly one group and
+    # gram_pairs' terminal distinct would dedupe nothing
     dropped = (
-        gram_pairs(keyed, threshold)
+        gram_pairs(keyed, threshold, assume_unique=True)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )

@@ -1110,3 +1110,52 @@ def test_gram_cross_pairs_matches_symmetric_filter(spark, tmp_path):
     for k in want:
         assert got[k] == want[k], (k, got[k], want[k])
     assert len(want) > 10  # the planted hot bucket has real cross pairs
+
+
+def test_near_dup_mask_gate_unique_emission_and_dim_guard(spark, tmp_path):
+    """r11: (a) with the minimal-shared-key gate there is NO terminal
+    distinct, so the raw applyInPandas output itself must already be
+    duplicate-free even though vectors share multiple blocking keys;
+    (b) vectors wider than 64 dims put blocking keys >= 128 outside
+    the two mask words — the keyed relation NULLs the masks and the
+    verify must fail LOUDLY (never emit a silently wrong pair set)."""
+    import numpy as np
+
+    from gpu_olap_engine_spark.operators.similarity import (
+        _near_dup_keyed,
+        gram_pairs,
+        near_dup_pairs,
+    )
+
+    # (a) dense corpus, block_m=4: plenty of multi-key pair overlap
+    rng = np.random.RandomState(7)
+    n, dim = 200, 8
+    base = rng.uniform(-0.5, 0.5, size=(1, dim))
+    vecs = base + rng.uniform(-0.05, 0.05, size=(n, dim))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    path = str(tmp_path / "uniq.parquet")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    out = near_dup_pairs(df, threshold=0.9, block_m=4).collect()
+    pairs = [(r["id_a"], r["id_b"]) for r in out]
+    assert len(pairs) == len(set(pairs)) and len(pairs) > 50
+    # multi-key overlap really occurred (the gate had work to do):
+    # every vector shares its top-4 keys with near-identical peers
+    plan = near_dup_pairs(df, threshold=0.9, block_m=4)
+    assert "Deduplicate" not in plan._jdf.queryExecution().executedPlan().toString()
+
+    # (b) 80-dim vectors -> keys up to 159 -> masks NULL -> loud error
+    wide = [(i, [float(x) for x in rng.uniform(-1, 1, 80)]) for i in range(40)]
+    wpath = str(tmp_path / "wide.parquet")
+    spark.createDataFrame(
+        wide, "vec_id long, embedding array<float>"
+    ).write.parquet(wpath)
+    wdf = spark.read.parquet(wpath)
+    keyed = _near_dup_keyed(wdf, "vec_id", "embedding", 4)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as ei:
+        gram_pairs(keyed, threshold=0.0).collect()
+    assert "minimal-shared-key gating" in str(ei.value)
