@@ -316,6 +316,66 @@ def run_streaming(spark, src_dir: str, out_dir: str) -> None:
         )
     )
 
+    # r11 (round-10 verdict #6): the session-window MERGE path — the
+    # statefully hardest streaming operator (overlapping session
+    # state merges as events arrive; tumbling/dedup state never
+    # exercises it) — at the same second decade. Batch parity twin:
+    # the gaps-and-islands formulation with the operator's exact
+    # boundary rule (new session iff gap STRICTLY exceeded, at
+    # microsecond resolution), bit-equal on every (user, start, end,
+    # count) long.
+    from pyspark.sql.window import Window as W  # noqa: PLC0415
+
+    fn = registry["stream_session_windows"].fn
+    t0 = time.perf_counter()
+    got = sorted(map(tuple, fn(spark, out_dir).collect()))
+    wall = round(time.perf_counter() - t0, 3)
+
+    # events.ts reads back TIMESTAMP_NTZ; the streaming entry's
+    # read_events_stream casts it to LTZ (session tz pinned UTC, so
+    # the cast is value-faithful) before session_window — mirror the
+    # exact same cast so both sides produce identical epoch longs
+    ev = T(spark, out_dir, "events").withColumn(
+        "tsz", F.col("ts").cast("timestamp")
+    )
+    w = W.partitionBy("user_id").orderBy("tsz", "event_id")
+    us = F.unix_micros(F.col("tsz"))
+    prev = F.lag(us).over(w)
+    gap_us = 30 * 60 * 1_000_000
+    news = F.when(
+        prev.isNull() | ((us - prev) > gap_us), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = F.sum(news).over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    batch = (
+        ev.select("user_id", "tsz", "event_id")
+        .withColumn("s", sess)
+        .groupBy("user_id", "s")
+        .agg(
+            F.min("tsz").cast("long").alias("session_start"),
+            (F.max("tsz") + F.expr("INTERVAL 30 MINUTES"))
+            .cast("long")
+            .alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+    want = sorted(map(tuple, batch.collect()))
+    print(
+        json.dumps(
+            {
+                "metric": "scale10_streaming_session_windows",
+                "query": "stream_session_windows",
+                "events_rows": spark.read.parquet(ev_path).count(),
+                "wall_sec": wall,
+                "matches_batch_gaps_islands": got == want,
+                "result_rows": len(got),
+                "sf": 10.0,
+            }
+        )
+    )
+
 
 def main() -> None:
     src_dir = "/root/testdata/sf0.1"

@@ -19,6 +19,12 @@ listed under "width_only" since the local dtype-kind rule unifies
 them — the report makes the risk visible either way.
 
 Usage: python3 scripts/repr_audit.py [sf_dir] [--out audit.json]
+                                     [--only prefix1,prefix2,...]
+
+--only (r11): restrict to entries whose name starts with one of the
+given prefixes — used for the sf0.1 audit of the never-driver-drawn
+TPC-H + streaming families (round-10 verdict #7) without paying the
+full 226-entry registry at that scale.
 """
 
 from __future__ import annotations
@@ -70,6 +76,11 @@ def main() -> None:
     if "--out" in argv:
         out_path = argv[argv.index("--out") + 1]
         argv = [a for a in argv if a not in ("--out", out_path)]
+    only: tuple[str, ...] = ()
+    if "--only" in argv:
+        spec = argv[argv.index("--only") + 1]
+        only = tuple(p for p in spec.split(",") if p)
+        argv = [a for a in argv if a not in ("--only", spec)]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "16")
 
@@ -96,6 +107,8 @@ def main() -> None:
     for name in sorted(registry):
         q = registry[name]
         if q.oracle is None:
+            continue
+        if only and not name.startswith(only):
             continue
         try:
             s = normalize(q.fn(spark, sf_dir).toPandas())
