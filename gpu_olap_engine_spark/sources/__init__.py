@@ -160,6 +160,7 @@ def write_bucketed(
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
     one_file_per_bucket: bool = False,
+    files_per_task: int = 1,
 ) -> None:
     """Bucketed managed table: co-locates both sides of a recurring
     equi-join so it runs WITHOUT a shuffle — the persistent analog of
@@ -179,6 +180,20 @@ def write_bucketed(
     buckets void the sortBy guarantee). The trade at 100 TB: one
     file per bucket caps write parallelism at num_buckets and makes
     single files large — size num_buckets to the cluster, not to 64.
+
+    files_per_task (r11, with one_file_per_bucket): at WIDE bucket
+    counts the identity repartition (one task per bucket) inverts
+    locally — 4096 near-empty write tasks cost 2.9x the 64-bucket
+    write in pure task/file fixed overhead (DESIGN_100TB §1). Setting
+    files_per_task > 1 routes ceil(num_buckets / files_per_task)
+    write tasks, each holding that many COMPLETE buckets (hash
+    partitioning on the bucket columns keeps every bucket whole in
+    one task for any task count); the bucketed writer's required
+    per-task ordering (bucket id, then sortBy) still splits one
+    sorted file per bucket, so the single-file layout — and the
+    legacy-outputOrdering soundness that rides on it — is unchanged.
+    One file per bucket per TABLE remains the invariant; only write
+    parallelism decouples from width.
 
     Precondition for one_file_per_bucket:
     ``spark.sql.files.maxRecordsPerFile`` must be 0 (the default).
@@ -201,7 +216,21 @@ def write_bucketed(
                 "ordering guarantee that legacy "
                 "bucketedTableScan.outputOrdering relies on"
             )
-        df = df.repartition(num_buckets, *bucket_cols)
+        if files_per_task < 1 or num_buckets % files_per_task:
+            # divisibility is load-bearing, not cosmetic: a bucket
+            # stays whole in one write task iff
+            # hash % ntasks == (hash % num_buckets) % ntasks, which
+            # holds exactly when ntasks divides num_buckets — any
+            # other task count SPLITS buckets across tasks and the
+            # one-file layout (and the ordering soundness on top of
+            # it) silently breaks
+            raise ValueError(
+                f"files_per_task ({files_per_task}) must divide "
+                f"num_buckets ({num_buckets}) so every bucket stays "
+                "whole in one write task"
+            )
+        ntasks = num_buckets // files_per_task
+        df = df.repartition(ntasks, *bucket_cols)
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

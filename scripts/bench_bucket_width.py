@@ -77,11 +77,22 @@ def main() -> None:
         b = spark.range(rows, numPartitions=64).select(
             F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
         )
+        # r11 (round-10 verdict stretch #8): decouple write
+        # parallelism from width — beyond ~64 write tasks this box
+        # only pays task/file fixed overhead, so wider tables pack
+        # multiple complete buckets per task (files_per_task must
+        # divide the width; layout assertions below are unchanged).
+        # width//64 keeps 64 tasks at every width (2 waves on 32
+        # cores); measured fpt sweep at 4096: 16 -> 14.9 s/side,
+        # 64 -> 11.8-12.6, 128 -> worse (1 wave loses pipelining).
+        fpt = max(1, width // 64)
         t0 = time.perf_counter()
         write_bucketed(a, "bw_a", ["k"], num_buckets=width,
-                       sort_cols=["k"], one_file_per_bucket=True)
+                       sort_cols=["k"], one_file_per_bucket=True,
+                       files_per_task=fpt)
         write_bucketed(b, "bw_b", ["k"], num_buckets=width,
-                       sort_cols=["k"], one_file_per_bucket=True)
+                       sort_cols=["k"], one_file_per_bucket=True,
+                       files_per_task=fpt)
         write_sec = time.perf_counter() - t0
 
         # layout + plan assertions at EVERY width: the zero-sort
@@ -112,6 +123,7 @@ def main() -> None:
             "join_sec": round(min(runs), 3),
             "join_runs": [round(r, 2) for r in runs],
             "files_per_table": nfiles,
+            "files_per_task": fpt,
         }
         for t in ("bw_a", "bw_b"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -277,3 +277,70 @@ def test_one_file_per_bucket_rejects_max_records_per_file(spark):
     )
     assert spark.table("orders_mrpf").count() == orders.count()
     spark.sql("DROP TABLE IF EXISTS orders_mrpf")
+
+
+def test_files_per_task_keeps_one_file_per_bucket(spark):
+    """r11: packing multiple COMPLETE buckets per write task
+    (files_per_task > 1) must leave the layout indistinguishable —
+    exactly num_buckets sorted files, a zero-exchange zero-sort merge
+    join, identical results — because hash % ntasks is determined by
+    the bucket id whenever ntasks divides num_buckets. A
+    non-dividing files_per_task would split buckets across tasks
+    (multi-file buckets, ordering soundness gone) and must be
+    refused."""
+    import os as _os
+
+    import pytest
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    old = spark.conf.get(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+    )
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try:
+        write_bucketed(
+            orders, "orders_fpt", ["o_custkey"], num_buckets=16,
+            sort_cols=["o_custkey"], one_file_per_bucket=True,
+            files_per_task=4,  # 4 write tasks, 4 whole buckets each
+        )
+        write_bucketed(
+            orders.select(
+                F.col("o_custkey").alias("c2"),
+                F.col("o_totalprice").alias("p2"),
+            ),
+            "orders_fpt2", ["c2"], num_buckets=16,
+            sort_cols=["c2"], one_file_per_bucket=True, files_per_task=4,
+        )
+        for t in ("orders_fpt", "orders_fpt2"):
+            loc = (
+                spark.sql(f"DESCRIBE TABLE EXTENDED {t}")
+                .where("col_name = 'Location'")
+                .collect()[0]["data_type"]
+            ).replace("file:", "")
+            nfiles = len(
+                [f for f in _os.listdir(loc) if f.endswith(".parquet")]
+            )
+            assert nfiles == 16, f"{t}: {nfiles} files for 16 buckets"
+        a, b = spark.table("orders_fpt"), spark.table("orders_fpt2")
+        j = a.join(b.hint("merge"), a.o_custkey == b.c2)
+        plan = plan_string(j, "simple")
+        assert "Exchange" not in plan, plan
+        assert "Sort" not in plan.replace("SortMergeJoin", "SMJ"), plan
+        want = orders.alias("x").join(
+            orders.alias("y"),
+            F.col("x.o_custkey") == F.col("y.o_custkey"),
+        ).count()
+        assert j.count() == want
+
+        with pytest.raises(ValueError, match="divide"):
+            write_bucketed(
+                orders, "orders_fpt3", ["o_custkey"], num_buckets=16,
+                sort_cols=["o_custkey"], one_file_per_bucket=True,
+                files_per_task=3,
+            )
+    finally:
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", old
+        )
+        for t in ("orders_fpt", "orders_fpt2", "orders_fpt3"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
