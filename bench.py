@@ -116,15 +116,20 @@ HEADLINE = [
 # 100M-row table writes) goes last so a budget squeeze drops it
 # before anything else.
 MICRO_GROUPS = {
-    # groupby rides with the joins (r11): it is the SECOND
-    # baseline-comparison row (DuckDB 78M rows/s claim), costs ~4 s
-    # of reps in a child already warmed for 100M-row shapes, and the
-    # r11 full-run-under-load showed the light group is the one that
-    # gets dropped when the wall squeezes — a baseline row must not
-    # live in the droppable group.
     "join100": [
         "micro_join_int_100m_x_100m",
         "micro_join_int_100m_x_100m_shj",
+    ],
+    # groupby gets its OWN child (r11): it is the second
+    # baseline-comparison row (DuckDB 78M rows/s claim) and the r11
+    # full-run-under-load showed it must not live in the droppable
+    # light group — but it cannot share the join100 child either:
+    # that session's zstd shuffle codec (a core conf, fixed at JVM
+    # start, a measured WIN for the 1.6 GB join shuffles) taxes the
+    # groupby's partial-agg exchange ~2x (A/B same box: warm 0.71 s
+    # on defaults vs 1.23-1.45 s under zstd+init96). ~40 s child:
+    # session + pre-touch + <=6 sub-2s reps.
+    "agg100": [
         "micro_groupby_agg_100m",
     ],
     "light": [
@@ -161,7 +166,7 @@ MICRO_GROUPS = {
 # last on a loaded box. light is the cheapest and least
 # baseline-critical group — a budget squeeze now drops sub-second
 # context rows instead of the marquee number.
-GROUP_ORDER = ("duckdb", "join100", "bucketed", "light")
+GROUP_ORDER = ("duckdb", "agg100", "join100", "bucketed", "light")
 ALL_MICROS = [n for g in GROUP_ORDER for n in MICRO_GROUPS[g]]
 # Adaptive reps: at least MIN_REPS (round-4 protocol), up to MAX_REPS
 # while the budget allows and the timings have not converged. A fresh
@@ -196,6 +201,69 @@ KNOWN_FLOORS = (
     if float(os.environ.get("SPARK_GRAFT_MICRO_SCALE", "1.0")) == 1.0
     else {}
 )
+
+
+# Weighted budget shares so a contention-slowed early child cannot
+# starve the later groups out of even their rep-1 rows; a child that
+# finishes early returns its slack to the groups after it (shares are
+# of the REMAINING wall at each launch). join100 carries the
+# baseline-headline numbers (both joins + the groupby row since r11)
+# — it gets the largest share.
+GROUP_WEIGHT = {
+    "duckdb": 0.14,
+    "agg100": 0.10,
+    "join100": 0.36,
+    "bucketed": 0.28,
+    "light": 0.12,
+}
+# floor of 60s: enough for session start + the cold rep-1 pass that
+# guarantees each micro's row (the child only gates reps >= 2 on its
+# deadline, so a floored child still lands rep 1). duckdb's 105s
+# floor covers 3-4 reps of each control shape under load (looser 15%
+# convergence since r11); it was 150 and the r11 full-run-under-load
+# showed the controls eating the budget the two BASELINE groups
+# (join100 incl. groupby, and bucketed) needed — controls are
+# context, they give way first after light. join100's 105s floor
+# guarantees the headline join rows their warm reps even when
+# headline+duckdb overspend (that run: join100 squeezed to 88s ->
+# single cold reps, SMJ 11.1s vs its 4.5s floor). bucketed keeps
+# 120s: untimed setup (session + pre-touch + two bucketed writes)
+# measured ~95s loaded. Children exit early when converged, floors
+# only bind on a loaded box, and the SIGTERM emit path flushes
+# everything measured if the driver reaps an overshoot.
+GROUP_FLOOR = {
+    "duckdb": 105.0,
+    "agg100": 70.0,
+    "join100": 105.0,
+    "bucketed": 120.0,
+    "light": 60.0,
+}
+
+
+def group_budget(gi: int, group: str, remaining: float) -> float | None:
+    """Child wall budget for GROUP_ORDER[gi] given the remaining
+    parent wall (pure function; unit-tested in
+    tests/test_bench_protocol.py). None = skip the group.
+
+    Marquee reserve (r11): the CONTROLS group never takes a budget
+    that would leave the bucketed group less than its floor on the
+    wall. join100 is deliberately exempt — it carries the
+    baseline-headline rows, and capping it under the reserve starved
+    it to single cold reps on a loaded box (the r11 full-run lesson);
+    between the two marquee groups, weights + floors arbitrate, not
+    the reserve."""
+    if remaining < 45:
+        return None
+    later = sum(GROUP_WEIGHT[g] for g in GROUP_ORDER[gi:])
+    floor = GROUP_FLOOR.get(group, 60.0)
+    budget = max(
+        min(remaining * GROUP_WEIGHT[group] / later - 10, remaining - 15),
+        floor,
+    )
+    if group == "duckdb" and "bucketed" in GROUP_ORDER[gi + 1:]:
+        reserve = GROUP_FLOOR["bucketed"] + 15
+        budget = min(budget, max(remaining - reserve, floor))
+    return budget
 
 
 def should_run_rep(
@@ -290,13 +358,11 @@ def _micro_frames(spark, group: str, ms: float):
         b100 = spark.range(rows(100_000_000), numPartitions=64).select(
             F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
         )
-        r100 = spark.range(rows(100_000_000), numPartitions=64)
         # the reference's headline join shape (GPU 3.2s / DuckDB 18.3s),
         # recorded on BOTH planner paths: default SMJ over an
         # AQE-coalesced shuffle, and the shuffle-hash hint (no sort —
         # the analog of the reference's radix HASH join default,
-        # join_kernel.rs:14-18). The 100M group-by (the second
-        # baseline-comparison row) runs here too — see MICRO_GROUPS.
+        # join_kernel.rs:14-18).
         return [
             (
                 "micro_join_int_100m_x_100m",
@@ -308,6 +374,10 @@ def _micro_frames(spark, group: str, ms: float):
                     F.count("*").alias("c")
                 ),
             ),
+        ]
+    if group == "agg100":
+        r100 = spark.range(rows(100_000_000), numPartitions=64)
+        return [
             (
                 "micro_groupby_agg_100m",
                 r100.groupBy((F.col("id") % 100_000).alias("k")).agg(
@@ -900,63 +970,16 @@ def main() -> None:
         f"headline phase wall {time.monotonic() - t_start:.0f}s"
     )
     # ---- phase 2: generated micros, one child process per group ----
-    # Weighted budget shares so a contention-slowed early child cannot
-    # starve the later groups out of even their rep-1 rows; a child
-    # that finishes early returns its slack to the groups after it.
-    # join100 carries the baseline-headline number — it gets the
-    # largest share; light needs almost nothing; bucketed inherits
-    # every earlier group's slack anyway (shares are of the REMAINING
-    # wall at each launch).
-    group_weight = {
-        "duckdb": 0.15,
-        "join100": 0.40,
-        "bucketed": 0.30,
-        "light": 0.15,
-    }
-    # floor of 60s: enough for session start + the cold rep-1 pass
-    # that guarantees each micro's row (the child only gates reps
-    # >= 2 on its deadline, so a floored child still lands rep 1).
-    # duckdb's 105s floor covers 3-4 reps of each control shape
-    # under load (looser 15% convergence since r11); it was 150 and
-    # the r11 full-run-under-load showed the controls eating the
-    # budget the two BASELINE groups (join100 incl. groupby, and
-    # bucketed) needed — controls are context, they give way first
-    # after light. join100's 105s floor guarantees the headline
-    # join rows their warm reps even when headline+duckdb overspend
-    # (that run: join100 squeezed to 88s -> single cold reps, SMJ
-    # 11.1s vs its 4.5s floor). bucketed keeps 120s: untimed setup
-    # (session + pre-touch + two bucketed writes) measured ~95s
-    # loaded. Worst-case floor sum ~= 7 + headline + 105 + 105 +
-    # 120 + 60: children exit early when converged, floors only
-    # bind on a loaded box, and the SIGTERM emit path flushes
-    # everything measured if the driver reaps an overshoot.
-    group_floor = {"duckdb": 105.0, "join100": 105.0, "bucketed": 120.0,
-                   "light": 60.0}
+    # (budget policy: group_budget/GROUP_WEIGHT/GROUP_FLOOR at module
+    # level — pure and replay-tested)
     for gi, group in enumerate(GROUP_ORDER):
         remaining = deadline - time.monotonic()
-        if remaining < 45:
+        child_budget = group_budget(gi, group, remaining)
+        if child_budget is None:
             state["notes"].append(f"skipped {group}: {remaining:.0f}s left")
             continue
         fd, runs_path = tempfile.mkstemp(prefix=f"bench_runs_{group}_")
         os.close(fd)
-        later = sum(group_weight[g] for g in GROUP_ORDER[gi:])
-        floor = group_floor.get(group, 60.0)
-        child_budget = max(
-            min(remaining * group_weight[group] / later - 10, remaining - 15),
-            floor,
-        )
-        # marquee reserve (r11): the CONTROLS group never takes a
-        # budget that would leave the bucketed group less than its
-        # floor on the wall. join100 is deliberately exempt — it
-        # carries the baseline-headline rows, and capping it under
-        # the reserve starved it to single cold reps on a loaded
-        # box (the r11 full-run lesson); between the two marquee
-        # groups, weights + floors arbitrate, not the reserve.
-        if group == "duckdb" and "bucketed" in GROUP_ORDER[gi + 1:]:
-            reserve = group_floor["bucketed"] + 15
-            child_budget = min(
-                child_budget, max(remaining - reserve, floor)
-            )
         state["notes"].append(f"{group}: budget {child_budget:.0f}s")
         cmd = [
             sys.executable,

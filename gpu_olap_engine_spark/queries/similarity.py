@@ -198,11 +198,14 @@ def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (>= 0.45): inverted-index
     blocking on each vector's top-10 signed dims (prefix-filtering;
     142/144 recall at sf0.1 vs 113/144 at top-6), then per-bucket
-    exact Gram-matmul verification (applyInPandas) — vectors move once
-    per key, the quadratic verify runs in-core (see
-    operators/similarity.py near_dup_pairs for the full r8 redesign
-    rationale). The oracle mirrors blocking AND quantized arithmetic
-    bit-for-bit."""
+    Gram verification (applyInPandas) — vectors move once per key,
+    the quadratic verify runs in-core. r11 kernel: a float32 bound
+    scan with a proven-superset margin prices the Gram cells at BLAS
+    rate, survivors alone pay the exact integer dot + IEEE division,
+    and the minimal-shared-key gate emits each pair from exactly one
+    bucket (no terminal distinct) — sf10 98 -> 30-36 s on identical
+    output (see operators/similarity.py near_dup_pairs). The oracle
+    mirrors blocking AND quantized arithmetic bit-for-bit."""
     return S.near_dup_pairs(
         T(spark, sf_dir, "embeddings"), threshold=0.45, block_m=10
     )

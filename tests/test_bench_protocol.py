@@ -103,3 +103,60 @@ def test_no_floor_behaves_like_r9_protocol():
     spread + still-descending guards remain, nothing more."""
     r = replay([9.68, 6.70, 7.02], adaptive=True, floor=None)
     assert len(r) == 3  # the r9 behavior, preserved when unscaled
+
+
+# ---- r11: the parent's group-budget policy, as a pure function ----
+from bench import GROUP_FLOOR, GROUP_ORDER, group_budget  # noqa: E402
+
+
+def test_group_budget_marquee_floors_always_hold():
+    """However squeezed the wall, a launched marquee group (join100,
+    bucketed) gets at least its floor — the r11 full-run failure was
+    join100 at 88s -> single cold reps."""
+    for remaining in (45, 60, 100, 150, 224, 300, 460):
+        for gi, group in enumerate(GROUP_ORDER):
+            b = group_budget(gi, group, float(remaining))
+            assert b is not None
+            assert b >= GROUP_FLOOR.get(group, 60.0), (group, remaining, b)
+
+
+def test_group_budget_skip_threshold():
+    assert group_budget(0, "duckdb", 44.9) is None
+    assert group_budget(3, "light", 10.0) is None
+
+
+def test_group_budget_controls_yield_to_bucketed_reserve():
+    """With plenty of wall the controls take their weighted share or
+    floor; when the wall shrinks the reserve caps them so bucketed's
+    floor still fits — but never below duckdb's own floor."""
+    # plentiful: floor wins over the small weighted share
+    assert group_budget(0, "duckdb", 420.0) == 105.0
+    # the reserve cap can only LOWER a budget, never raise one: at
+    # every remaining, duckdb <= max(remaining - reserve, floor)
+    for remaining in (150.0, 250.0, 420.0, 800.0):
+        b = group_budget(0, "duckdb", remaining)
+        cap = max(remaining - (GROUP_FLOOR["bucketed"] + 15), 105.0)
+        assert b <= cap, (remaining, b, cap)
+    # desperately squeezed: duckdb's own floor is the last word
+    assert group_budget(0, "duckdb", 120.0) == 105.0
+
+
+def test_group_budget_join100_exempt_from_reserve():
+    """join100 must never be capped below its weighted share by the
+    bucketed reserve (the r11 lesson): at the remaining where the r11
+    loaded run squeezed it to 88s, the policy now yields >= floor."""
+    gi = GROUP_ORDER.index("join100")
+    for remaining in (150, 224, 300):
+        b = group_budget(gi, "join100", float(remaining))
+        later = sum(
+            __import__("bench").GROUP_WEIGHT[g] for g in GROUP_ORDER[gi:]
+        )
+        weighted = remaining * __import__("bench").GROUP_WEIGHT["join100"] / later - 10
+        assert b >= min(max(weighted, 105.0), remaining - 15) or b == 105.0
+
+
+def test_group_budget_replays_r11_smoke_notes():
+    """The recorded r11 smoke run (400s budget): duckdb launched with
+    ~326s remaining and got its 105s floor (reserve cap not binding
+    below the floor)."""
+    assert group_budget(0, "duckdb", 326.0) == 105.0
