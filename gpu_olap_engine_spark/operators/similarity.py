@@ -636,29 +636,39 @@ def _f32_margin(dim: int, threshold: float) -> np.float32:
 
     r11 (supersedes r10's f64 multiply-form `_prefilter_lim`): the
     prefilter only needs to be a SUPERSET test — survivors are
-    re-verified with the exact integer dot + IEEE division — so it can
-    run entirely in float32, where the GEMM is ~2.4x faster and every
-    slab temp is half the bytes (the post-GEMM elementwise work, not
-    the GEMM, dominated the r10 kernel: 1.4 s of a 3.3 s per-bucket
-    wall at sf10). Error budget, all ABSOLUTE in units of na*nb
-    (Cauchy-Schwarz bounds sum|a_i||b_i| <= na*nb):
+    re-verified with the exact integer dot + IEEE division — so it
+    runs entirely in float32 on PRE-NORMALIZED rows: w32 = q32 / n32
+    once per group, then the bound test per Gram cell is the bare
+    compare ``w32a @ w32b.T >= t - margin`` with no per-slab outer
+    matrix and no bound-side multiply at all (the post-GEMM
+    elementwise work, not the GEMM, dominated the r10 kernel: 1.4 s
+    of a 3.3 s per-bucket wall at sf10; the outer-matrix temp was
+    the biggest surviving term after the first f32 rewrite). Error
+    budget, all ABSOLUTE in cosine units (Cauchy-Schwarz on the
+    normalized rows bounds sum|w_a||w_b| <= ~1):
 
-    - f32 sgemm on dim-term dots: |g32 - g| <= (dim+2) * 2^-24 * na*nb
-      (standard gamma_n bound; inputs are exact in f32 under the
-      |q| < 2^24 storage convention, and any residual conversion
-      rounding for larger inputs adds 2 * 2^-24, inside the margin);
-    - bound-side rounding (norm casts, t*na*nb products in f32):
-      a few ulp, scaled by |t| — covered by the (1 + |t|) factor;
+    - normalization rounding: w32 = fl(q32 / n32), 1 ulp per element
+      plus 1 ulp from the f32 norm cast — contributes ~2 * 2^-24
+      relative to each |cos| <= 1;
+    - f32 sgemm over dim normalized terms: |g32w - cos| <=
+      (dim+2) * 2^-24 (standard gamma_n bound on unit-ish rows);
     - the exact predicate's own division rounding: ~2^-53, noise.
 
-    The margin is (dim+16) * 2^-24 * 8 * (1+|t|) — an 8x safety factor
-    over the summed worst case — subtracted ABSOLUTELY from the
-    threshold (r10's relative slack would vanish at t -> 0 while the
-    GEMM error does not; the absolute form is sign-safe for any t:
-    norms are non-negative, so widening t downward only ever ADDS
-    survivors). A zero norm makes the exact cosine NaN, which fails
-    ``>= t`` exactly as it did pre-filtering."""
+    The margin is (dim+16) * 2^-24 * 8 * (1+|t|) — an 8x safety
+    factor over the summed worst case — subtracted ABSOLUTELY from
+    the threshold (r10's relative slack would vanish at t -> 0 while
+    the GEMM error does not; the absolute form is sign-safe for any
+    t). A zero norm makes w32 NaN, and NaN fails every ``>=``
+    compare — the same drop the exact path's NaN cosine produced."""
     return np.float32((dim + 16) * 2.0 ** -24 * 8.0 * (1.0 + abs(threshold)))
+
+
+def _unit_rows_f32(q32: np.ndarray, nrm: np.ndarray) -> np.ndarray:
+    """Row-normalized float32 matrix for the prefilter GEMM; zero
+    norms yield NaN rows that fail every bound compare (see
+    _f32_margin)."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return q32 / nrm.astype(np.float32)[:, None]
 
 
 def _mask_words(pdf: pd.DataFrame) -> tuple:
@@ -847,18 +857,16 @@ def gram_pairs(
             q32 = np.stack(pdf["qvec"].to_numpy()).astype(np.float32)
             q = q32.astype(np.float64)  # exact: integer-valued < 2^24
             nrm = np.sqrt((q * q).sum(axis=1))  # exact integer sums
-            n32 = nrm.astype(np.float32)
+            w32 = _unit_rows_f32(q32, nrm)
             tl = np.float32(threshold) - _f32_margin(q.shape[1], threshold)
             U = _mask_words(pdf) if gated else None
             for s in range(0, k, block_rows):
                 e = min(s + block_rows, k)
                 # columns < s can never satisfy col > row here — skip
                 # them in the GEMM itself (halves the triangle's cells)
-                g32 = q32[s:e] @ q32[s:].T
+                g32 = w32[s:e] @ w32[s:].T
                 tri = np.arange(k - s)[None, :] > np.arange(e - s)[:, None]
-                r, c = np.nonzero(
-                    (g32 >= np.outer(tl * n32[s:e], n32[s:])) & tri
-                )
+                r, c = np.nonzero((g32 >= tl) & tri)
                 c = c + s
                 r = r + s
                 if gated and len(r):
@@ -880,14 +888,15 @@ def gram_pairs(
             qa, qb = qa32.astype(np.float64), qb32.astype(np.float64)
             na = np.sqrt((qa * qa).sum(axis=1))
             nb = np.sqrt((qb * qb).sum(axis=1))
-            na32, nb32 = na.astype(np.float32), nb.astype(np.float32)
+            wa32 = _unit_rows_f32(qa32, na)
+            wb32 = _unit_rows_f32(qb32, nb)
             tl = np.float32(threshold) - _f32_margin(qa.shape[1], threshold)
             Ua = _mask_words(pa) if gated else None
             Ub = _mask_words(pb) if gated else None
             for s in range(0, len(ida), block_rows):
                 e = min(s + block_rows, len(ida))
-                g32 = qa32[s:e] @ qb32.T
-                r, c = np.nonzero(g32 >= np.outer(tl * na32[s:e], nb32))
+                g32 = wa32[s:e] @ wb32.T
+                r, c = np.nonzero(g32 >= tl)
                 r = r + s
                 if gated and len(r):
                     keep = _mask_gate(bkey, Ua, Ub, r, c)
@@ -973,17 +982,19 @@ def gram_cross_pairs(
         qa, qb = qa32.astype(np.float64), qb32.astype(np.float64)
         na = np.sqrt((qa * qa).sum(axis=1))  # exact integer sums
         nb = np.sqrt((qb * qb).sum(axis=1))
-        na32, nb32 = na.astype(np.float32), nb.astype(np.float32)
+        wa32 = _unit_rows_f32(qa32, na)
+        wb32 = _unit_rows_f32(qb32, nb)
         tl = np.float32(threshold) - _f32_margin(qa.shape[1], threshold)
         Ua = _mask_words(pa) if gated else None
         Ub = _mask_words(pb) if gated else None
         out = []
         for s in range(0, len(ida), block_rows):
             e = min(s + block_rows, len(ida))
-            # f32 bound scan; exact integer dot + the oracle's IEEE
-            # division on survivors only (see _f32_margin)
-            g32 = qa32[s:e] @ qb32.T
-            r, c = np.nonzero(g32 >= np.outer(tl * na32[s:e], nb32))
+            # normalized f32 bound scan (bare compare, no outer
+            # matrix); exact integer dot + the oracle's IEEE division
+            # on survivors only (see _f32_margin)
+            g32 = wa32[s:e] @ wb32.T
+            r, c = np.nonzero(g32 >= tl)
             r = r + s
             if gated and len(r):
                 keep = _mask_gate(bkey, Ua, Ub, r, c)
