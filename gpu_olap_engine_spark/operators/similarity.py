@@ -1041,51 +1041,91 @@ def _near_dup_keyed(
       and the verify fails loudly (_mask_words) instead of emitting a
       silently wrong pair set.
 
-    The two-step select matters: top_dim_keys is an interpreted
-    higher-order expression (array_sort over dim structs), and the
-    masks + explode reference it 4x — materializing `tkeys` in its
-    own projection makes CollapseProject keep it single-evaluation
-    (it never inlines a non-trivial expression into multiple uses)."""
+    Derivation runs in ONE Arrow-vectorized mapInPandas pass (r11):
+    top_dim_keys is an interpreted higher-order expression
+    (array_sort over dim structs per vector, never whole-stage
+    codegen — the scaled_dot_batch lesson), and at sf10 the Catalyst
+    derivation cost ~5 s of a ~25 s row. The numpy twin is
+    semantics-identical by construction: np.argsort(-|x|, stable)
+    equals the (-abs, dim) struct sort (stable keeps dim-ascending
+    tie order; NaN sorts last on both engines), sign/quantization
+    are the same IEEE ops, and
+    tests/test_operators.py::test_near_dup_keyed_matches_catalyst
+    pins the full relation against the Catalyst form."""
     from gpu_olap_engine_spark.queries.tables import spread
 
     vecs = spread(corpus).select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
     )
-    step = vecs.select(
-        "vid",
-        F.transform(
-            F.col("vec"),
-            lambda x: F.floor(x.cast("double") * QSCALE).cast("float"),
-        ).alias("qvec"),
-        top_dim_keys(F.col("vec"), block_m).alias("tkeys"),
-    )
-    tkeys = F.col("tkeys")
-    valid = F.forall(tkeys, lambda k: k < 128)
-    # F.shiftleft only takes a python-int bit count; the SQL function
-    # accepts a column — call it through the resolver. shift-by-63
-    # lands on the sign bit (Long.MIN_VALUE): fine, the words are
-    # pure bit patterns the workers read back as uint64.
-    one = F.lit(1).cast("long")
 
-    def _shl(k):
-        return F.call_function("shiftleft", one, k.cast("int"))
+    def derive(batches):
+        one = np.uint64(1)
+        for pdf in batches:
+            vids = pdf["vid"].to_numpy()
+            arrs = pdf["vec"].to_numpy()
+            if len(vids) == 0:
+                continue
+            try:
+                X = np.stack(arrs).astype(np.float64)
+            except ValueError:  # ragged corpus: group rows by length
+                lens = np.fromiter(
+                    (len(a) if a is not None else -1 for a in arrs),
+                    dtype=np.int64,
+                    count=len(arrs),
+                )
+                for ln in np.unique(lens):
+                    if ln <= 0:
+                        continue  # NULL/empty vectors emit no keys
+                    sel = np.nonzero(lens == ln)[0]
+                    sub = pdf.iloc[sel][["vid", "vec"]]
+                    yield from derive(iter([sub]))
+                continue
+            if X.shape[1] == 0:
+                continue
+            m = min(block_m, X.shape[1])
+            # stable ascending sort of -|x| == |x| DESC with dim-ASC
+            # ties == top_dim_keys' (-abs, dim) struct sort; NaN
+            # sorts last on both engines
+            order = np.argsort(-np.abs(X), axis=1, kind="stable")[:, :m]
+            signs = (np.take_along_axis(X, order, axis=1) > 0).astype(
+                np.int64
+            )
+            keys = order.astype(np.int64) * 2 + signs  # (n, m)
+            Q = np.floor(X * QSCALE).astype(np.float32)
+            valid = (keys < 128).all(axis=1)
+            ksh = keys.astype(np.uint64)
+            lo = np.bitwise_or.reduce(
+                np.where(keys < 64, one << (ksh & np.uint64(63)), 0),
+                axis=1,
+            ).view(np.int64)
+            hi = np.bitwise_or.reduce(
+                np.where(
+                    (keys >= 64) & (keys < 128),
+                    one << ((ksh - np.uint64(64)) & np.uint64(63)),
+                    0,
+                ),
+                axis=1,
+            ).view(np.int64)
+            n = len(vids)
+            rep_vid = np.repeat(vids, m)
+            out = pd.DataFrame(
+                {
+                    "vid": rep_vid,
+                    "qvec": [Q[i] for i in np.repeat(np.arange(n), m)],
+                    "mlo": np.repeat(lo, m),
+                    "mhi": np.repeat(hi, m),
+                    "bkey": keys.reshape(-1),
+                }
+            )
+            if not valid.all():  # keys >= 128: masks must be NULL
+                bad = np.repeat(~valid, m)
+                out.loc[bad, "mlo"] = None
+                out.loc[bad, "mhi"] = None
+            yield out
 
-    mask_lo = F.aggregate(
-        F.filter(tkeys, lambda k: k < 64),
-        F.lit(0).cast("long"),
-        lambda a, k: a.bitwiseOR(_shl(k)),
-    )
-    mask_hi = F.aggregate(
-        F.filter(tkeys, lambda k: k >= 64),
-        F.lit(0).cast("long"),
-        lambda a, k: a.bitwiseOR(_shl(k - 64)),
-    )
-    return step.select(
-        "vid",
-        "qvec",
-        F.when(valid, mask_lo).alias("mlo"),
-        F.when(valid, mask_hi).alias("mhi"),
-        F.explode(tkeys).alias("bkey"),
+    return vecs.mapInPandas(
+        derive,
+        "vid long, qvec array<float>, mlo long, mhi long, bkey long",
     )
 
 

@@ -1159,3 +1159,82 @@ def test_near_dup_mask_gate_unique_emission_and_dim_guard(spark, tmp_path):
     with _pytest.raises(Exception) as ei:
         gram_pairs(keyed, threshold=0.0).collect()
     assert "minimal-shared-key gating" in str(ei.value)
+
+
+def test_near_dup_keyed_matches_catalyst(spark):
+    """r11: the Arrow-vectorized keyed derivation (mapInPandas) must
+    reproduce the Catalyst form — top_dim_keys' (-abs, dim) struct
+    sort, the signed key, floor(x*1e6) float32 quantization, and the
+    two key-set mask words — row for row on real data."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from gpu_olap_engine_spark.operators.similarity import (
+        QSCALE,
+        _near_dup_keyed,
+        top_dim_keys,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    got = {
+        (r["vid"], r["bkey"]): (tuple(r["qvec"]), r["mlo"], r["mhi"])
+        for r in _near_dup_keyed(emb, "vec_id", "embedding", 10).collect()
+    }
+
+    # the Catalyst form, reconstructed
+    keys = top_dim_keys(F.col("embedding"), 10)
+    one = F.lit(1).cast("long")
+
+    def shl(k):
+        return F.call_function("shiftleft", one, k.cast("int"))
+
+    step = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * QSCALE).cast("float"),
+        ).alias("qvec"),
+        keys.alias("tkeys"),
+    )
+    cat = step.select(
+        "vid",
+        "qvec",
+        F.aggregate(
+            F.filter(F.col("tkeys"), lambda k: k < 64),
+            F.lit(0).cast("long"),
+            lambda a, k: a.bitwiseOR(shl(k)),
+        ).alias("mlo"),
+        F.aggregate(
+            F.filter(F.col("tkeys"), lambda k: k >= 64),
+            F.lit(0).cast("long"),
+            lambda a, k: a.bitwiseOR(shl(k - 64)),
+        ).alias("mhi"),
+        F.explode(F.col("tkeys")).alias("bkey"),
+    )
+    want = {
+        (r["vid"], r["bkey"]): (tuple(r["qvec"]), r["mlo"], r["mhi"])
+        for r in cat.collect()
+    }
+    assert got == want and len(got) == 10 * emb.count()
+
+    # near-boundary ties: equal |value| on different dims must break
+    # by LOWEST dim on both engines (stable argsort vs struct sort)
+    rows = [
+        (1, [0.5, -0.5, 0.5, 0.25]),
+        (2, [-0.25, 0.25, -0.25, 0.25]),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    g2 = {
+        (r["vid"], r["bkey"])
+        for r in _near_dup_keyed(df, "vec_id", "embedding", 3).collect()
+    }
+    w2 = {
+        (r["vid"], r["bkey"])
+        for r in df.select(
+            F.col("vec_id").alias("vid"),
+            F.explode(top_dim_keys(F.col("embedding"), 3)).alias("bkey"),
+        ).collect()
+    }
+    assert g2 == w2 and len(g2) == 9
