@@ -706,3 +706,59 @@ def test_fuzz_interpolation_agrees(spark, duck, width):
         ).fetchall()
     }
     assert got == want
+
+
+@given(
+    dim=st.sampled_from([3, 7, 8, 16, 64]),
+    thr=st.sampled_from([-0.6, -0.2, 0.0, 0.3, 0.45, 0.8, 0.97]),
+    block_m=st.sampled_from([1, 2, 4]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fuzz_gram_pairs_vs_bruteforce(spark, dim, thr, block_m, seed):
+    """r11 kernel fuzz: for random corpora across dims, thresholds
+    (incl. negative and ~1.0), and blocking widths, the f32-prefilter
+    + minimal-shared-key-gated gram_pairs must emit EXACTLY the
+    brute-force pair set over the same blocking, with bit-identical
+    cosines (ground truth recomputed with the operator's own
+    quantized arithmetic). Exercises the prefilter margin at every
+    threshold sign, the gate's single-emission claim, and the tiling
+    (max_bucket/chunk forced tiny)."""
+    import numpy as np
+
+    from gpu_olap_engine_spark.operators.similarity import (
+        _near_dup_keyed,
+        gram_pairs,
+    )
+
+    rng = np.random.RandomState(seed % 100000)
+    n = 120
+    vecs = rng.uniform(-1.5, 1.5, size=(n, dim))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    keyed = _near_dup_keyed(df, "vec_id", "embedding", block_m)
+
+    # ground truth: per-bucket pairs with exact quantized cosines
+    q = np.floor(vecs.astype(np.float32).astype(np.float64) * 1e6)
+    g = q @ q.T
+    nrm = np.sqrt(np.diag(g))
+    buckets: dict[int, list[int]] = {}
+    for r in keyed.select("vid", "bkey").collect():
+        buckets.setdefault(r["bkey"], []).append(r["vid"])
+    want = {}
+    for vs in buckets.values():
+        vs = sorted(vs)
+        for i in range(len(vs)):
+            for j in range(i + 1, len(vs)):
+                a, b = vs[i], vs[j]
+                cos = g[a, b] / (nrm[a] * nrm[b])
+                if cos >= thr:
+                    want[(a, b)] = cos
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in gram_pairs(
+            keyed, threshold=thr, max_bucket=16, chunk=8, block_rows=5
+        ).collect()
+    }
+    assert got == want
