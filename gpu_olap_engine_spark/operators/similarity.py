@@ -610,7 +610,13 @@ def top_dim_keys(vec: Column, m: int = 6) -> Column:
     Empty/NULL vectors yield an empty key array (no candidates — the
     oracle's generate_series(1, 0) likewise emits nothing); without
     the guard, sequence(0, -1) counts DOWN and element_at(vec, 0)
-    aborts the whole job."""
+    aborts the whole job.
+
+    r11: this Catalyst form is the SPEC and parity reference — the
+    hot path derives the same keys in one Arrow-vectorized
+    mapInPandas pass (_near_dup_keyed; interpreted HOFs never enter
+    codegen and cost ~5 s at sf10), pinned row-for-row against this
+    expression by test_near_dup_keyed_matches_catalyst."""
     idx = F.sequence(F.lit(0), F.size(vec) - 1)
     structs = F.transform(
         idx,
@@ -802,7 +808,7 @@ def gram_pairs(
     assume_unique: bool = False,
 ) -> DataFrame:
     """Within-bucket cosine pairs >= threshold over a
-    (vid, qvec[, keys], bkey) relation via the tiled per-bucket Gram
+    (vid, qvec[, mlo, mhi], bkey) relation via the tiled per-bucket Gram
     verify (see near_dup_pairs for the full rationale) — shared by the
     top-dim-blocked near-dup and the cluster-blocked SemDeDup.
 
