@@ -251,8 +251,20 @@ def group_budget(gi: int, group: str, remaining: float) -> float | None:
     baseline-headline rows, and capping it under the reserve starved
     it to single cold reps on a loaded box (the r11 full-run lesson);
     between the two marquee groups, weights + floors arbitrate, not
-    the reserve."""
+    the reserve.
+
+    Never-skip rescue (r11): a blown wall used to SKIP late groups
+    outright — a loaded-box run lost the bucketed row entirely
+    (remaining -8 s at its turn), which is strictly worse than a
+    slow row. The bucketed group now always launches with a reduced
+    90 s rescue budget (session + two writes + >= rep-1 on a quiet
+    box; at least the row exists on a loaded one). The overshoot is
+    bounded and survivable: every completed rep is fsync-flushed and
+    the parent emits the artifact on SIGTERM, so a driver reaping an
+    overlong run still collects everything measured."""
     if remaining < 45:
+        if group == "bucketed":
+            return 90.0
         return None
     later = sum(GROUP_WEIGHT[g] for g in GROUP_ORDER[gi:])
     floor = GROUP_FLOOR.get(group, 60.0)
@@ -642,12 +654,25 @@ def run_micro_child(group: str, runs_path: str, budget: float) -> None:
     # shuffle-join path (~3 s, untimed) warms them at half scale
     # (20M was measured insufficient: rep-1/min stayed 1.43).
     warm = max(int(50_000_000 * float(os.environ.get("SPARK_GRAFT_MICRO_SCALE", "1.0"))), 100_000)
-    wa = spark.range(warm, numPartitions=32).select(F.col("id").alias("k"))
-    wa.join(
-        spark.range(warm, numPartitions=32).select(F.col("id").alias("k")), "k"
-    ).select(F.count("*").alias("c")).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    if group == "agg100":
+        # group-appropriate warm pass (r11): the groupby child only
+        # needs the aggregate/shuffle path hot — the 50M JOIN warm
+        # below costs 20-30 s on a loaded box for pools this group
+        # never touches, and that spend came straight out of the
+        # marquee groups' wall
+        spark.range(warm, numPartitions=32).groupBy(
+            (F.col("id") % 100_000).alias("k")
+        ).agg(F.count("*").alias("c"), F.sum("id").alias("s")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    else:
+        wa = spark.range(warm, numPartitions=32).select(F.col("id").alias("k"))
+        wa.join(
+            spark.range(warm, numPartitions=32).select(F.col("id").alias("k")),
+            "k",
+        ).select(F.count("*").alias("c")).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     try:
         if group == "bucketed":

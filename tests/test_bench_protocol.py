@@ -160,3 +160,14 @@ def test_group_budget_replays_r11_smoke_notes():
     ~326s remaining and got its 105s floor (reserve cap not binding
     below the floor)."""
     assert group_budget(0, "duckdb", 326.0) == 105.0
+
+
+def test_group_budget_bucketed_never_skipped():
+    """r11: a blown wall must not erase the marquee bucketed row —
+    below the skip threshold every other group skips, bucketed gets
+    the reduced rescue budget."""
+    gi = GROUP_ORDER.index("bucketed")
+    assert group_budget(gi, "bucketed", -10.0) == 90.0
+    assert group_budget(gi, "bucketed", 44.0) == 90.0
+    # above the threshold the normal floor applies
+    assert group_budget(gi, "bucketed", 200.0) >= GROUP_FLOOR["bucketed"]
