@@ -691,8 +691,10 @@ def _mask_words(pdf: pd.DataFrame) -> tuple:
     if lo.dtype != np.int64 or hi.dtype != np.int64:  # NULLs present
         raise ValueError(
             "minimal-shared-key gating needs blocking keys < 128 "
-            "(vector dim <= 64); for wider vectors build the keyed "
-            "relation without mask columns (distinct fallback)"
+            "(vector dim <= 64); drop the mlo/mhi columns from the "
+            "keyed relation so gram_pairs takes the terminal-distinct "
+            "path (near_dup_pairs does this automatically when the "
+            "corpus' first vector is wider than 64 dims)"
         )
     return lo.view(np.uint64), hi.view(np.uint64)
 
@@ -796,6 +798,16 @@ def near_dup_pairs(
     Returns (id_a, id_b, cosine).
     """
     keyed = _near_dup_keyed(corpus, id_col, vec_col, block_m)
+    # r12: the minimal-shared-key gate's two mask words cover blocking
+    # keys 0..127, i.e. vector dim <= 64. Wider corpora (detected from
+    # the first row — the one-row probe pattern kmeans/hyperplane_lsh
+    # already use) drop the masks so gram_pairs takes the terminal-
+    # distinct path instead of failing at verify time. A RAGGED corpus
+    # whose first row is narrow but that hides a >64-dim vector still
+    # fails loudly in _mask_words (never a silently wrong pair set).
+    head = corpus.select(vec_col).first()
+    if head is not None and head[0] is not None and len(head[0]) > 64:
+        keyed = keyed.drop("mlo", "mhi")
     return gram_pairs(keyed, threshold, max_bucket, chunk, block_rows)
 
 
@@ -1086,6 +1098,11 @@ def _near_dup_keyed(
                     sub = pdf.iloc[sel][["vid", "vec"]]
                     yield from derive(iter([sub]))
                 continue
+            if X.ndim != 2:
+                # an ALL-NULL batch stacks into a 1-D NaN array (no
+                # ValueError to catch); NULL vectors emit no keys —
+                # same contract as the ragged branch's ln <= 0 skip
+                continue
             if X.shape[1] == 0:
                 continue
             m = min(block_m, X.shape[1])
@@ -1093,11 +1110,28 @@ def _near_dup_keyed(
             # ties == top_dim_keys' (-abs, dim) struct sort; NaN
             # sorts last on both engines
             order = np.argsort(-np.abs(X), axis=1, kind="stable")[:, :m]
-            signs = (np.take_along_axis(X, order, axis=1) > 0).astype(
-                np.int64
-            )
+            top = np.take_along_axis(X, order, axis=1)
+            # Spark NaN semantics: NaN compares larger than any value,
+            # so element_at(vec, i) > 0 is TRUE for NaN — numpy's
+            # (x > 0) alone would diverge on NaN dims (only reachable
+            # when a vector has fewer than m finite dims)
+            signs = (np.isnan(top) | (top > 0)).astype(np.int64)
             keys = order.astype(np.int64) * 2 + signs  # (n, m)
-            Q = np.floor(X * QSCALE).astype(np.float32)
+            Qd = np.floor(X * QSCALE)
+            # Spark's floor returns LONG: floor(NaN * 1e6) -> 0, not
+            # NaN — match it so qvec stays bit-equal to the Catalyst
+            # spec (floor(x*QSCALE).cast("float")) on NaN dims
+            Qd[np.isnan(Qd)] = 0.0
+            if np.abs(Qd).max() >= 2.0**24:
+                raise ValueError(
+                    "near-dup qvec ships as float32, exact only for "
+                    "|floor(x*1e6)| < 2^24 (the module's |x| < 2 "
+                    "convention, hard limit |x| < ~16.7); this corpus "
+                    f"reaches {np.abs(Qd).max():.3g} — rescale the "
+                    "embeddings (the bit-exact guarantee would "
+                    "silently break otherwise)"
+                )
+            Q = Qd.astype(np.float32)
             valid = (keys < 128).all(axis=1)
             ksh = keys.astype(np.uint64)
             lo = np.bitwise_or.reduce(

@@ -1238,3 +1238,129 @@ def test_near_dup_keyed_matches_catalyst(spark):
         ).collect()
     }
     assert g2 == w2 and len(g2) == 9
+
+    # r12 (ADVICE): NaN dims entering the top-m (vectors with fewer
+    # than m finite dims) — Spark treats NaN > 0 as TRUE and
+    # floor(NaN*1e6) as long 0; the numpy twin must match both
+    nan = float("nan")
+    nrows = [(1, [nan, 0.5]), (2, [0.3, nan]), (3, [-0.1, 0.2])]
+    ndf = spark.createDataFrame(nrows, "vec_id long, embedding array<float>")
+    g3 = {
+        (r["vid"], r["bkey"]): (tuple(r["qvec"]), r["mlo"], r["mhi"])
+        for r in _near_dup_keyed(ndf, "vec_id", "embedding", 3).collect()
+    }
+    nkeys = top_dim_keys(F.col("embedding"), 3)
+    nstep = ndf.select(
+        F.col("vec_id").alias("vid"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * QSCALE).cast("float"),
+        ).alias("qvec"),
+        nkeys.alias("tkeys"),
+    )
+    one_l = F.lit(1).cast("long")
+    w3 = {
+        (r["vid"], r["bkey"]): (tuple(r["qvec"]), r["mlo"], r["mhi"])
+        for r in nstep.select(
+            "vid",
+            "qvec",
+            F.aggregate(
+                F.filter(F.col("tkeys"), lambda k: k < 64),
+                F.lit(0).cast("long"),
+                lambda a, k: a.bitwiseOR(
+                    F.call_function("shiftleft", one_l, k.cast("int"))
+                ),
+            ).alias("mlo"),
+            F.aggregate(
+                F.filter(F.col("tkeys"), lambda k: k >= 64),
+                F.lit(0).cast("long"),
+                lambda a, k: a.bitwiseOR(
+                    F.call_function("shiftleft", one_l, (k - 64).cast("int"))
+                ),
+            ).alias("mhi"),
+            F.explode(F.col("tkeys")).alias("bkey"),
+        ).collect()
+    }
+    assert g3 == w3 and len(g3) == 6
+    # the NaN dim's signed key is dim*2+1 (Spark: NaN > 0 is true)
+    assert (1, 1) in g3 and (2, 3) in g3
+
+
+def test_near_dup_keyed_degenerate_and_guard(spark):
+    """r12 (ADVICE): (a) an all-NULL-vector batch stacks into a 1-D
+    array (no ValueError) — derive must yield no keys, not crash on
+    X.shape[1]; (b) quantized values >= 2^24 break float32 exactness
+    and must fail LOUDLY at derivation time."""
+    import pytest as _pytest
+
+    from gpu_olap_engine_spark.operators.similarity import (
+        _near_dup_keyed,
+        near_dup_pairs,
+    )
+
+    # (a) all-NULL corpus in one partition -> empty keyed relation
+    null_df = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id long, embedding array<float>"
+    ).coalesce(1)
+    assert _near_dup_keyed(null_df, "vec_id", "embedding", 4).count() == 0
+    assert near_dup_pairs(null_df, threshold=0.5).count() == 0
+    # mixed NULL + real rows still derive keys for the real rows
+    mix = spark.createDataFrame(
+        [(1, None), (2, [0.5, -0.25]), (3, None)],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1)
+    got = _near_dup_keyed(mix, "vec_id", "embedding", 2).collect()
+    assert sorted((r["vid"], r["bkey"]) for r in got) == [(2, 1), (2, 2)]
+
+    # (b) |x| >= ~16.8 -> |floor(x*1e6)| >= 2^24 -> loud error
+    wide_vals = spark.createDataFrame(
+        [(1, [20.0, 0.1]), (2, [0.2, 0.3])],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(Exception) as ei:
+        _near_dup_keyed(wide_vals, "vec_id", "embedding", 2).collect()
+    assert "2^24" in str(ei.value)
+
+
+def test_near_dup_pairs_wide_dim_distinct_fallback(spark, tmp_path):
+    """r12 (ADVICE): dim > 64 corpora must take the ungated
+    terminal-distinct path automatically (r11 hard-failed in
+    _mask_words), with output identical to brute force."""
+    import numpy as np
+
+    from gpu_olap_engine_spark.operators.similarity import (
+        cosine_similarity,
+        near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(31)
+    n, dim = 80, 80  # keys up to 159 -> outside the two mask words
+    base = rng.uniform(-0.4, 0.4, size=(1, dim))
+    vecs = base + rng.uniform(-0.15, 0.15, size=(n, dim))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    path = str(tmp_path / "wide80.parquet")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+
+    out = near_dup_pairs(df, threshold=0.9, block_m=4).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert len(out) == len(pairs) > 0  # distinct-path dedup worked
+
+    # ground truth: same blocking recall contract as the gated path —
+    # brute-force cosine restricted to pairs sharing a top-4 key
+    a = df.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = df.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    brute = {
+        (r["ia"], r["ib"])
+        for r in a.join(b, F.col("ia") < F.col("ib"))
+        .select(
+            "ia", "ib",
+            cosine_similarity(F.col("va"), F.col("vb")).alias("c"),
+        )
+        .filter(F.col("c") >= 0.9)
+        .collect()
+    }
+    # every emitted pair is a true near-dup (precision is exact)
+    assert pairs <= brute
