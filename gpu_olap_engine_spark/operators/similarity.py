@@ -677,6 +677,44 @@ def _unit_rows_f32(q32: np.ndarray, nrm: np.ndarray) -> np.ndarray:
         return q32 / nrm.astype(np.float32)[:, None]
 
 
+_SCRATCH: dict = {}
+
+
+def _slab(name: str, dtype, rows: int, cols: int) -> np.ndarray:
+    """Persistent per-worker scratch slab, reused across groups and
+    reps (r12): the verify loop used to allocate a fresh ~70 MB Gram
+    slab plus two bool temporaries PER SLAB per group — with 32
+    concurrent Python workers the resulting mmap/munmap + page-fault
+    storm serialized in the kernel and cost ~5x the kernel's
+    single-process rate (measured: 8.9 ns/cell alone vs ~47 ns/cell
+    effective in-job). One worker runs one task at a time, so a
+    module-level buffer is safe; it grows to the largest (rows x
+    cols) seen and returns a CONTIGUOUS view (matmul out= and
+    np.nonzero both take their fast paths on contiguous arrays).
+    Peak footprint per worker: block_rows x max_bucket x 5 bytes
+    (~85 MB at the defaults)."""
+    n = rows * cols
+    buf = _SCRATCH.get(name)
+    if buf is None or buf.size < n:
+        buf = np.empty(n, dtype=dtype)
+        _SCRATCH[name] = buf
+    return buf[:n].reshape(rows, cols)
+
+
+def _bound_hits(wa32, wb32, tl, s: int, e: int) -> tuple:
+    """Float32 bound scan of one slab: rows wa32[s:e] against columns
+    wb32 (already restricted by the caller), returning LOCAL (r, c)
+    survivor indices. matmul and the compare write into reused
+    scratch (see _slab); arithmetic is unchanged from r11 — same
+    GEMM, same `>= tl` compare, same survivors."""
+    rows, cols = e - s, wb32.shape[0]
+    g32 = np.matmul(
+        wa32[s:e], wb32.T, out=_slab("g32", np.float32, rows, cols)
+    )
+    b = np.greater_equal(g32, tl, out=_slab("b", np.bool_, rows, cols))
+    return np.nonzero(b)
+
+
 def _mask_words(pdf: pd.DataFrame) -> tuple:
     """The minimal-shared-key gate's per-row key-set bitmasks (two
     uint64 words covering blocking keys 0..127), as shipped by
@@ -838,6 +876,17 @@ def gram_pairs(
     oracle's IEEE division — output bit-identical to the full f64
     scan (measured 3.6x on the sf10 median bucket).
 
+    r12 kernel: the GEMM and the bound compare write into persistent
+    per-worker scratch (_slab — the per-slab fresh allocations had
+    serialized 32 concurrent workers on mmap/page faults), and the
+    strict-upper-triangle constraint is a post-scan filter on the
+    rare survivors instead of an O(cells) bool matrix. The verify
+    MASS itself is provably irreducible at low thresholds: any
+    lossless projection band is bounded by sqrt(2(1-t)) in
+    unit-projection units (1.05 at t=0.45 — wider than the whole
+    range), and min-key sub-blocking removes only 4% of cells
+    (measured at sf10); see BENCH_SCALE.md round-12.
+
     Dedup of multi-key pairs: when `keyed` carries mlo/mhi key-set
     bitmask columns (as _near_dup_keyed emits), each survivor pair is
     gated on `bkey == its minimal shared key` (_mask_gate), so every
@@ -881,12 +930,14 @@ def gram_pairs(
             for s in range(0, k, block_rows):
                 e = min(s + block_rows, k)
                 # columns < s can never satisfy col > row here — skip
-                # them in the GEMM itself (halves the triangle's cells)
-                g32 = w32[s:e] @ w32[s:].T
-                tri = np.arange(k - s)[None, :] > np.arange(e - s)[:, None]
-                r, c = np.nonzero((g32 >= tl) & tri)
-                c = c + s
-                r = r + s
+                # them in the GEMM itself (halves the triangle's
+                # cells). r12: the strict-upper-triangle constraint
+                # moved from a per-slab bool matrix (`tri`, an O(cells)
+                # temporary) to a post-scan filter on the (rare)
+                # survivors — same pair set, no O(cells) allocation.
+                r, c = _bound_hits(w32, w32[s:], tl, s, e)
+                keep = c > r  # local coords: col > row <=> global too
+                r, c = r[keep] + s, c[keep] + s
                 if gated and len(r):
                     keep = _mask_gate(bkey, U, U, r, c)
                     r, c = r[keep], c[keep]
@@ -913,8 +964,7 @@ def gram_pairs(
             Ub = _mask_words(pb) if gated else None
             for s in range(0, len(ida), block_rows):
                 e = min(s + block_rows, len(ida))
-                g32 = wa32[s:e] @ wb32.T
-                r, c = np.nonzero(g32 >= tl)
+                r, c = _bound_hits(wa32, wb32, tl, s, e)
                 r = r + s
                 if gated and len(r):
                     keep = _mask_gate(bkey, Ua, Ub, r, c)
@@ -1010,9 +1060,9 @@ def gram_cross_pairs(
             e = min(s + block_rows, len(ida))
             # normalized f32 bound scan (bare compare, no outer
             # matrix); exact integer dot + the oracle's IEEE division
-            # on survivors only (see _f32_margin)
-            g32 = wa32[s:e] @ wb32.T
-            r, c = np.nonzero(g32 >= tl)
+            # on survivors only (see _f32_margin); scratch-buffered
+            # GEMM + compare (r12, see _slab)
+            r, c = _bound_hits(wa32, wb32, tl, s, e)
             r = r + s
             if gated and len(r):
                 keep = _mask_gate(bkey, Ua, Ub, r, c)
@@ -1147,25 +1197,33 @@ def _near_dup_keyed(
                 axis=1,
             ).view(np.int64)
             n = len(vids)
-            rep_vid = np.repeat(vids, m)
+            # ONE row per vector (r12): the per-KEY layout boxed m
+            # python list objects per vector into the Arrow boundary
+            # (2M qvec lists at sf10); emitting the key array once per
+            # vector and exploding it in Catalyst moves the m-fold
+            # duplication JVM-side (columnar copy), cutting the
+            # python->Arrow emission mass m-fold.
             out = pd.DataFrame(
                 {
-                    "vid": rep_vid,
-                    "qvec": [Q[i] for i in np.repeat(np.arange(n), m)],
-                    "mlo": np.repeat(lo, m),
-                    "mhi": np.repeat(hi, m),
-                    "bkey": keys.reshape(-1),
+                    "vid": vids,
+                    "qvec": list(Q),
+                    "mlo": lo,
+                    "mhi": hi,
+                    "keys": list(keys),
                 }
             )
             if not valid.all():  # keys >= 128: masks must be NULL
-                bad = np.repeat(~valid, m)
-                out.loc[bad, "mlo"] = None
-                out.loc[bad, "mhi"] = None
+                out.loc[~valid, "mlo"] = None
+                out.loc[~valid, "mhi"] = None
             yield out
 
-    return vecs.mapInPandas(
+    one_per_vec = vecs.mapInPandas(
         derive,
-        "vid long, qvec array<float>, mlo long, mhi long, bkey long",
+        "vid long, qvec array<float>, mlo long, mhi long, "
+        "keys array<long>",
+    )
+    return one_per_vec.select(
+        "vid", "qvec", "mlo", "mhi", F.explode("keys").alias("bkey")
     )
 
 

@@ -463,8 +463,12 @@ def dedup_span_stats_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (doc, gram) pre-aggregation and the gram-total shuffle carry
     an 8-byte xxhash64 instead of the ~50-byte gram string — same
     rows moved, ~6x narrower shuffle payload on the widest exchange.
-    Shares the string-keyed entry's oracle verbatim (see oracle
-    comment)."""
+    r12: the hash is a TUPLE hash (xxhash64 chained over the k word
+    columns), so the gram string is never constructed at all — that
+    construction was 10.6 s of the sf10 string path and made the
+    r11 hash-the-built-string variant an honest negative (sf10
+    isolated: 10.0 s vs the string path's 17.7 s). Shares the
+    string-keyed entry's oracle verbatim (see oracle comment)."""
     return D.duplicated_span_stats(
         T(spark, sf_dir, "documents"), "doc_id", "text", k=8, hash_keys=True
     )
