@@ -44,11 +44,15 @@ def _mk_spark(mem: str, extra: dict | None = None):
         ),
         # the r10-measured join-shape confs from bench.py's join100
         # child: zstd shuffle blocks (sequential int keys compress
-        # ~3x) and a narrower initial partition count than the
-        # engine's 256 default; 96 keeps ~50 MB compressed blocks per
-        # partition even at 300M rows
+        # ~3x) and an initial partition count that SCALES with the
+        # data (96 was measured best at 100M; keeping 96 at 300M
+        # measured 34.9 s vs 17.5 s at 288 — per-task sort state must
+        # stay constant as rows grow, the same rule a real cluster
+        # follows)
         "spark.io.compression.codec": "zstd",
-        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "96",
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(
+            96 * N // 100_000_000
+        ),
     }
     confs.update(extra or {})
     os.environ["SPARK_GRAFT_DRIVER_MEMORY"] = mem
