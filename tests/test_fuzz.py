@@ -762,3 +762,88 @@ def test_fuzz_gram_pairs_vs_bruteforce(spark, dim, thr, block_m, seed):
         ).collect()
     }
     assert got == want
+
+
+@given(
+    dim=st.sampled_from([2, 5, 8]),
+    block_m=st.sampled_from([1, 3, 6]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fuzz_near_dup_keyed_degenerate_parity(spark, dim, block_m, seed):
+    """r12 ADVICE-hardening fuzz: the Arrow-vectorized keyed
+    derivation must match the Catalyst spec form row-for-row on
+    corpora salted with every degenerate shape the advice named —
+    NULL vectors (incl. whole partitions of them), empty vectors,
+    NaN dims (incl. rows with fewer finite dims than block_m, where
+    NaN enters the top-m and Spark's NaN>0=true / floor(NaN)->0
+    semantics bind), and RAGGED lengths (the per-length recursion
+    path)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from gpu_olap_engine_spark.operators.similarity import (
+        QSCALE,
+        _near_dup_keyed,
+        top_dim_keys,
+    )
+
+    rng = np.random.RandomState(seed % 100000)
+    n = 60
+    rows = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.12:
+            rows.append((i, None))
+            continue
+        if r < 0.2:
+            rows.append((i, []))
+            continue
+        ln = dim + 2 if r < 0.35 else dim  # ragged mix
+        v = rng.uniform(-1.5, 1.5, size=ln)
+        if rng.random() < 0.4:  # NaN injection, sometimes all dims
+            k = rng.randint(1, ln + 1)
+            v[rng.choice(ln, size=k, replace=False)] = np.nan
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {
+        (r["vid"], r["bkey"]): (tuple(r["qvec"]), r["mlo"], r["mhi"])
+        for r in _near_dup_keyed(df, "vec_id", "embedding", block_m).collect()
+    }
+
+    keys = top_dim_keys(F.col("embedding"), block_m)
+    one = F.lit(1).cast("long")
+
+    def shl(k):
+        return F.call_function("shiftleft", one, k.cast("int"))
+
+    cat = df.select(
+        F.col("vec_id").alias("vid"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * QSCALE).cast("float"),
+        ).alias("qvec"),
+        keys.alias("tkeys"),
+    ).select(
+        "vid",
+        "qvec",
+        F.aggregate(
+            F.filter(F.col("tkeys"), lambda k: k < 64),
+            F.lit(0).cast("long"),
+            lambda a, k: a.bitwiseOR(shl(k)),
+        ).alias("mlo"),
+        F.aggregate(
+            F.filter(F.col("tkeys"), lambda k: k >= 64),
+            F.lit(0).cast("long"),
+            lambda a, k: a.bitwiseOR(shl(k - 64)),
+        ).alias("mhi"),
+        F.explode(F.col("tkeys")).alias("bkey"),
+    )
+    want = {
+        (r["vid"], r["bkey"]): (tuple(r["qvec"]), r["mlo"], r["mhi"])
+        for r in cat.collect()
+    }
+    assert got == want
