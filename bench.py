@@ -328,6 +328,21 @@ def should_run_rep(
     return spread_bad or not converged
 
 
+def _stderr_tail(path: str, lines: int = 30, chars: int = 3000) -> str:
+    """Last `lines` lines of a child's captured stderr, capped at
+    `chars`, newline-flattened for the artifact notes (r13,
+    VERDICT r12 #1: a failing child's exit must be diagnosable from
+    the JSON record alone)."""
+    from collections import deque  # noqa: PLC0415
+
+    try:
+        with open(path, errors="replace") as f:
+            tail = "".join(deque(f, maxlen=lines))
+    except Exception:  # noqa: BLE001
+        return "<stderr unavailable>"
+    return tail.replace("\n", " | ")[-chars:]
+
+
 def _mk_spark(cpus: str, extra: dict | None = None, pretouch: bool = False):
     from gpu_olap_engine_spark.config import EngineConfig  # noqa: PLC0415
     from gpu_olap_engine_spark.session import get_spark  # noqa: PLC0415
@@ -352,6 +367,14 @@ def _mk_spark(cpus: str, extra: dict | None = None, pretouch: bool = False):
         # 100M-row micros) writes to STDOUT and would corrupt the
         # one-line JSON contract; disable it outright.
         "spark.driver.extraJavaOptions": java_opts,
+        # r13 (VERDICT r12 #1): bench children serve no UI, and live
+        # UI/SQL-execution state (per-rep plan graphs x AQE re-plans,
+        # default retention 1000 executions) accumulates in the child
+        # heap across floor-guard-extended rep sequences — the prime
+        # suspect for the late-rep OOMs (r10 at 24g, r12 rc-1 at
+        # 32g). Zero timing effect; strictly less allocation.
+        "spark.ui.enabled": "false",
+        "spark.sql.ui.retainedExecutions": "4",
     }
     confs.update(extra or {})
     spark = get_spark(EngineConfig(extra_confs=confs), master=f"local[{cpus}]")
@@ -730,17 +753,16 @@ def run_micro_child(group: str, runs_path: str, budget: float) -> None:
                 # ONE bounded overshoot — the parent's child timeout
                 # caps it — than to let a cold rep-1 foreclose the warm
                 # reps that are the micro's actual number.
-                if rep > 0:
-                    proj = min(r) if len(r) >= 2 else r[0] / 4
-                    # 2-rep minimum (r12, VERDICT r11 #2): a lone cold
-                    # rep is not a usable number (r11: all five light
-                    # rows landed single-rep, inflated 2-2.3x over
-                    # their floors). Rep index 1 may overshoot the
-                    # deadline by a bounded 25 s — every completed rep
-                    # is fsync-flushed and the parent's +90 s child
-                    # grace absorbs the overrun.
-                    limit = deadline + (25 if rep == 1 else 0)
-                    if time.monotonic() + proj > limit:
+                # 2-rep minimum (r13, ADVICE r12): rep 1 runs
+                # UNCONDITIONALLY — the r12 +25 s extension still let
+                # a micro whose cold rep projected past deadline+25
+                # land single-rep (the exact r11 failure mode on a
+                # loaded box). A lone cold rep is not a usable number;
+                # every completed rep is fsync-flushed and the
+                # parent's +90 s child grace absorbs the overrun.
+                if rep > 1:
+                    proj = min(r)
+                    if time.monotonic() + proj > deadline:
                         continue
                 if not should_run_rep(
                     r, rep, adaptive, KNOWN_FLOORS.get(name)
@@ -1043,22 +1065,44 @@ def main() -> None:
             "--budget",
             str(round(child_budget, 1)),
         ]
+        # r13 (VERDICT r12 #1): the child's stderr used to stream
+        # straight to the parent's stderr and was LOST to the
+        # artifact — the r12 join100 rc-1 was undiagnosable from the
+        # record. Tee it through a file so a non-zero exit carries
+        # its last lines into `notes`.
+        efd, err_path = tempfile.mkstemp(prefix=f"bench_err_{group}_")
+        os.close(efd)
         try:
-            proc = subprocess.run(
-                cmd,
-                stdout=sys.stderr,  # parent stdout stays one JSON line
-                stderr=sys.stderr,
-                timeout=child_budget + 90,  # grace: session start/stop
-                # + one in-flight cold rep; a working child self-limits
-                # via its own deadline, this only reaps a hung one
-                check=False,
-            )
+            with open(err_path, "w") as errf:
+                proc = subprocess.run(
+                    cmd,
+                    stdout=errf,  # parent stdout stays one JSON line
+                    stderr=errf,
+                    timeout=child_budget + 90,  # grace: session
+                    # start/stop + one in-flight cold rep; a working
+                    # child self-limits via its own deadline, this
+                    # only reaps a hung one
+                    check=False,
+                )
             if proc.returncode != 0:
                 state["notes"].append(f"{group}: child rc {proc.returncode}")
+                state["notes"].append(
+                    f"{group} stderr tail: {_stderr_tail(err_path)}"
+                )
         except subprocess.TimeoutExpired:
             state["notes"].append(f"{group}: child timeout (killed)")
+            state["notes"].append(
+                f"{group} stderr tail: {_stderr_tail(err_path)}"
+            )
         except Exception as e:  # noqa: BLE001
             state["notes"].append(f"{group}: {type(e).__name__}")
+        finally:
+            try:  # replay for interactive runs, then drop the file
+                with open(err_path) as f:
+                    shutil.copyfileobj(f, sys.stderr)
+            except Exception:  # noqa: BLE001
+                pass
+            os.unlink(err_path)
         # harvest whatever the child flushed, regardless of how it died
         try:
             with open(runs_path) as f:

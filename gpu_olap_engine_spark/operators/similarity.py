@@ -768,6 +768,7 @@ def near_dup_pairs(
     max_bucket: int = 16384,
     chunk: int = 8192,
     block_rows: int = 1024,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold:
     inverted-index blocking on top-m signed dims (top_dim_keys), then
@@ -836,15 +837,23 @@ def near_dup_pairs(
     Returns (id_a, id_b, cosine).
     """
     keyed = _near_dup_keyed(corpus, id_col, vec_col, block_m)
-    # r12: the minimal-shared-key gate's two mask words cover blocking
-    # keys 0..127, i.e. vector dim <= 64. Wider corpora (detected from
-    # the first row — the one-row probe pattern kmeans/hyperplane_lsh
-    # already use) drop the masks so gram_pairs takes the terminal-
-    # distinct path instead of failing at verify time. A RAGGED corpus
-    # whose first row is narrow but that hides a >64-dim vector still
-    # fails loudly in _mask_words (never a silently wrong pair set).
-    head = corpus.select(vec_col).first()
-    if head is not None and head[0] is not None and len(head[0]) > 64:
+    # The minimal-shared-key gate's two mask words cover blocking
+    # keys 0..127, i.e. vector dim <= 64. Wider corpora drop the
+    # masks so gram_pairs takes the terminal-distinct path instead of
+    # failing at verify time. r13 (retires the r12 first-row probe —
+    # it was order-dependent on ragged corpora and an eager Spark job
+    # on an otherwise-lazy construction path): callers that know the
+    # corpus width pass `dim=` and construction stays job-free; only
+    # when unspecified does a one-scalar agg probe MAX vector length
+    # (order-INDEPENDENT — a ragged corpus hiding one wide vector now
+    # takes the distinct path instead of relying on the loud
+    # _mask_words failure). A WRONG dim hint <= 64 on a wider corpus
+    # still fails loudly in _mask_words (never a silently wrong pair
+    # set); a wrong hint > 64 merely forfeits the gate's speedup.
+    if dim is None:
+        probe = corpus.agg(F.max(F.size(F.col(vec_col)))).first()
+        dim = probe[0] if probe is not None else None
+    if dim is not None and dim > 64:
         keyed = keyed.drop("mlo", "mhi")
     return gram_pairs(keyed, threshold, max_bucket, chunk, block_rows)
 
@@ -1203,18 +1212,29 @@ def _near_dup_keyed(
             # vector and exploding it in Catalyst moves the m-fold
             # duplication JVM-side (columnar copy), cutting the
             # python->Arrow emission mass m-fold.
+            if valid.all():
+                mlo_col, mhi_col = lo, hi
+            else:
+                # keys >= 128: masks must be NULL. Build nullable
+                # Int64 — assigning None into an int64 column upcasts
+                # it to float64, and masks whose set bits span > 52
+                # positions silently lose low bits through the Arrow
+                # cast back to long (r12 advice: reproduced bits 0/3
+                # dropped on a 63-bit-span mask), corrupting the
+                # minimal-shared-key gate for the batch's VALID rows.
+                mlo_col = pd.array(lo, dtype="Int64")
+                mhi_col = pd.array(hi, dtype="Int64")
+                mlo_col[~valid] = pd.NA
+                mhi_col[~valid] = pd.NA
             out = pd.DataFrame(
                 {
                     "vid": vids,
                     "qvec": list(Q),
-                    "mlo": lo,
-                    "mhi": hi,
+                    "mlo": mlo_col,
+                    "mhi": mhi_col,
                     "keys": list(keys),
                 }
             )
-            if not valid.all():  # keys >= 128: masks must be NULL
-                out.loc[~valid, "mlo"] = None
-                out.loc[~valid, "mhi"] = None
             yield out
 
     one_per_vec = vecs.mapInPandas(

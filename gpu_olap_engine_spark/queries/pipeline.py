@@ -280,7 +280,7 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("by_text", F.lit(1))
     )
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    emb_pairs = S.near_dup_pairs(emb, threshold=0.45)
+    emb_pairs = S.near_dup_pairs(emb, threshold=0.45, dim=64)
     emb_dups = (
         emb_pairs.select(
             F.explode(F.array("id_a", "id_b")).alias("doc_id")

@@ -207,7 +207,8 @@ def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     output (see operators/similarity.py near_dup_pairs). The oracle
     mirrors blocking AND quantized arithmetic bit-for-bit."""
     return S.near_dup_pairs(
-        T(spark, sf_dir, "embeddings"), threshold=0.45, block_m=10
+        T(spark, sf_dir, "embeddings"), threshold=0.45, block_m=10,
+        dim=64,  # fixture width — keeps construction job-free (r13)
     )
 
 
@@ -296,7 +297,8 @@ def sim_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpu_olap_engine_spark.operators.graph import connected_components
 
     pairs = S.near_dup_pairs(
-        T(spark, sf_dir, "embeddings"), threshold=0.45, block_m=10
+        T(spark, sf_dir, "embeddings"), threshold=0.45, block_m=10,
+        dim=64,  # fixture width — construction stays job-free (r13)
     )
     return connected_components(pairs).select(
         F.col("id").cast("long").alias("vec_id"),

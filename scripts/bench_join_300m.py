@@ -53,6 +53,10 @@ def _mk_spark(mem: str, extra: dict | None = None):
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(
             96 * N // 100_000_000
         ),
+        # r13: no UI in bench children (same hardening as bench.py's
+        # _mk_spark — retained execution state is heap the reps need)
+        "spark.ui.enabled": "false",
+        "spark.sql.ui.retainedExecutions": "4",
     }
     confs.update(extra or {})
     os.environ["SPARK_GRAFT_DRIVER_MEMORY"] = mem
@@ -99,6 +103,28 @@ def phase_spark_default() -> dict:
         runs.append(round(time.perf_counter() - t0, 3))
     spark.stop()
     return {"spark_default_runs": runs, "spark_default": min(runs)}
+
+
+def phase_spark_shj() -> dict:
+    """Shuffle-hash-hinted path (r13, VERDICT r12 #6): the
+    reference's headline claim is specifically a HASH join
+    (README.md:319-325, join_kernel.rs:14-18 radix hash default), so
+    the like-for-like 300M point needs the no-sort hash path next to
+    the default SMJ, exactly as bench.py's join100 group records at
+    100M."""
+    from pyspark.sql import functions as F
+
+    spark = _mk_spark("56g")
+    _warm(spark)
+    a, b = _sides(spark)
+    df = a.join(b.hint("shuffle_hash"), "k").select(F.count("*").alias("c"))
+    runs = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        runs.append(round(time.perf_counter() - t0, 3))
+    spark.stop()
+    return {"spark_shj_runs": runs, "spark_shj": min(runs)}
 
 
 def phase_spark_bucketed() -> dict:
@@ -191,6 +217,7 @@ def phase_duckdb() -> dict:
 
 PHASES = {
     "spark_default": phase_spark_default,
+    "spark_shj": phase_spark_shj,
     "spark_bucketed": phase_spark_bucketed,
     "duckdb": phase_duckdb,
 }
@@ -207,7 +234,7 @@ def main() -> None:
            "baseline_100m": {"gpu_sec": 3.2, "duckdb_cpu_sec": 18.3}}
     # duckdb first (bench.py lesson: it exits fully before any JVM
     # inflates a pre-touched heap; the reverse order poisons it)
-    for phase in ("duckdb", "spark_default", "spark_bucketed"):
+    for phase in ("duckdb", "spark_default", "spark_shj", "spark_bucketed"):
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--phase", phase],
             stdout=subprocess.PIPE,

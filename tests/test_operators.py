@@ -1364,3 +1364,83 @@ def test_near_dup_pairs_wide_dim_distinct_fallback(spark, tmp_path):
     }
     # every emitted pair is a true near-dup (precision is exact)
     assert pairs <= brute
+
+
+def test_near_dup_keyed_mixed_batch_masks_bit_exact(spark):
+    """r13 (ADVICE medium): when ONE derive batch mixes valid and
+    invalid-key rows, the valid rows' mlo/mhi must survive bit-exact.
+    The old `out.loc[~valid, 'mlo'] = None` upcast the int64 column
+    to float64, silently dropping low bits of masks whose set bits
+    span > 52 positions (reproduced: bit 0 and 3 lost on a
+    63-bit-span mask). Same-length 70-dim rows force both kinds into
+    one batch (the ragged branch splits by length, so raggedness
+    alone can never mix them)."""
+    from gpu_olap_engine_spark.operators.similarity import (
+        _near_dup_keyed,
+    )
+
+    dim = 70
+    # valid row: top-2 |x| at dims 31 (+) and 0 (-) -> keys {63, 0}
+    # -> mlo has bits 63 AND 0 set: unrepresentable in float64
+    va = [0.0] * dim
+    va[31], va[0] = 1.9, -1.5
+    # invalid row: top |x| at dim 69 -> key >= 128 -> masks NULL
+    vb = [0.001] * dim
+    vb[69] = 1.8
+    df = spark.createDataFrame(
+        [(1, va), (2, vb)], "vec_id long, embedding array<float>"
+    ).coalesce(1)  # one partition -> one Arrow batch mixes both rows
+
+    rows = {
+        r["vid"]: r
+        for r in _near_dup_keyed(df, "vec_id", "embedding", 2)
+        .select("vid", "mlo", "mhi")
+        .distinct()
+        .collect()
+    }
+    expect_mlo = np.int64(
+        np.uint64(1 << 63) | np.uint64(1)
+    )  # == -9223372036854775807; float64 round-trip gives ...808
+    assert rows[1]["mlo"] == int(expect_mlo)
+    assert rows[1]["mhi"] == 0
+    assert rows[2]["mlo"] is None and rows[2]["mhi"] is None
+
+
+def test_near_dup_pairs_dim_hint_is_lazy_probe_is_orderless(spark):
+    """r13 (VERDICT #4): construction must launch NO Spark job when
+    the caller supplies `dim=`; without the hint the fallback probe
+    is max(size(vec)) — order-INDEPENDENT, so a ragged corpus whose
+    FIRST row is narrow but that hides a wide vector takes the
+    distinct path (the r12 first()-probe kept the masks there)."""
+    from gpu_olap_engine_spark.operators.similarity import (
+        near_dup_pairs,
+    )
+
+    base = spark.createDataFrame(
+        [(1, [0.5, -0.25]), (2, [0.4, -0.2])],
+        "vec_id long, embedding array<float>",
+    )
+
+    def poison(batches):
+        raise RuntimeError("construction must not execute the plan")
+        yield  # pragma: no cover
+
+    poisoned = base.mapInPandas(
+        poison, "vec_id long, embedding array<float>"
+    )
+    # with the hint: pure plan construction, no job -> no raise
+    plan = near_dup_pairs(poisoned, threshold=0.5, dim=2)
+    assert plan is not None
+    # without the hint: the probe job runs and hits the poison
+    with pytest.raises(Exception):
+        near_dup_pairs(poisoned, threshold=0.5)
+
+    # ordering: narrow FIRST row + hidden 80-dim row -> masks dropped
+    wide = [float(x) for x in np.linspace(-0.4, 0.4, 80)]
+    ragged = spark.createDataFrame(
+        [(1, [0.5, -0.25]), (2, wide), (3, [0.45, -0.22])],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1)
+    out = near_dup_pairs(ragged, threshold=0.9, block_m=2)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 3) in got  # the two narrow near-dups still found
