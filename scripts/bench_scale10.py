@@ -50,7 +50,14 @@ KEY_OFFSET = 1_000_000_000
 
 SUITE = [
     "dedup_minhash_lsh",
-    "dedup_span_stats",
+    # r13 (VERDICT r12 #3): the suite quotes the layout a 100 TB job
+    # would RUN — the tuple-hashed span twin (8-byte shuffle keys,
+    # gram string never built; 10.0 s isolated at sf10 vs 17.7 for
+    # the string path). The string row remains recorded below,
+    # separately timed and identity-checked against this one
+    # (order-insensitive xxhash64 row-checksum), but no longer
+    # inflates the suite total with a layout the scale path retired.
+    "dedup_span_stats_hashed",
     "sim_bucketed_ann",
     "dedup_exact_key",
     # r9 widening (round-8 verdict #5): the rest of the blocked-dedup
@@ -80,7 +87,7 @@ SUITE = [
 # getting denser, not the plan degrading.
 COUNT_ROWS = {
     "dedup_minhash_lsh",
-    "dedup_span_stats",
+    "dedup_span_stats_hashed",
     "sim_bucketed_ann",
     "dedup_exact_key",
     "dedup_simhash",
@@ -156,7 +163,9 @@ def _cand_decontaminate(spark, d: str) -> int:
 CANDIDATES = {
     "dedup_minhash_lsh": _cand_minhash,
     "sim_near_dup_pairs": _cand_near_dup,
-    "dedup_span_stats": _cand_span,
+    # gram-occurrence mass is a property of the corpus + k, shared by
+    # the string row and its tuple-hashed twin — counted once
+    "dedup_span_stats_hashed": _cand_span,
     "sim_decontaminate": _cand_decontaminate,
 }
 
@@ -436,6 +445,29 @@ def main() -> None:
         cand10[name] = fn(spark, out_dir)
         cand01[name] = fn(spark, src_dir)
 
+    # r13 (VERDICT r12 #3): the string-keyed span row stays recorded
+    # — timed once outside the suite total (the scale path above is
+    # its tuple-hashed twin) and value-checked against the twin with
+    # an order-insensitive row checksum (sum of xxhash64 over all
+    # columns: any differing row flips the sum; the twins' pytest
+    # oracle already pins both against DuckDB at sf0.01).
+    def _row_checksum(df) -> int:
+        return int(
+            df.agg(F.sum(F.xxhash64(*df.columns)).alias("h")).collect()[0][
+                "h"
+            ]
+        )
+
+    t0 = time.perf_counter()
+    string_df = registry["dedup_span_stats"].fn(spark, out_dir)
+    string_df.write.format("noop").mode("overwrite").save()
+    string_wall = round(time.perf_counter() - t0, 3)
+    span_identity = _row_checksum(
+        registry["dedup_span_stats"].fn(spark, out_dir)
+    ) == _row_checksum(
+        registry["dedup_span_stats_hashed"].fn(spark, out_dir)
+    )
+
     print(
         json.dumps(
             {
@@ -447,6 +479,8 @@ def main() -> None:
                 "out_rows_sf01": rows01,
                 "cand_pairs_sf10": cand10,
                 "cand_pairs_sf01": cand01,
+                "dedup_span_stats_string_wall": string_wall,
+                "span_stats_twins_identical_sf10": span_identity,
                 "sf": 10.0,
                 "generate_sec": gen_s,
             }
