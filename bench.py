@@ -642,7 +642,13 @@ def run_micro_child(group: str, runs_path: str, budget: float) -> None:
             # flushed, so the artifact survived — but the dead child
             # forfeits its remaining rep budget). The two 100M-row
             # hash builds plus per-rep AQE plan state want headroom.
-            os.environ["SPARK_GRAFT_DRIVER_MEMORY"] = "32g"
+            # r13: it recurred at 32g (stderr tee caught the executor
+            # OutOfMemoryError); the primary fix is the per-rep
+            # System.gc() below (cleaner-lag accumulation), and the
+            # heap adds one more rep's headroom on top — ~8 GB extra
+            # pre-touch is ~1-2 s of untimed setup, cheap against a
+            # dead child forfeiting its rep budget.
+            os.environ["SPARK_GRAFT_DRIVER_MEMORY"] = "40g"
         elif group == "agg100":
             # a 100M-row two-column group-by's working set is ~2-4 GB
             # (partial-agg maps + a 256 x 100k-row exchange); 10g is
@@ -776,6 +782,20 @@ def run_micro_child(group: str, runs_path: str, budget: float) -> None:
                 t = time.perf_counter() - t0
                 r.append(t)
                 emit_run(name, t)
+                if group == "join100":
+                    # r13: the recurring join100 rc-1's root cause,
+                    # finally captured by the stderr tee — executor
+                    # java.lang.OutOfMemoryError on a LATE rep;
+                    # SparkUncaughtExceptionHandler halts the JVM
+                    # mid-sequence. Shuffle/broadcast state freed
+                    # between reps is reclaimed by the GC-driven
+                    # ContextCleaner, and a pre-touched 32g heap has
+                    # so little GC pressure that the cleaner lags N
+                    # reps behind while each rep's two 100M-row hash
+                    # builds land on top of the uncollected prior
+                    # ones. One explicit collection per rep, OUTSIDE
+                    # the timed window, keeps the sequence flat.
+                    spark.sparkContext._jvm.System.gc()
     finally:
         try:
             if group == "bucketed":
