@@ -171,3 +171,23 @@ def test_group_budget_bucketed_never_skipped():
     assert group_budget(gi, "bucketed", 44.0) == 90.0
     # above the threshold the normal floor applies
     assert group_budget(gi, "bucketed", 200.0) >= GROUP_FLOOR["bucketed"]
+
+
+def test_stderr_tail_caps_and_flattens(tmp_path):
+    """r13: the child-stderr tee must survive the artifact's one-line
+    JSON contract — last N lines only, newline-flattened, char-capped,
+    and resilient to a missing file."""
+    from bench import _stderr_tail
+
+    p = tmp_path / "err.log"
+    p.write_text("\n".join(f"line{i}" for i in range(100)) + "\n")
+    tail = _stderr_tail(str(p), lines=30, chars=3000)
+    assert "\n" not in tail
+    assert "line99" in tail and "line70" in tail
+    assert "line69" not in tail  # only the last 30 lines
+    # char cap keeps the END of the tail (the exception is last)
+    long = tmp_path / "long.log"
+    long.write_text("x" * 10000 + "\nTHE-ERROR\n")
+    capped = _stderr_tail(str(long), lines=30, chars=100)
+    assert len(capped) <= 100 and "THE-ERROR" in capped
+    assert _stderr_tail(str(tmp_path / "absent.log")) == "<stderr unavailable>"
