@@ -847,3 +847,64 @@ def test_fuzz_near_dup_keyed_degenerate_parity(spark, dim, block_m, seed):
         for r in cat.collect()
     }
     assert got == want
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from([2, 8, 31, 32, 64, 70, 80]),  # vector dim
+            st.integers(min_value=0, max_value=2**32 - 1),  # value seed
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fuzz_near_dup_masks_vs_python_reference(spark, data):
+    """r13: the mask words (mlo/mhi) of _near_dup_keyed, fuzzed over
+    ragged corpora mixing <=64-dim and wide rows, checked against an
+    INDEPENDENT pure-Python formulation (plain ints, no numpy bit
+    ops). Catches both the float64-upcast corruption fixed this round
+    (valid rows in a mixed batch) and any key-set drift."""
+    import numpy as np
+
+    from gpu_olap_engine_spark.operators.similarity import (
+        _near_dup_keyed,
+    )
+
+    m = 4
+    rows, expect = [], {}
+    for vid, (dim, seed) in enumerate(data):
+        rng = np.random.RandomState(seed)
+        vec = [float(x) for x in rng.uniform(-1.9, 1.9, size=dim)]
+        rows.append((vid, vec))
+        # independent reference: stable sort by (-|x|, dim), plain ints
+        order = sorted(range(dim), key=lambda i: (-abs(vec[i]), i))[:m]
+        keys = [2 * i + (1 if vec[i] > 0 else 0) for i in order]
+        expect[vid] = keys
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).coalesce(1)  # one batch: mixed valid/wide rows share a batch
+
+    got = {}
+    for r in (
+        _near_dup_keyed(df, "vec_id", "embedding", m)
+        .select("vid", "mlo", "mhi", "bkey")
+        .collect()
+    ):
+        got.setdefault(r["vid"], {"keys": set(), "mlo": r["mlo"],
+                                  "mhi": r["mhi"]})
+        got[r["vid"]]["keys"].add(r["bkey"])
+
+    for vid, keys in expect.items():
+        assert got[vid]["keys"] == set(keys)
+        if max(keys) >= 128:
+            assert got[vid]["mlo"] is None and got[vid]["mhi"] is None
+        else:
+            lo = sum(1 << k for k in keys if k < 64)
+            hi = sum(1 << (k - 64) for k in keys if k >= 64)
+            # two's-complement view of the unsigned word
+            as_i64 = lambda u: u - (1 << 64) if u >= (1 << 63) else u
+            assert got[vid]["mlo"] == as_i64(lo)
+            assert got[vid]["mhi"] == as_i64(hi)
