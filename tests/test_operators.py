@@ -1444,3 +1444,26 @@ def test_near_dup_pairs_dim_hint_is_lazy_probe_is_orderless(spark):
     out = near_dup_pairs(ragged, threshold=0.9, block_m=2)
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert (1, 3) in got  # the two narrow near-dups still found
+
+
+def test_line_dedup_hashed_twin_identical(spark):
+    """r13: the hash_keys election/join layout (16-byte shuffle rows
+    on the first-occurrence election instead of ~30-byte segment
+    strings — the 100 TB swap the docstring had only promised) must
+    be row-identical to the string path on the fixture corpus."""
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    a = sorted(
+        map(
+            tuple,
+            D.line_dedup_keep_first(docs, "doc_id", "text", width=5).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            D.line_dedup_keep_first(
+                docs, "doc_id", "text", width=5, hash_keys=True
+            ).collect(),
+        )
+    )
+    assert a == b
