@@ -63,6 +63,18 @@ def _oracle_with_budget(duck, sql: str, limit_s: float | None):
         th.join()
 
 
+def _summarize(sf_dir: str, shuffle: int, results: dict[str, str]) -> dict:
+    return {
+        "sf_dir": sf_dir,
+        "shuffle_partitions": shuffle,
+        "pass": sum(1 for v in results.values() if v == "pass"),
+        "fail": sum(1 for v in results.values() if v.startswith("FAIL")),
+        "rows_only": sum(1 for v in results.values() if v == "rows_only"),
+        "oracle_slow": [k for k, v in results.items() if v == "oracle_slow"],
+        "failed": [k for k, v in results.items() if v.startswith("FAIL")],
+    }
+
+
 def main() -> None:
     argv = sys.argv[1:]
 
@@ -131,22 +143,26 @@ def main() -> None:
             traceback.print_exc(limit=3)
         secs[name] = round(time.perf_counter() - t0, 1)
         print(f"{name:40s} {status}  [{secs[name]}s]", flush=True)
+        if out_path:
+            # crash-resilient (same rule as bench.py's per-rep flush):
+            # a multi-hour sf10 sweep that dies on entry 180 of 226
+            # must not lose the 179 completed verdicts — rewrite the
+            # summary after EVERY entry, marking it partial until the
+            # loop completes.
+            with open(out_path, "w") as f:
+                json.dump(
+                    {**_summarize(sf_dir, shuffle, results), "complete": False,
+                     "status": results, "sec": secs},
+                    f, indent=1)
 
-    n_pass = sum(1 for v in results.values() if v == "pass")
-    n_fail = sum(1 for v in results.values() if v.startswith("FAIL"))
-    summary = {
-        "sf_dir": sf_dir,
-        "shuffle_partitions": shuffle,
-        "pass": n_pass,
-        "fail": n_fail,
-        "rows_only": sum(1 for v in results.values() if v == "rows_only"),
-        "oracle_slow": [k for k, v in results.items() if v == "oracle_slow"],
-        "failed": [k for k, v in results.items() if v.startswith("FAIL")],
-    }
+    summary = _summarize(sf_dir, shuffle, results)
+    n_fail = summary["fail"]
     print(json.dumps(summary))
     if out_path:
         with open(out_path, "w") as f:
-            json.dump({**summary, "status": results, "sec": secs}, f, indent=1)
+            json.dump(
+                {**summary, "complete": True, "status": results, "sec": secs},
+                f, indent=1)
     spark.stop()
     sys.exit(1 if n_fail else 0)
 
