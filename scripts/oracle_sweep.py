@@ -86,7 +86,12 @@ def main() -> None:
     pat = opt("-k", "")
     out_path = opt("--out")
     max_oracle = float(opt("--max-oracle-sec", "0")) or None
-    skip_vals = {opt(n) for n in ("-k", "--out", "--max-oracle-sec") if opt(n)}
+    resume = opt("--resume")
+    skip_vals = {
+        opt(n)
+        for n in ("-k", "--out", "--max-oracle-sec", "--resume")
+        if opt(n)
+    }
     args = [a for a in argv if not a.startswith("-") and a not in skip_vals]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "16")
@@ -115,8 +120,21 @@ def main() -> None:
     registry = load_all()
     results: dict[str, str] = {}
     secs: dict[str, float] = {}
+    if resume:
+        # --resume prior.json: carry over completed verdicts from an
+        # interrupted sweep (written by the per-entry flush) and only
+        # run what it hadn't reached; FAILs are retried.
+        with open(resume) as f:
+            prior = json.load(f)
+        for k, v in prior.get("status", {}).items():
+            if not v.startswith("FAIL"):
+                results[k] = v
+                secs[k] = prior.get("sec", {}).get(k, 0.0)
+        print(f"resumed {len(results)} entries from {resume}", flush=True)
     for name in sorted(registry):
         if pat and pat not in name:
+            continue
+        if name in results:
             continue
         q = registry[name]
         t0 = time.perf_counter()
