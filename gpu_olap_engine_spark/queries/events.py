@@ -694,14 +694,21 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("nt"), (F.col("bucket") - 1).alias("nb"),
         F.col("ax").alias("nax"), F.col("ay").alias("nay"),
     )
+    # Explicit broadcast: the centroid relation has one row per
+    # (event_type, 12h bucket) — bounded by the TIME RANGE, not the
+    # point count, so it stays kilobytes at any corpus scale. Catalyst
+    # sizes an aggregate's output from its pre-agg input, so at ~sf10
+    # statistics it flipped these to SortMergeJoin (two needless full
+    # shuffles of the fact side — the sf10 plan lint caught it); the
+    # hint pins the plan a 100 TB job needs.
     scored = (
         pts.join(
-            pa,
+            F.broadcast(pa),
             (pts["event_type"] == pa["pt"]) & (pts["bucket"] == pa["pb"]),
             "left",
         )
         .join(
-            na,
+            F.broadcast(na),
             (pts["event_type"] == na["nt"]) & (pts["bucket"] == na["nb"]),
             "left",
         )
