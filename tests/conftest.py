@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pytest
 
@@ -8,7 +10,12 @@ from gpu_olap_engine_spark.queries.tables import TABLES
 from gpu_olap_engine_spark.session import get_spark
 
 SF_SMALL = "/root/testdata/sf0.001"
-SF_ORACLE = "/root/testdata/sf0.01"
+# SPARK_GRAFT_ORACLE_DIR: re-point the suite at another fixture dir —
+# used to re-lint the plan-shape contract (tests/test_plans.py)
+# against larger statistics (e.g. the ~sf10 replica), where Catalyst's
+# stats-driven choices could legitimately shift. The committed gate
+# stays sf0.01 (the driver's draw).
+SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_DIR", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")
