@@ -698,9 +698,15 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (event_type, 12h bucket) — bounded by the TIME RANGE, not the
     # point count, so it stays kilobytes at any corpus scale. Catalyst
     # sizes an aggregate's output from its pre-agg input, so at ~sf10
-    # statistics it flipped these to SortMergeJoin (two needless full
-    # shuffles of the fact side — the sf10 plan lint caught it); the
-    # hint pins the plan a 100 TB job needs.
+    # statistics it flipped these to SortMergeJoin (caught by the sf10
+    # plan lint). The SMJ plan shuffles 100% of the fact rows through
+    # one (event_type, bucket) exchange (reused by both joins and the
+    # window); the pinned plan exchanges the fact side NOWHERE — after
+    # the broadcast joins, WindowGroupLimit Partial runs map-side, so
+    # only ~1 row per (group x partition) reaches the window exchange.
+    # Locally the two are warm-equal (shuffle = memcpy; measured at
+    # sf10); on a 1000-executor network, 0 vs 100% of fact bytes
+    # across the wire is the whole game. See DESIGN_100TB.md §3.
     scored = (
         pts.join(
             F.broadcast(pa),
