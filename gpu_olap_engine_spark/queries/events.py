@@ -680,7 +680,17 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(us div 1000000) div 43200").alias("bucket"),
     )
     bavg = pts.groupBy("event_type", "bucket").agg(
-        (F.sum("us").cast("double") / F.count("*")).alias("ax"),
+        # sum(us) in DECIMAL, not bigint: epoch-microseconds are ~2^50
+        # each, so a bucket of >2^13 points overflows int64 — Spark's
+        # non-ANSI sum WRAPS silently while DuckDB's SUM(BIGINT)
+        # promotes to exact HUGEINT (caught by the sf10 value sweep:
+        # wrapped ax => wrong areas => wrong LTTB winners). decimal
+        # sum is exact to 38 digits on both engines; the double cast
+        # of the same exact integer is bit-identical.
+        (
+            F.sum(F.col("us").cast("decimal(20,0)")).cast("double")
+            / F.count("*")
+        ).alias("ax"),
         (
             F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
             / F.count("*")
