@@ -518,9 +518,26 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(x.cast("decimal(18,4)")).cast("double").alias("sx"),
         F.sum(y.cast("decimal(18,4)")).cast("double").alias("sy"),
-        (F.sum(F.floor(x * x * 100).cast("long")).cast("double") / 100).alias("sxx"),
-        (F.sum(F.floor(y * y * 100).cast("long")).cast("double") / 100).alias("syy"),
-        (F.sum(F.floor(x * y * 100).cast("long")).cast("double") / 100).alias("sxy"),
+        # product moments sum in DECIMAL, not bigint: floor(y*y*100) is
+        # ~2.5e13 per row (o_totalprice <= ~5e5), so a segment of >4e5
+        # orders pushes the int64 sum past 2^63 -- Spark's non-ANSI sum
+        # wraps silently while the DuckDB twin's SUM(BIGINT) promotes
+        # to exact HUGEINT (caught by the sf10 value sweep as an r2
+        # divergence). decimal(20,0) inputs sum exactly to 38 digits on
+        # both engines; the double cast of the same exact integer is
+        # bit-identical, so sub-overflow results are unchanged.
+        (
+            F.sum(F.floor(x * x * 100).cast("decimal(20,0)")).cast("double")
+            / 100
+        ).alias("sxx"),
+        (
+            F.sum(F.floor(y * y * 100).cast("decimal(20,0)")).cast("double")
+            / 100
+        ).alias("syy"),
+        (
+            F.sum(F.floor(x * y * 100).cast("decimal(20,0)")).cast("double")
+            / 100
+        ).alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
