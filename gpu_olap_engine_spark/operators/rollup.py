@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-QUANT = 10_000  # value-sum quantization (floor(v*1e4) as int64)
+QUANT = 10_000  # value-sum quantization (floor(v*1e4), decimal-summed)
 
 
 def build_minute_rollup(events: DataFrame) -> DataFrame:
@@ -27,7 +27,12 @@ def build_minute_rollup(events: DataFrame) -> DataFrame:
         minute.alias("minute_start"), "event_type"
     ).agg(
         F.count("*").alias("cnt"),
-        F.sum(F.floor(F.col("value") * QUANT).cast("long")).alias("qv"),
+        # decimal partials: exact past int64 (a hot minute x type can
+        # outgrow 2^63 at corpus scale) and still algebraic -- coarser
+        # layers add the same exact integers in any order.
+        F.sum(F.floor(F.col("value") * QUANT).cast("decimal(20,0)")).alias(
+            "qv"
+        ),
     )
 
 

@@ -139,10 +139,10 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
-               CAST(CAST(SUM(CAST(floor(l_quantity * l_quantity * 100) AS BIGINT))
-                    AS BIGINT) AS DOUBLE) / 100 AS sxx,
-               CAST(CAST(SUM(CAST(floor(l_quantity * l_extendedprice * 100)
-                    AS BIGINT)) AS BIGINT) AS DOUBLE) / 100 AS sxy
+               CAST(SUM(CAST(floor(l_quantity * l_quantity * 100) AS BIGINT))
+                    AS DOUBLE) / 100 AS sxx,
+               CAST(SUM(CAST(floor(l_quantity * l_extendedprice * 100)
+                    AS BIGINT)) AS DOUBLE) / 100 AS sxy
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
@@ -168,12 +168,22 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(dec(qty)).cast("double").alias("sx"),
         F.sum(dec(price)).cast("double").alias("sy"),
-        (F.sum(F.floor(qty * qty * 100).cast("long")).cast("double") / 100).alias(
-            "sxx"
-        ),
-        (F.sum(F.floor(qty * price * 100).cast("long")).cast("double") / 100).alias(
-            "sxy"
-        ),
+        # decimal accumulators (q111's fix, same cliff): qty*price*100
+        # is ~5e8 per row and the three returnflag groups are global,
+        # so int64 wraps in the 100 TB regime; the oracle's plain
+        # SUM(BIGINT) is exact HUGEINT.
+        (
+            F.sum(F.floor(qty * qty * 100).cast("decimal(20,0)")).cast(
+                "double"
+            )
+            / 100
+        ).alias("sxx"),
+        (
+            F.sum(F.floor(qty * price * 100).cast("decimal(20,0)")).cast(
+                "double"
+            )
+            / 100
+        ).alias("sxy"),
     )
     n = F.col("n")
     return m.select(
@@ -726,8 +736,14 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sx"),
+        # decimal accumulator (q111's cliff): value^2*100 per row over
+        # a whole event type's rows outgrows int64 at corpus scale.
         (
-            F.sum(F.floor(F.col("value") * F.col("value") * 100).cast("long"))
+            F.sum(
+                F.floor(F.col("value") * F.col("value") * 100).cast(
+                    "decimal(20,0)"
+                )
+            )
             .cast("double")
             / 100
         ).alias("sxx"),

@@ -139,7 +139,7 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(({_US} - ({_US} % 3600000000)) / 1000000 AS BIGINT) AS hour_start,
            event_type,
            COUNT(*) AS cnt,
-           CAST(CAST(SUM(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS DOUBLE)
+           CAST(SUM(CAST(floor(value * 10000) AS BIGINT)) AS DOUBLE)
                / 10000 AS sum_value
     FROM events GROUP BY 1, 2
     """,
@@ -159,7 +159,12 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         ).agg(
             F.count("*").alias("cnt"),
-            F.sum(F.floor(F.col("value") * 10000).cast("long")).alias("qv"),
+            # decimal partials: a pathological hot (bucket, type) can
+            # outgrow int64 at corpus scale (q111's cliff class);
+            # decimal partials still compose exactly across layers.
+            F.sum(
+                F.floor(F.col("value") * 10000).cast("decimal(20,0)")
+            ).alias("qv"),
         )
     )
     return (
@@ -332,7 +337,7 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS bucket_start,
            event_type,
            COUNT(*) AS cnt,
-           CAST(CAST(SUM(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
+           CAST(SUM(CAST(floor(value * 10000) AS BIGINT))
                 AS DOUBLE) / 10000 AS sum_value
     FROM events
     GROUP BY 1, 2
@@ -361,7 +366,12 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
             bucket.alias("bucket_start"), F.col("event_type")
         ).agg(
             F.count("*").alias("cnt"),
-            F.sum(F.floor(F.col("value") * 10000).cast("long")).alias("s_i"),
+            # decimal partials (q111's cliff class): exact at any
+            # group size AND still algebraic -- partial+final adds
+            # the same exact integers in any order.
+            F.sum(
+                F.floor(F.col("value") * 10000).cast("decimal(20,0)")
+            ).alias("s_i"),
         )
 
     base = partial(ev.filter(F.col("us") < cutoff_us))

@@ -343,17 +343,31 @@ def _o_qsum(expr: str) -> str:
     """Quantized-sum oracle fragment: floor each computed-double term
     to 1e-4, sum exactly as integers, emit double. Computed products
     can land on decimal-rounding tie boundaries, so they take this
-    integer path instead of the decimal cast (see tables.py)."""
+    integer path instead of the decimal cast (see tables.py).
+
+    DuckDB's SUM(BIGINT) promotes to exact HUGEINT; the double cast
+    of that exact integer mirrors the Spark twin's decimal sum."""
     return (
-        f"CAST(CAST(SUM(CAST(floor(({expr}) * 10000) AS BIGINT)) AS BIGINT)"
+        f"CAST(SUM(CAST(floor(({expr}) * 10000) AS BIGINT))"
         " AS DOUBLE) / 10000"
     )
 
 
 def _qsum(col, alias: str):
-    """Spark twin of _o_qsum."""
+    """Spark twin of _o_qsum.
+
+    The quantized terms accumulate in DECIMAL, not bigint: a revenue
+    term is ~1e9-1e10 after the 1e4 scaling, so an int64 sum wraps
+    silently (non-ANSI) once a group reaches ~1e9 rows -- exactly the
+    coarse-group cardinality of a 100 TB TPC-H Q1. decimal(20,0)
+    inputs sum as decimal(30,0): exact to 1e30 on the Spark side and
+    exact HUGEINT on the DuckDB side, so both engines cast the SAME
+    integer to double at any scale (the sf10 sweep caught this cliff
+    class live on q111/q118; costs ~2x on the agg stage only,
+    measured 0.7 -> 1.3 s over the 60M-row sf10 lineitem)."""
     return (
-        F.sum(F.floor(col * 10000).cast("long")).cast("double") / 10000
+        F.sum(F.floor(col * 10000).cast("decimal(20,0)")).cast("double")
+        / 10000
     ).alias(alias)
 
 

@@ -64,6 +64,11 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(
             F.count("*").alias("cnt"),
+            # stays int64 (not decimal like the batch rollups): the
+            # group is ONE 10-minute window of one type, so the sum is
+            # bounded by arrival rate, not corpus size -- ~1e7/row
+            # quantized needs ~1e12 rows in a single window to wrap --
+            # and the emitted column is integer-schema'd state.
             F.sum(F.floor(F.col("value") * 10000).cast("long")).alias(
                 "sum_value_e4"
             ),

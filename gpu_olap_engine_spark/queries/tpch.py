@@ -77,8 +77,16 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _qavg(col, alias: str):
+        # decimal accumulator for the same reason as _qsum: Q1's six
+        # global groups see ~1e9 quantized price terms per row at
+        # 100 TB, past int64; DuckDB's SUM(BIGINT) is exact HUGEINT.
         return (
-            (F.sum(F.floor(col * 10000).cast("long")).cast("double") / 10000)
+            (
+                F.sum(F.floor(col * 10000).cast("decimal(20,0)")).cast(
+                    "double"
+                )
+                / 10000
+            )
             / F.count(col)
         ).alias(alias)
 
@@ -574,14 +582,18 @@ def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
         )
     )
+    # decimal accumulators: vol_q is ~1e9 per row and the group is a
+    # whole YEAR of joined volume — int64 wraps near 1e9 group rows
+    # (the 100 TB regime); the oracle's SUM(BIGINT) is exact HUGEINT.
+    dq = lambda c: F.sum(c.cast("decimal(20,0)")).cast("double")  # noqa: E731
     return flat.groupBy("o_year").agg(
         (
-            F.sum(
-                F.when(F.col("supp_nation") == "NATION_3", F.col("vol_q")).otherwise(
-                    F.lit(0)
-                )
-            ).cast("double")
-            / F.sum("vol_q").cast("double")
+            dq(
+                F.when(
+                    F.col("supp_nation") == "NATION_3", F.col("vol_q")
+                ).otherwise(F.lit(0))
+            )
+            / dq(F.col("vol_q"))
         ).alias("mkt_share")
     )
 
@@ -617,12 +629,15 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.lit(100.0)
+                # decimal accumulators: single GLOBAL group over ~1e9
+                # quantized terms per row — int64 headroom runs out in
+                # the 100 TB regime; oracle side is exact HUGEINT.
                 * F.sum(
-                    F.when(F.col("p_type") == "PROMO", F.col("vol_q")).otherwise(
-                        F.lit(0)
-                    )
+                    F.when(F.col("p_type") == "PROMO", F.col("vol_q"))
+                    .otherwise(F.lit(0))
+                    .cast("decimal(20,0)")
                 ).cast("double")
-                / F.sum("vol_q").cast("double")
+                / F.sum(F.col("vol_q").cast("decimal(20,0)")).cast("double")
             ).alias("promo_revenue")
         )
     )

@@ -116,7 +116,12 @@ def _qsum10k_udf():
     @pandas_udf("long")
     def qsum10k(v: pd.Series) -> int:
         # floor(x*10000) as int64, summed exactly: the UDAF twin of
-        # the engine's quantized-sum rule (relational._qsum).
+        # the engine's quantized-sum rule (relational._qsum). Unlike
+        # _qsum this CANNOT take the decimal escape hatch -- the
+        # declared output type is long, so the result itself caps at
+        # 2^63 (~1e9/row x ~9e9 group rows). Past that the DuckDB twin
+        # throws on its BIGINT cast (loud), it never silently
+        # diverges; a bigger budget needs a decimal/double contract.
         return int(np.floor(v.to_numpy() * 10000).astype("int64").sum())
 
     return qsum10k
