@@ -1467,3 +1467,48 @@ def test_line_dedup_hashed_twin_identical(spark):
         )
     )
     assert a == b
+
+
+# ------------------------------------------- quantized-sum headroom
+
+
+def test_qsum_exact_past_int64_cliff(spark):
+    """r13: the shared quantized-sum helper must stay EXACT past the
+    int64 cliff that silently wrapped q111/q118 at sf10 (per-row
+    quantized terms ~1e16 here, 2000 rows -> true sum 2.2e19 ~ 2.4x
+    past 2^63). The decimal accumulator must equal arbitrary-precision
+    Python arithmetic; the old long accumulator reproduces the wrap
+    (kept as a tripwire that this test actually crosses the cliff)."""
+    from gpu_olap_engine_spark.queries.relational import _qsum
+
+    vals = [1.1e12 + 7 * i for i in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+
+    exact_units = sum(math.floor(v * 10000) for v in vals)
+    assert exact_units > 2**63, "test must cross the int64 cliff"
+
+    got = df.agg(_qsum(F.col("v"), "s")).collect()[0]["s"]
+    assert got == float(exact_units) / 10000
+
+    wrapped = df.agg(
+        (F.sum(F.floor(F.col("v") * 10000).cast("long")).cast("double") / 10000)
+        .alias("s")
+    ).collect()[0]["s"]
+    assert wrapped != got, "long accumulator should wrap on this input"
+
+
+def test_qsum_matches_duckdb_hugeint_past_cliff(spark):
+    """The DuckDB twin (_o_qsum) sums BIGINT as exact HUGEINT; both
+    engines must emit the same double past the cliff."""
+    import duckdb
+
+    from gpu_olap_engine_spark.queries.relational import _o_qsum, _qsum
+
+    vals = [1.1e12 + 7 * i for i in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = df.agg(_qsum(F.col("v"), "s")).collect()[0]["s"]
+
+    duck = duckdb.connect()
+    duck.register("t", df.toPandas())
+    want = duck.sql(f"SELECT {_o_qsum('v')} AS s FROM t").fetchone()[0]
+    assert got == want
