@@ -147,7 +147,7 @@ def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c AS (SELECT digit, COUNT(*) AS cnt FROM d GROUP BY digit)
     SELECT digit, cnt,
-           CAST((1000000 * cnt) // (SELECT SUM(cnt) FROM c) AS BIGINT)
+           CAST((1000000::HUGEINT * cnt) // (SELECT SUM(cnt) FROM c) AS BIGINT)
                AS ppm
     FROM c
     """,
@@ -173,7 +173,9 @@ def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "digit",
         "cnt",
-        F.expr("(1000000 * cnt) DIV sum(cnt) OVER ()").alias("ppm"),
+        F.expr(
+            "(1000000 * CAST(cnt AS DECIMAL(20,0))) DIV sum(cnt) OVER ()"
+        ).alias("ppm"),
     )
 
 
@@ -253,7 +255,7 @@ def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c1.day AS day, c1.n AS n_day, c2.n AS n_next,
            COALESCE(i.n_both, 0) AS n_both,
-           CAST((1000000 * COALESCE(i.n_both, 0))
+           CAST((1000000::HUGEINT * COALESCE(i.n_both, 0))
                 // (c1.n + c2.n - COALESCE(i.n_both, 0)) AS BIGINT)
                AS jaccard_ppm
     FROM cnt c1
@@ -309,7 +311,8 @@ def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_next",
             "n_both",
             F.expr(
-                "(1000000 * n_both) DIV (n_day + n_next - n_both)"
+                "(1000000 * CAST(n_both AS DECIMAL(20,0)))"
+                " DIV (n_day + n_next - n_both)"
             ).alias("jaccard_ppm"),
         )
     )
@@ -544,7 +547,7 @@ def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
     t AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS tot
           FROM h GROUP BY 1)
     SELECT h.event_type, h.how, h.cnt,
-           CAST((1000000 * h.cnt) // t.tot AS BIGINT) AS share_ppm
+           CAST((1000000::HUGEINT * h.cnt) // t.tot AS BIGINT) AS share_ppm
     FROM h JOIN t USING (event_type)
     """,
 )
@@ -572,7 +575,9 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "how",
         "cnt",
-        F.expr("(1000000 * cnt) DIV tot").alias("share_ppm"),
+        F.expr(
+            "(1000000 * CAST(cnt AS DECIMAL(20,0))) DIV tot"
+        ).alias("share_ppm"),
     )
 
 
@@ -586,7 +591,7 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE value IS NOT NULL
     )
     SELECT event_id, event_type,
-           CAST((1000000 * (rk - 1)) // (n - 1) AS BIGINT) AS qnorm_ppm
+           CAST((1000000::HUGEINT * (rk - 1)) // (n - 1) AS BIGINT) AS qnorm_ppm
     FROM r WHERE n > 1
     """,
 )
@@ -616,7 +621,9 @@ def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "event_type",
-            F.expr("(1000000 * (rk - 1)) DIV (n - 1)").alias("qnorm_ppm"),
+            F.expr(
+                "(1000000 * (CAST(rk AS DECIMAL(20,0)) - 1)) DIV (n - 1)"
+            ).alias("qnorm_ppm"),
         )
     )
 
@@ -756,7 +763,7 @@ def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM b GROUP BY cohort_ym, month_off
     )
     SELECT cohort_ym, month_off, n_orders, revenue_cents,
-           CAST((1000000 * CAST(SUM(revenue_cents) OVER (
+           CAST((1000000::HUGEINT * CAST(SUM(revenue_cents) OVER (
                     PARTITION BY cohort_ym ORDER BY month_off
                 ) AS BIGINT))
                 // CAST(SUM(revenue_cents) OVER (
@@ -810,7 +817,9 @@ def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
             "month_off",
             "n_orders",
             "revenue_cents",
-            F.expr("(1000000 * cum_rev) DIV tot_rev").alias("cum_share_ppm"),
+            F.expr(
+                "(1000000 * CAST(cum_rev AS DECIMAL(20,0))) DIV tot_rev"
+            ).alias("cum_share_ppm"),
         )
     )
 
@@ -826,7 +835,7 @@ def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY 1
     )
     SELECT ym, rev_cents,
-           CAST((1000000 * (rev_cents - LAG(rev_cents) OVER (ORDER BY ym)))
+           CAST((1000000::HUGEINT * (rev_cents - LAG(rev_cents) OVER (ORDER BY ym)))
                 // LAG(rev_cents) OVER (ORDER BY ym) AS BIGINT)
                AS growth_ppm
     FROM m
@@ -857,7 +866,8 @@ def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ym",
         "rev_cents",
         F.expr(
-            "(1000000 * (rev_cents - LAG(rev_cents) OVER (ORDER BY ym)))"
+            "(1000000 * (CAST(rev_cents AS DECIMAL(20,0))"
+            " - LAG(rev_cents) OVER (ORDER BY ym)))"
             " DIV LAG(rev_cents) OVER (ORDER BY ym)"
         ).alias("growth_ppm"),
     )

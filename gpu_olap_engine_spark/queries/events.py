@@ -1128,7 +1128,7 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     t AS (SELECT prev_type, SUM(n) AS total FROM c GROUP BY prev_type)
     SELECT c.prev_type, c.next_type, n,
-           CAST((1000000 * n) // total AS BIGINT) AS ppm
+           CAST((1000000::HUGEINT * n) // total AS BIGINT) AS ppm
     FROM c JOIN t USING (prev_type)
     """,
 )
@@ -1158,9 +1158,10 @@ def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_type",
         "next_type",
         "n",
-        F.expr("(1000000 * n) DIV sum(n) OVER (PARTITION BY prev_type)").alias(
-            "ppm"
-        ),
+        F.expr(
+            "(1000000 * CAST(n AS DECIMAL(20,0)))"
+            " DIV sum(n) OVER (PARTITION BY prev_type)"
+        ).alias("ppm"),
     )
 
 

@@ -62,14 +62,14 @@ def _pop(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM g
     ),
     s AS (
-        SELECT CAST(SUM(pos * (2 * cum - cnt + 1)) AS BIGINT) AS rank_sum2,
+        SELECT SUM(pos::HUGEINT * (2 * cum - cnt + 1)) AS rank_sum2,
                CAST(SUM(pos) AS BIGINT) AS n_pos,
                CAST(SUM(cnt - pos) AS BIGINT) AS n_neg
         FROM r
     )
     SELECT n_pos, n_neg,
-           CAST((1000000 * (rank_sum2 - n_pos * (n_pos + 1)))
-                // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+           CAST((1000000::HUGEINT * (rank_sum2 - n_pos::HUGEINT * (n_pos + 1)))
+                // (2::HUGEINT * n_pos * n_neg) AS BIGINT) AS auc_ppm
     FROM s
     """,
 )
@@ -93,7 +93,9 @@ def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
     r = g.select("pos", "cnt", F.sum("cnt").over(w).alias("cum"))
     s = r.agg(
-        F.sum(F.expr("pos * (2 * cum - cnt + 1)")).alias("rank_sum2"),
+        F.sum(
+            F.expr("CAST(pos AS DECIMAL(38,0)) * (2 * cum - cnt + 1)")
+        ).alias("rank_sum2"),
         F.sum("pos").alias("n_pos"),
         F.sum(F.expr("cnt - pos")).alias("n_neg"),
     )
@@ -101,8 +103,9 @@ def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pos",
         "n_neg",
         F.expr(
-            "(1000000 * (rank_sum2 - n_pos * (n_pos + 1)))"
-            " DIV (2 * n_pos * n_neg)"
+            "(1000000 * (rank_sum2"
+            " - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)))"
+            " DIV (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)"
         ).alias("auc_ppm"),
     )
 
@@ -187,11 +190,11 @@ def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM rn GROUP BY 1
     )
     SELECT decile, n_rows, n_pos,
-           CAST((1000000 * CAST(SUM(n_pos) OVER (ORDER BY decile) AS BIGINT))
+           CAST((1000000::HUGEINT * CAST(SUM(n_pos) OVER (ORDER BY decile) AS BIGINT))
                 // CAST(SUM(n_pos) OVER () AS BIGINT) AS BIGINT)
                AS capture_ppm,
-           CAST((1000000 * n_pos * n)
-                // (n_rows * CAST(SUM(n_pos) OVER () AS BIGINT)) AS BIGINT)
+           CAST((1000000::HUGEINT * n_pos * n)
+                // (n_rows::HUGEINT * CAST(SUM(n_pos) OVER () AS BIGINT)) AS BIGINT)
                AS lift_ppm
     FROM d
     """,
@@ -237,9 +240,12 @@ def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decile",
             "n_rows",
             "n_pos",
-            F.expr("(1000000 * cum_pos) DIV total_pos").alias("capture_ppm"),
             F.expr(
-                "(1000000 * n_pos * n) DIV (n_rows * total_pos)"
+                "(1000000 * CAST(cum_pos AS DECIMAL(20,0))) DIV total_pos"
+            ).alias("capture_ppm"),
+            F.expr(
+                "(1000000 * CAST(n_pos AS DECIMAL(38,0)) * n)"
+                " DIV (CAST(n_rows AS DECIMAL(38,0)) * total_pos)"
             ).alias("lift_ppm"),
         )
     )
@@ -260,9 +266,9 @@ def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS bin,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(pos) AS BIGINT) AS n_pos,
-           CAST((1000000 * CAST(SUM(pos) AS BIGINT)) // COUNT(*) AS BIGINT)
+           CAST((1000000::HUGEINT * CAST(SUM(pos) AS BIGINT)) // COUNT(*) AS BIGINT)
                AS pos_rate_ppm,
-           CAST(CAST(SUM(score) AS BIGINT) // COUNT(*) AS BIGINT)
+           CAST(SUM(score) // COUNT(*) AS BIGINT)
                AS mean_score_cents
     FROM p, ext GROUP BY 1
     """,
@@ -291,8 +297,12 @@ def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.sum("pos").alias("n_pos"),
-            F.expr("(1000000 * SUM(pos)) DIV COUNT(*)").alias("pos_rate_ppm"),
-            F.expr("SUM(score) DIV COUNT(*)").alias("mean_score_cents"),
+            F.expr(
+                "(1000000 * CAST(SUM(pos) AS DECIMAL(20,0))) DIV COUNT(*)"
+            ).alias("pos_rate_ppm"),
+            F.expr(
+                "SUM(CAST(score AS DECIMAL(20,0))) DIV COUNT(*)"
+            ).alias("mean_score_cents"),
         )
     )
 
@@ -388,9 +398,9 @@ def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
     t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
                  CAST(SUM(c2) AS BIGINT) AS n2 FROM g)
     SELECT n1, n2,
-           CAST((1000000 * MAX(abs(CAST(cum1 AS BIGINT) * n2
-                                   - CAST(cum2 AS BIGINT) * n1)))
-                // (n1 * n2) AS BIGINT) AS ks_ppm
+           CAST((1000000::HUGEINT * MAX(abs(cum1::HUGEINT * n2
+                                   - cum2::HUGEINT * n1)))
+                // (n1::HUGEINT * n2) AS BIGINT) AS ks_ppm
     FROM r, t GROUP BY n1, n2
     """,
 )
@@ -427,6 +437,8 @@ def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return r.groupBy("n1", "n2").agg(
         F.expr(
-            "(1000000 * MAX(abs(cum1 * n2 - cum2 * n1))) DIV (n1 * n2)"
+            "(1000000 * MAX(abs(CAST(cum1 AS DECIMAL(38,0)) * n2"
+            " - CAST(cum2 AS DECIMAL(38,0)) * n1)))"
+            " DIV (CAST(n1 AS DECIMAL(38,0)) * n2)"
         ).alias("ks_ppm")
     ).select("n1", "n2", "ks_ppm")
