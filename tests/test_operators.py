@@ -1512,3 +1512,21 @@ def test_qsum_matches_duckdb_hugeint_past_cliff(spark):
     duck.register("t", df.toPandas())
     want = duck.sql(f"SELECT {_o_qsum('v')} AS s FROM t").fetchone()[0]
     assert got == want
+
+
+def test_ppm_ratio_exact_past_int64_cliff(spark):
+    """r13: the exact-ppm idiom '(1000000 * x) DIV y' must survive
+    numerators past 2^63 (q173's live sf10 failure: x = 9.36e12 cents
+    wrapped to -908634 ppm). The decimal form the queries now use must
+    match arbitrary-precision Python; the bare long form reproduces
+    the wrap (tripwire that the test crosses the cliff)."""
+    df = spark.createDataFrame(
+        [(9_360_396_218_700, 10_000_000_000_000)], "x long, y long"
+    )
+    want = (1_000_000 * 9_360_396_218_700) // 10_000_000_000_000
+    good = df.selectExpr(
+        "(1000000 * CAST(x AS DECIMAL(20,0))) DIV y AS ppm"
+    ).collect()[0]["ppm"]
+    assert good == want == 936039
+    bad = df.selectExpr("(1000000 * x) DIV y AS ppm").collect()[0]["ppm"]
+    assert bad != want, "long multiply should wrap on this input"
