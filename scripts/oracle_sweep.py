@@ -120,6 +120,10 @@ def main() -> None:
     registry = load_all()
     results: dict[str, str] = {}
     secs: dict[str, float] = {}
+    # Spark-only wall per entry, separate from the DuckDB oracle's —
+    # at sf10 the oracle often dominates the combined number, which
+    # made `sec` useless for spotting ENGINE slowness at scale.
+    spark_secs: dict[str, float] = {}
     if resume:
         # --resume prior.json: carry over completed verdicts from an
         # interrupted sweep (written by the per-entry flush) and only
@@ -130,6 +134,8 @@ def main() -> None:
             if not v.startswith("FAIL"):
                 results[k] = v
                 secs[k] = prior.get("sec", {}).get(k, 0.0)
+                if k in prior.get("spark_sec", {}):
+                    spark_secs[k] = prior["spark_sec"][k]
         print(f"resumed {len(results)} entries from {resume}", flush=True)
     for name in sorted(registry):
         if pat and pat not in name:
@@ -140,6 +146,7 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             spark_pdf = q.fn(spark, sf_dir).toPandas()
+            spark_secs[name] = round(time.perf_counter() - t0, 1)
             if q.oracle is None:
                 results[name] = "rows_only"
                 status = f"rows_only ({len(spark_pdf)} rows)"
@@ -160,7 +167,9 @@ def main() -> None:
             status = "FAIL"
             traceback.print_exc(limit=3)
         secs[name] = round(time.perf_counter() - t0, 1)
-        print(f"{name:40s} {status}  [{secs[name]}s]", flush=True)
+        sp = spark_secs.get(name)
+        sp_note = f" spark={sp}s" if sp is not None else ""
+        print(f"{name:40s} {status}  [{secs[name]}s{sp_note}]", flush=True)
         if out_path:
             # crash-resilient (same rule as bench.py's per-rep flush):
             # a multi-hour sf10 sweep that dies on entry 180 of 226
@@ -170,7 +179,7 @@ def main() -> None:
             with open(out_path, "w") as f:
                 json.dump(
                     {**_summarize(sf_dir, shuffle, results), "complete": False,
-                     "status": results, "sec": secs},
+                     "status": results, "sec": secs, "spark_sec": spark_secs},
                     f, indent=1)
 
     summary = _summarize(sf_dir, shuffle, results)
@@ -179,7 +188,8 @@ def main() -> None:
     if out_path:
         with open(out_path, "w") as f:
             json.dump(
-                {**summary, "complete": True, "status": results, "sec": secs},
+                {**summary, "complete": True, "status": results, "sec": secs,
+                 "spark_sec": spark_secs},
                 f, indent=1)
     spark.stop()
     sys.exit(1 if n_fail else 0)
