@@ -167,8 +167,19 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominant language through one task. Sharding by content hash keeps
     window state bounded (corpus_size / n_shards) while preserving
     determinism: shard membership is a pure function of content, so
-    the packing is stable across runs and re-partitioning."""
-    docs = spread(T(spark, sf_dir, "documents"))
+    the packing is stable across runs and re-partitioning.
+
+    r13 (guide §2.4): ONE exchange instead of two. The input used to
+    be round-robin spread()-ed (exchange #1, carrying text) and then
+    hash-partitioned again by the window keys (exchange #2). Now the
+    single repartition is keyed directly on (lang, shard) — it both
+    distributes the CPU-heavy tokenize across the cluster and
+    establishes exactly the partitioning the window and the final
+    group-by need (HashPartitioning(lang, shard) satisfies both
+    ClusteredDistributions), so the second exchange vanishes. shard =
+    hash(text) % 8 is computed before the exchange (it is the key);
+    the token count after it, in parallel."""
+    docs = T(spark, sf_dir, "documents")
     n_tok = F.size(tokenize(F.col("text"))).cast("long")
     shard = (base_hash(F.col("text")) % 8).cast("long")
     w = (
@@ -176,8 +187,10 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    toks = docs.select(
-        "doc_id", "lang", shard.alias("shard"), n_tok.alias("n_tokens")
+    toks = (
+        docs.select("doc_id", "lang", "text", shard.alias("shard"))
+        .repartition("lang", "shard")
+        .select("doc_id", "lang", "shard", n_tok.alias("n_tokens"))
     )
     packed = toks.withColumn(
         "start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
@@ -902,7 +915,12 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
     med/mad/count all match bit-exactly. Plan: one aggregate per
     statistic with the tiny per-type medians broadcast back — the
     group count is bounded by |event_type|, so at 100 TB this is two
-    scans + two broadcast joins, no wide shuffle of the fact table."""
+    scans + two broadcast joins, no wide shuffle of the fact table.
+    (r13: persisting the narrow (event_type, value) projection to
+    serve the three intrinsic passes from cache was measured a small
+    LOSS in an in-process alternating A/B — min 1.44 vs 1.39 s at
+    sf0.1 — the materialization barrier outweighs two re-scans of a
+    2 MB parquet; the three-scan shape stays.)"""
     ev = T(spark, sf_dir, "events").select("event_type", "value")
     m1 = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med")

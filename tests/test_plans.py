@@ -221,10 +221,17 @@ def test_triangle_count_single_member_pass(spark):
 
 def test_span_dedup_is_gram_keyed_not_all_pairs(spark):
     """Duplicated-span stats must stay a gram-keyed aggregation +
-    semi join — never a text-to-text or all-pairs comparison."""
-    plan = plan_of(REGISTRY["dedup_span_stats"].fn(spark, SF_ORACLE), "simple")
+    equi join — never a text-to-text or all-pairs comparison.
+
+    r13: the per-doc roll-up is ONE aggregation over the dup-tagged
+    (id, gram, occ) relation (left equi-join on gram), replacing the
+    old semi-join + separate totals scan — so the documents table is
+    scanned exactly twice (the two consumers of `per`), down from 3."""
+    df = REGISTRY["dedup_span_stats"].fn(spark, SF_ORACLE)
+    plan = plan_of(df, "simple")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
-    assert "LeftSemi" in plan
+    full = plan_of(df)
+    assert full.count("documents.parquet") == 2, full.count("documents.parquet")
 
 
 def test_interval_overlap_join_is_bucketed_equi(spark):
