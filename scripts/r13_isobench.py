@@ -38,7 +38,19 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = get_spark(EngineConfig(), master=f"local[{cpus}]")
+    # UI off, tiny execution retention — the same hygiene the bench
+    # micro children use: live SQL-tab state (plan graphs x AQE
+    # re-plans) accumulates across hundreds of reps and shows up as
+    # within-session drift (rep 3 of everything slower than rep 1)
+    spark = get_spark(
+        EngineConfig(
+            extra_confs={
+                "spark.ui.enabled": "false",
+                "spark.sql.ui.retainedExecutions": "4",
+            }
+        ),
+        master=f"local[{cpus}]",
+    )
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
     # same warmup the bench's headline phase runs
