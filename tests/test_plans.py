@@ -208,12 +208,18 @@ def test_triangle_count_single_member_pass(spark):
     """r10: the member aggregation must be ONE explode pass over the
     triangle join tree, not a 3-branch unionAll that re-executes the
     wedge + closing joins per branch (the recompute cost 27 s of a
-    40 s wall at sf0.1). The edge frame e is referenced 3x by the two
-    joins (inherent to the single-plan formulation), each reference
-    scanning lineitem twice via the op self-join -> exactly 6 fact
-    scans; the unionAll shape had 18."""
+    40 s wall at sf0.1; that shape had 18 fact scans, the r10 fix 6).
+
+    r13: the edge relation is persisted, so its wedge self-join +
+    distinct EXECUTES once however many times the triangle tree
+    references it — the plan's three edge references are
+    InMemoryTableScans over one cached relation whose subtree holds
+    the only two lineitem scans."""
     plan = plan_of(REGISTRY["q141_triangle_count"].fn(spark, SF_ORACLE))
-    assert plan.count("lineitem.parquet") == 6, plan.count("lineitem.parquet")
+    # formatted mode prints the cached edge subtree's details once:
+    # exactly the two wedge-join scans, however many references
+    assert plan.count("lineitem.parquet") == 2, plan.count("lineitem.parquet")
+    assert "InMemoryTableScan" in plan, plan
     # the single-pass shape specifically: a Generate node whose
     # argument is explode(array(...)) — not merely any Generate
     assert "Generate" in plan and "explode(array(" in plan
