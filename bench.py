@@ -1035,6 +1035,18 @@ def main() -> None:
         registry = load_all()
         # JVM/codegen warmup on the smallest fixture
         registry["q03_join_agg_topk"].fn(spark, "/root/testdata/sf0.001").collect()
+        # Python-runtime warmup, symmetric with the JVM one (r13,
+        # guide §1/§4.5): the first Python-boundary query in a fresh
+        # session pays worker fork + pandas/numpy import + Arrow codec
+        # init — ~1.6 s that landed entirely on q37's single rep
+        # (measured rep sequence 2.51/0.93/1.00 isolated). Steady
+        # state is what the headline row claims to measure, so the
+        # spin-up is paid here, untimed, on the sf0.001 fixture.
+        # Methodology change recorded in OPTIMIZATION_r13.md with the
+        # old number kept.
+        registry["q37_pandas_udf_scalar"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).write.format("noop").mode("overwrite").save()
         state["notes"].append(f"warmup done {time.monotonic() - t_start:.0f}s")
         for name in HEADLINE:
             try:
@@ -1092,18 +1104,26 @@ def main() -> None:
         # its last lines into `notes`.
         efd, err_path = tempfile.mkstemp(prefix=f"bench_err_{group}_")
         os.close(efd)
+        proc = None
         try:
             with open(err_path, "w") as errf:
-                proc = subprocess.run(
+                # own process group (r13): the Spark JVM is a
+                # GRANDCHILD (py4j spawns it from the python child);
+                # killing only the python process on timeout left a
+                # 24g AlwaysPreTouch JVM running at full tilt, which
+                # strangled every subsequent group of the run (and the
+                # box for hours). The group id lets the parent reap
+                # python + JVM together.
+                proc = subprocess.Popen(
                     cmd,
                     stdout=errf,  # parent stdout stays one JSON line
                     stderr=errf,
-                    timeout=child_budget + 90,  # grace: session
-                    # start/stop + one in-flight cold rep; a working
-                    # child self-limits via its own deadline, this
-                    # only reaps a hung one
-                    check=False,
+                    start_new_session=True,
                 )
+                proc.wait(timeout=child_budget + 90)  # grace: session
+                # start/stop + one in-flight cold rep; a working
+                # child self-limits via its own deadline, this
+                # only reaps a hung one
             if proc.returncode != 0:
                 state["notes"].append(f"{group}: child rc {proc.returncode}")
                 state["notes"].append(
@@ -1117,6 +1137,18 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             state["notes"].append(f"{group}: {type(e).__name__}")
         finally:
+            if proc is not None:
+                # reap the whole group unconditionally: no-op after a
+                # clean exit (spark.stop() ended the JVM), kills any
+                # surviving JVM after a timeout/crash
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except (ProcessLookupError, PermissionError, OSError):
+                    pass
+                try:
+                    proc.wait(timeout=10)
+                except Exception:  # noqa: BLE001
+                    pass
             try:  # replay for interactive runs, then drop the file
                 with open(err_path) as f:
                     shutil.copyfileobj(f, sys.stderr)
