@@ -42,7 +42,7 @@ SHOW = [
     ),
     (
         "dedup_span_stats",
-        "span dedup: gram-keyed aggregation + semi join, never all-pairs",
+        "span dedup: gram-keyed aggregation + dup-tag join, never all-pairs",
     ),
     (
         "dedup_lines_keep_first",
