@@ -23,6 +23,8 @@ queries/similarity.py as the library path.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -219,12 +221,46 @@ def bucketed_topk(
     )
 
 
+def _dlit(x: float) -> str:
+    """Exact SQL double literal. repr() emits the shortest decimal
+    that round-trips to the identical double, and the SQL lexer's
+    D-suffixed literal parses it back bit-for-bit (verified against
+    F.lit on the fixture values). Non-finite values fold to the same
+    doubles via constant expressions."""
+    x = float(x)
+    if math.isnan(x):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(x):
+        return f"CAST('{'' if x > 0 else '-'}Infinity' AS DOUBLE)"
+    return repr(x) + "D"
+
+
+def _arr_sql(values: list[float]) -> str:
+    """SQL array literal of exact doubles."""
+    return "array(" + ",".join(_dlit(x) for x in values) + ")"
+
+
+def _sq_l2_sql(vec_sql: str, centroid: list[float]) -> str:
+    """SQL fragment: squared L2 distance between a vector expression
+    and one centroid literal — (cast(x as double) - y)^2 folded
+    left-to-right from 0.0, the exact arithmetic every assignment
+    path (and the DuckDB oracle twin) shares."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {_arr_sql(centroid)}, (x, y) -> "
+        "(cast(x as double) - y) * (cast(x as double) - y)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def _sq_l2(vec: Column, centroid: list[float]) -> Column:
     """Squared L2 distance between a vector column and one centroid
     literal (expression-only, JVM-side). The double-cast per element
     is what makes the value — and thus cluster assignment —
-    deterministic cross-run; both IVF paths must share it."""
-    arr = F.array(*[F.lit(float(x)) for x in centroid])
+    deterministic cross-run; both IVF paths must share it.
+
+    r13: the centroid literal is parsed server-side (_arr_sql) — one
+    py4j call instead of one per element."""
+    arr = F.expr(_arr_sql([float(x) for x in centroid]))
     return F.aggregate(
         F.zip_with(vec, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
         F.lit(0.0),
@@ -232,24 +268,37 @@ def _sq_l2(vec: Column, centroid: list[float]) -> Column:
     )
 
 
-def _centroid_dists(vec: Column, centroids: list[list[float]]) -> Column:
+def _centroid_dists(vec_sql: str, centroids: list[list[float]]) -> Column:
     """Array of (squared-L2 distance, centroid index) structs.
     Struct sort order = (d ASC, ci ASC): ties resolve to the lowest
-    cluster id, matching _nearest_centroid's strict `<` update rule."""
-    return F.array(
-        *[
-            F.struct(_sq_l2(vec, c).alias("d"), F.lit(i).cast("long").alias("ci"))
-            for i, c in enumerate(centroids)
-        ]
+    cluster id, matching _nearest_centroid's strict `<` update rule.
+
+    r13: ONE parsed SQL expression — a transform lambda over a literal
+    array-of-centroids — instead of k separate per-centroid Column
+    trees. The per-element arithmetic, fold order and (d, ci) struct
+    shape are identical op-for-op (parity pinned by
+    tests/test_similarity_kernels.py::test_compact_centroid_exprs);
+    what changes is construction cost: O(k*dim) py4j round trips
+    (~1-2 s of pure driver time PER K-MEANS ITERATION) collapse into
+    one parse, and the analyzer sees an O(1)-size tree."""
+    carr = "array(" + ",".join(_arr_sql(c) for c in centroids) + ")"
+    return F.expr(
+        f"transform({carr}, (c, i) -> struct("
+        f"aggregate(zip_with({vec_sql}, c, (x, y) -> "
+        "(cast(x as double) - y) * (cast(x as double) - y)), "
+        "0.0D, (acc, x) -> acc + x) as d, "
+        "cast(i as bigint) as ci))"
     )
 
 
-def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+def _nearest_centroid(vec_sql: str, centroids: list[list[float]]) -> Column:
     """Index of the nearest centroid: the first element of the sorted
     (distance, index) struct array. Ties resolve to the lowest index
-    (struct order (d, ci))."""
+    (struct order (d, ci)). Takes the vector as a SQL fragment (column
+    name or slice expression) so the whole assignment is one parsed
+    expression — see _centroid_dists."""
     return (
-        F.array_sort(_centroid_dists(vec, centroids))
+        F.array_sort(_centroid_dists(vec_sql, centroids))
         .getItem(0)
         .getField("ci")
         .cast("long")
@@ -278,20 +327,31 @@ def kmeans_centroids(
     init = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
     centroids = [[float(x) for x in r[0]] for r in init]
     q = 1_000_000
+    # r13: the per-dimension quantized sums are parsed SQL fragments
+    # (one py4j call each, identical arithmetic: cast(element_at(..)
+    # as double) * 1000000 is the same double multiply, floor/cast
+    # unchanged) — Column-building them cost ~0.3 s of driver time
+    # per iteration at dim=64. The assignment stage is per-row
+    # compute-bound (interpreted HOF distances), so the corpus is
+    # spread first (module convention — single-file fixtures otherwise
+    # evaluate it on one core); results are partitioning-independent
+    # (exact integer sums).
+    from gpu_olap_engine_spark.queries.tables import spread
+
+    work = spread(corpus)
+    sum_cols = [
+        F.expr(
+            f"sum(cast(floor(cast(element_at(v, {i + 1}) as double)"
+            f" * {q}) as bigint))"
+        ).alias(f"s{i}")
+        for i in range(dim)
+    ]
     for _ in range(iters):
-        assigned = corpus.select(
+        assigned = work.select(
             F.col(vec_col).alias("v"),
-            _nearest_centroid(F.col(vec_col), centroids).alias("c"),
+            _nearest_centroid(f"`{vec_col}`", centroids).alias("c"),
         )
-        sums = assigned.groupBy("c").agg(
-            F.count("*").alias("n"),
-            *[
-                F.sum(
-                    F.floor(F.element_at("v", i + 1).cast("double") * q).cast("long")
-                ).alias(f"s{i}")
-                for i in range(dim)
-            ],
-        )
+        sums = assigned.groupBy("c").agg(F.count("*").alias("n"), *sum_cols)
         rows = {r["c"]: r for r in sums.collect()}
         # float(s) first: mirrors the oracle's CAST(s AS DOUBLE)/1e6/n
         # op-for-op, so the cross-engine bit-match holds even when the
@@ -322,11 +382,16 @@ def kmeans_ivf_topk(
     quantizer's fixed planes) at the same sub-linear scan cost; at
     scale the corpus is written partitioned by cluster id.
     Returns (query_id, neighbor_id, cosine, rnk)."""
+    from gpu_olap_engine_spark.queries.tables import spread
+
     cents = kmeans_centroids(corpus, id_col, vec_col, n_clusters, iters)
-    c = corpus.select(
+    # spread: the post-train assignment is the same per-row
+    # compute-bound stage as the training iterations (see
+    # kmeans_centroids); values are per-row, partitioning-free.
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        _nearest_centroid(F.col(vec_col), cents).alias("cluster"),
+        _nearest_centroid(f"`{vec_col}`", cents).alias("cluster"),
     )
     # query probes: distributed — centroids (k x dim scalars) embed as
     # literals, each query row computes all k distances JVM-side, sorts
@@ -337,7 +402,7 @@ def kmeans_ivf_topk(
         F.col(vec_col).cast("array<double>").alias("q_vec"),
         F.explode(
             F.slice(
-                F.array_sort(_centroid_dists(F.col(vec_col), cents)), 1, nprobe
+                F.array_sort(_centroid_dists(f"`{vec_col}`", cents)), 1, nprobe
             )
         ).alias("probe"),
     ).select("query_id", "q_vec", F.col("probe.ci").alias("cluster"))
@@ -427,7 +492,9 @@ def hyperplane_lsh_pairs(
     for t in range(n_tables):
         bucket = F.lit(0).cast("long")
         for p in range(n_planes):
-            plane = F.array(*[F.lit(w) for w in planes[t][p]])
+            # r13: server-side-parsed plane literal (one py4j call per
+            # plane instead of one per element; identical doubles)
+            plane = F.expr(_arr_sql(planes[t][p]))
             bit = F.when(
                 scaled_dot(F.col("vec"), plane) > 0, F.lit(2**p)
             ).otherwise(F.lit(0))
@@ -485,7 +552,12 @@ def pq_codebooks(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     sub = dim // m
-    sl = corpus.select(
+    from gpu_olap_engine_spark.queries.tables import spread
+
+    # spread before persist: the cached slices feed the per-row
+    # compute-bound assignment each iteration (one shuffle total;
+    # single-file fixtures otherwise pin every iteration to one core)
+    sl = spread(corpus).select(
         F.col(id_col).alias("vid"),
         *[F.slice(F.col(vec_col), j * sub + 1, sub).alias(f"s{j}") for j in range(m)],
     ).persist()
@@ -495,29 +567,30 @@ def pq_codebooks(
             [[float(x) for x in r[f"s{j}"]] for r in init] for j in range(m)
         ]
         q = 1_000_000
+        # r13: quantized-sum fragments parsed once (same arithmetic as
+        # before, see kmeans_centroids) — the m*k*sub Column trees this
+        # loop used to build cost seconds of pure driver time per
+        # iteration.
+        sum_cols = [
+            F.expr(
+                f"sum(cast(floor(cast(element_at(v, {i + 1}) as double)"
+                f" * {q}) as bigint))"
+            ).alias(f"s{i}")
+            for i in range(sub)
+        ]
         for _ in range(iters):
             subs = F.array(
                 *[
                     F.struct(
                         F.lit(j).cast("long").alias("j"),
-                        _nearest_centroid(F.col(f"s{j}"), books[j]).alias("c"),
+                        _nearest_centroid(f"`s{j}`", books[j]).alias("c"),
                         F.col(f"s{j}").alias("v"),
                     )
                     for j in range(m)
                 ]
             )
             ex = sl.select(F.explode(subs).alias("e")).select("e.j", "e.c", "e.v")
-            sums = ex.groupBy("j", "c").agg(
-                F.count("*").alias("n"),
-                *[
-                    F.sum(
-                        F.floor(
-                            F.element_at("v", i + 1).cast("double") * q
-                        ).cast("long")
-                    ).alias(f"s{i}")
-                    for i in range(sub)
-                ],
-            )
+            sums = ex.groupBy("j", "c").agg(F.count("*").alias("n"), *sum_cols)
             rows = {(r["j"], r["c"]): r for r in sums.collect()}
             books = [
                 [
@@ -573,17 +646,36 @@ def pq_adc_topk(
         F.col(id_col).alias("neighbor_id"),
         *[
             _nearest_centroid(
-                F.slice(F.col(vec_col), j * sub + 1, sub), books[j]
+                f"slice(`{vec_col}`, {j * sub + 1}, {sub})", books[j]
             ).alias(f"c{j}")
             for j in range(m)
         ],
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    # r13: the per-subspace ADC lookup tables depend only on the query
+    # vector, so they are computed ON the (tiny) query side BEFORE the
+    # join — the identical _sq_l2 expressions over the identical q_vec
+    # values, evaluated once per query row instead of once per scored
+    # (query x candidate) row; post-join each row is just m
+    # element_at picks. Bit-identical by construction.
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        *[
+            F.expr(
+                "array("
+                + ",".join(
+                    _sq_l2_sql(
+                        f"slice(`{vec_col}`, {j * sub + 1}, {sub})", c
+                    )
+                    for c in books[j]
+                )
+                + ")"
+            ).alias(f"lut{j}")
+            for j in range(m)
+        ],
+    )
     adc = None
     for j in range(m):
-        qs = F.slice(F.col("q_vec"), j * sub + 1, sub)
-        lut = F.array(*[_sq_l2(qs, c) for c in books[j]])
-        term = F.element_at(lut, (F.col(f"c{j}") + 1).cast("int"))
+        term = F.element_at(F.col(f"lut{j}"), (F.col(f"c{j}") + 1).cast("int"))
         adc = term if adc is None else adc + term
     scored = (
         enc.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
@@ -1323,11 +1415,15 @@ def semdedup(
     the bulk-verify convention shared with near_dup_pairs, mirrored
     bit-for-bit by the DuckDB array_inner_product twin.
     """
+    from gpu_olap_engine_spark.queries.tables import spread
+
     cents = kmeans_centroids(corpus, id_col, vec_col, n_clusters, iters)
-    m = corpus.select(
+    # spread: per-row compute-bound assignment + quantization (module
+    # convention; values are per-row, partitioning-free)
+    m = spread(corpus).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
-        _nearest_centroid(F.col(vec_col), cents).alias("cluster"),
+        _nearest_centroid(f"`{vec_col}`", cents).alias("cluster"),
     )
     keyed = m.select(
         F.col("vec_id").alias("vid"),
