@@ -269,11 +269,19 @@ def pagerank_int(
     Scale shape per iteration: one equi-join of the rank relation to
     the edge list on src (rank side is |V| rows — broadcastable when
     V is small, shuffle-partitioned on src otherwise) and one dst-key
-    aggregation with map-side partial sums. The edge relation is
-    reused across iterations; ``localCheckpoint`` after each round
-    truncates lineage exactly as in connected_components. Iterative
-    class beyond the reference's surface (its engine is single-query;
-    see README.md:354-378 extension analog).
+    aggregation with map-side partial sums. The relation every
+    iteration consumes is ``ew`` = (src, dst, w, deg), so THAT is what
+    gets persisted (r13) — persisting the bare edge list left the
+    out-degree aggregation + join re-executing per round, i.e.
+    (iters-1) extra full |E| scans+shuffles at scale (measured
+    3.58 -> 2.97 s at sf0.1, faster on 6/6 paired reps,
+    scripts/r13_ab_pagerank_ew.py; the inner join to outdeg cannot
+    drop rows because outdeg is built from e's own srcs, so nodes
+    derived from ew == nodes derived from e). ``localCheckpoint``
+    after each round truncates lineage exactly as in
+    connected_components. Iterative class beyond the reference's
+    surface (its engine is single-query; see README.md:354-378
+    extension analog).
     """
     if weight is None:
         e = edges.select(
@@ -287,15 +295,14 @@ def pagerank_int(
             F.col(dst).alias("dst"),
             F.col(weight).cast("long").alias("w"),
         )
-    e = e.persist()
+    outdeg = e.groupBy("src").agg(F.sum("w").alias("deg"))
+    ew = e.join(outdeg, "src").persist()  # (src, dst, w, deg)
     nodes = (
-        e.select(F.col("src").alias("id"))
-        .union(e.select(F.col("dst").alias("id")))
+        ew.select(F.col("src").alias("id"))
+        .union(ew.select(F.col("dst").alias("id")))
         .distinct()
         .persist()
     )
-    outdeg = e.groupBy("src").agg(F.sum("w").alias("deg"))
-    ew = e.join(outdeg, "src")  # (src, dst, w, deg)
     rank = nodes.select("id", F.lit(1_000_000).cast("long").alias("r"))
     for _ in range(iters):
         contrib = (
@@ -322,6 +329,6 @@ def pagerank_int(
         F.col("id").cast("long").alias("node_id"),
         F.col("r").cast("long").alias("rank_micro"),
     ).localCheckpoint(eager=True)
-    e.unpersist()
+    ew.unpersist()
     nodes.unpersist()
     return out

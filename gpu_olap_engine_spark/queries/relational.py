@@ -1421,6 +1421,12 @@ def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         out = out.unionAll(nxt.withColumn("hop", F.lit(i).cast("long")))
-        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        # r13: visited is NOT checkpointed — it is a union of
+        # already-checkpointed frontiers (lineage bounded at rounds+1
+        # materialized legs), so re-materializing the whole
+        # monotonically-growing set every round was pure extra writes
+        # (O(|V| x rounds) at scale; 3.18 -> 2.91 s at sf0.1, faster on
+        # 5/6 paired reps, scripts/r13_ab_bfs_visited.py)
+        visited = visited.unionAll(nxt)
         frontier = nxt
     return out.select(F.col("nd").alias("part"), "hop")

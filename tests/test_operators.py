@@ -573,6 +573,33 @@ def test_pagerank_matches_python_reference(spark):
     assert got == rank
 
 
+def test_pagerank_weighted_matches_python_reference(spark):
+    """Weighted branch of pagerank_int vs a dict-loop evaluation of
+    the same integer recurrence: r(u)*w_uv div W_u. Includes a
+    dst-only sink (node 4) — nodes must be derived from BOTH ends of
+    the persisted (src, dst, w, deg) relation, not just srcs (the r13
+    ew-persist restructure's edge case)."""
+    from gpu_olap_engine_spark.operators.graph import pagerank_int
+
+    edges = [(1, 2, 3), (1, 3, 1), (2, 3, 2), (3, 1, 5), (2, 4, 2)]
+    nodes = sorted({u for (a, b, _) in edges for u in (a, b)})
+    wdeg: dict[int, int] = {}
+    for u, _, w in edges:
+        wdeg[u] = wdeg.get(u, 0) + w
+    rank = {v: 1_000_000 for v in nodes}
+    for _ in range(3):
+        s = {v: 0 for v in nodes}
+        for u, v, w in edges:
+            s[v] += (rank[u] * w) // wdeg[u]
+        rank = {v: 150_000 + (85 * s[v]) // 100 for v in nodes}
+    df = spark.createDataFrame(edges, "src long, dst long, wt long")
+    got = {
+        r["node_id"]: r["rank_micro"]
+        for r in pagerank_int(df, weight="wt", iters=3).collect()
+    }
+    assert got == rank
+
+
 def test_heavy_hitters_partition_invariant(spark):
     """MG intermediate candidates depend on placement; the final
     verified set must not — 1-partition and 7-partition inputs agree."""
