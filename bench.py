@@ -21,8 +21,12 @@ artifact):
   file regardless of the child's exit code;
 - a global wall budget bounds the run: reps 2-3 of the min-of-3
   protocol are skipped when the projected rep would cross the
-  deadline, and a child group is skipped entirely (and listed in
-  "incomplete") when the remaining budget cannot fit it.
+  deadline; a watchdog thread in each Spark child cancels in-flight
+  jobs at its deadline+60s so a contended box degrades to FEWER REPS
+  per row, never a killed child; groups that carry headline rows
+  (join100/bucketed/light) launch with a reduced rescue budget even
+  when the wall is blown (r14 — both r13 driver runs dropped rows
+  by skipping the light group, which gates the verdict).
 
 Timing protocol per group: min of 3 runs, repetitions INTERLEAVED
 across the group's micros so a transient contention spike hits at
@@ -232,7 +236,16 @@ GROUP_WEIGHT = {
 # only bind on a loaded box, and the SIGTERM emit path flushes
 # everything measured if the driver reaps an overshoot.
 GROUP_FLOOR = {
-    "duckdb": 105.0,
+    # duckdb: 105 -> 75 (r14, VERDICT r13 #1): the controls are ratio
+    # CONTEXT, not headline rows, yet their 105 s floor was senior to
+    # the light group's existence — BOTH r13 driver runs (contended
+    # 32-core AND quiet 8-core) ran out of wall at light's turn and
+    # dropped five headline micro rows, which gates the verdict the
+    # way a slow control never can. A quiet box converges the two
+    # DuckDB shapes in ~55-65 s (BENCH_DETAIL_r13_builder); under
+    # load the projection gate lands >= rep-1 of each well inside
+    # 75 s and the min is honestly labeled by its own rep spread.
+    "duckdb": 75.0,
     # agg100: 70 -> 80 (r12) AND its child heap shrank 24g -> 10g —
     # r11's loaded run spent the whole 70 s floor on session + 24g
     # pre-touch + warm pass and recorded ONE cold 4.73 s rep against
@@ -243,6 +256,25 @@ GROUP_FLOOR = {
     "bucketed": 120.0,
     "light": 60.0,
 }
+# Never-skip rescue budgets (r14 extends r11's bucketed-only rescue):
+# a blown wall must not erase ROWS — r13's driver run dropped both
+# join100 rows AND the five light rows, and "a dropped query is a
+# dropped query, no matter how fast the rest got" (VERDICT r13). Any
+# group that carries headline rows launches even when the wall is
+# blown, with a reduced budget that lands at least rep-1 on a loaded
+# box. duckdb/agg100 stay skippable below the threshold: they run
+# FIRST, so remaining < 45 at their turn means the headline phase
+# consumed ~435 s — a pathology no rescue policy survives anyway.
+# (agg100's row is headline, but its slot only starves if duckdb
+# overran a 435 s-headline run; the join100/bucketed/light rescues
+# are the ones both recorded failures needed.) Overshoot is bounded
+# and survivable: every completed rep is fsync-flushed and the parent
+# emits the artifact on SIGTERM.
+GROUP_RESCUE = {
+    "join100": 100.0,
+    "bucketed": 90.0,
+    "light": 70.0,
+}
 
 
 def group_budget(gi: int, group: str, remaining: float) -> float | None:
@@ -250,36 +282,36 @@ def group_budget(gi: int, group: str, remaining: float) -> float | None:
     parent wall (pure function; unit-tested in
     tests/test_bench_protocol.py). None = skip the group.
 
-    Marquee reserve (r11): the CONTROLS group never takes a budget
-    that would leave the bucketed group less than its floor on the
-    wall. join100 is deliberately exempt — it carries the
-    baseline-headline rows, and capping it under the reserve starved
-    it to single cold reps on a loaded box (the r11 full-run lesson);
-    between the two marquee groups, weights + floors arbitrate, not
-    the reserve.
+    Floors-fit cap (r14, generalizes r11's duckdb->bucketed reserve):
+    no group's grant may eat the wall the LATER groups' floors need —
+    both r13 driver runs reached the light group with nothing left
+    (quiet 8-core: 3 s; contended 32-core: -50 s) because only duckdb
+    was ever capped, and only for bucketed's benefit. The cap never
+    cuts a group below its OWN floor (the r11 lesson: join100 capped
+    under its floor recorded single cold reps), so when the wall
+    cannot fit everyone's floors the shortfall lands on the LAST
+    groups — which the rescue budgets below then catch, instead of a
+    skip.
 
-    Never-skip rescue (r11): a blown wall used to SKIP late groups
-    outright — a loaded-box run lost the bucketed row entirely
-    (remaining -8 s at its turn), which is strictly worse than a
-    slow row. The bucketed group now always launches with a reduced
-    90 s rescue budget (session + two writes + >= rep-1 on a quiet
-    box; at least the row exists on a loaded one). The overshoot is
-    bounded and survivable: every completed rep is fsync-flushed and
-    the parent emits the artifact on SIGTERM, so a driver reaping an
-    overlong run still collects everything measured."""
+    Never-skip rescue (r11 bucketed; r14 join100 + light): a blown
+    wall used to SKIP late groups outright — r11 lost the bucketed
+    row (remaining -8 s at its turn), r13 lost all five light rows,
+    and a missing row is strictly worse than a slow one. Groups in
+    GROUP_RESCUE always launch with a reduced budget (>= rep-1 of
+    every micro on a loaded box; convergence on a quiet one)."""
     if remaining < 45:
-        if group == "bucketed":
-            return 90.0
-        return None
+        return GROUP_RESCUE.get(group)
     later = sum(GROUP_WEIGHT[g] for g in GROUP_ORDER[gi:])
     floor = GROUP_FLOOR.get(group, 60.0)
     budget = max(
         min(remaining * GROUP_WEIGHT[group] / later - 10, remaining - 15),
         floor,
     )
-    if group == "duckdb" and "bucketed" in GROUP_ORDER[gi + 1:]:
-        reserve = GROUP_FLOOR["bucketed"] + 15
-        budget = min(budget, max(remaining - reserve, floor))
+    later_floors = sum(
+        GROUP_FLOOR.get(g, 60.0) for g in GROUP_ORDER[gi + 1:]
+    )
+    if later_floors:
+        budget = min(budget, max(remaining - later_floors, floor))
     return budget
 
 
@@ -326,6 +358,35 @@ def should_run_rep(
         x <= min(r) * (1 + CONVERGED_PCT) + 0.2 for x in r[-2:]
     )
     return spread_bad or not converged
+
+
+def _clear_engine_caches(spark) -> None:
+    """Drop every cross-QUERY relation cache before a timed headline
+    row (r14, VERDICT r13 #5/#9): operators/dedup.py memoizes the
+    persisted shingle relation per (plan, args) so that e.g. q76's
+    timed row used to inherit the relation q73's row had already
+    built and persisted — cross-entry state that sits too close to
+    the "cached intermediate inside the timed region" line. Clearing
+    between rows makes every row pay its own builds, exactly like a
+    standalone run of that query; persists INSIDE one query's
+    execution (pagerank's ew, q141's oriented edges) are untouched —
+    they materialize and die within the row that pays for them.
+    Methodology change recorded in OPTIMIZATION_r14.md with the old
+    numbers kept (q73/q76/dedup_minhash_lsh are the affected rows)."""
+    try:
+        from gpu_olap_engine_spark.operators import dedup as D  # noqa: PLC0415
+
+        for df in list(D._SHINGLE_CACHE.values()):
+            df.unpersist()
+        D._SHINGLE_CACHE.clear()
+        rc = getattr(D, "_RELATION_CACHE", None)
+        if rc is not None:
+            for df in list(rc.values()):
+                df.unpersist()
+            rc.clear()
+        spark.catalog.clearCache()
+    except Exception:  # noqa: BLE001
+        pass  # cache hygiene must never kill the bench
 
 
 def _stderr_tail(path: str, lines: int = 30, chars: int = 3000) -> str:
@@ -624,7 +685,8 @@ def run_micro_child(group: str, runs_path: str, budget: float) -> None:
     if group == "duckdb":
         run_duckdb_child(runs_path, budget)
         return
-    deadline = time.monotonic() + budget
+    t_child = time.monotonic()
+    deadline = t_child + budget
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     ms = float(os.environ.get("SPARK_GRAFT_MICRO_SCALE", "1.0"))
 
@@ -645,10 +707,17 @@ def run_micro_child(group: str, runs_path: str, budget: float) -> None:
             # r13: it recurred at 32g (stderr tee caught the executor
             # OutOfMemoryError); the primary fix is the per-rep
             # System.gc() below (cleaner-lag accumulation), and the
-            # heap adds one more rep's headroom on top — ~8 GB extra
-            # pre-touch is ~1-2 s of untimed setup, cheap against a
-            # dead child forfeiting its rep budget.
-            os.environ["SPARK_GRAFT_DRIVER_MEMORY"] = "40g"
+            # heap adds one more rep's headroom on top.
+            # r14 (VERDICT r13 #1): 40g -> 32g. The r13 driver run
+            # never completed ONE rep in budget+90s on the contended
+            # box — the 40g AlwaysPreTouch memset plus a per-rep full
+            # GC over a 40g heap were budget spent on insurance, not
+            # measurement. With the per-rep System.gc in place the
+            # cleaner can no longer lag N reps behind, so the r12
+            # 32g OOM mode (no gc at all) does not apply; 32g is one
+            # full rep sequence of headroom on top of the ~8 GB
+            # working set.
+            os.environ["SPARK_GRAFT_DRIVER_MEMORY"] = "32g"
         elif group == "agg100":
             # a 100M-row two-column group-by's working set is ~2-4 GB
             # (partial-agg maps + a 256 x 100k-row exchange); 10g is
@@ -677,6 +746,47 @@ def run_micro_child(group: str, runs_path: str, budget: float) -> None:
         # is safe: this child only runs the two join micros.
         extra["spark.io.compression.codec"] = "zstd"
     spark, warehouse = _mk_spark(cpus, extra, pretouch=True)
+    print(
+        f"[bench:{group}] session+pretouch {time.monotonic() - t_child:.1f}s",
+        file=sys.stderr,
+    )
+
+    # Watchdog (r14, VERDICT r13 #1 "degrade to fewer reps, not a
+    # kill"): the rep gates below bound when a rep may START, but an
+    # in-flight rep on a contended box can run arbitrarily long — the
+    # r13 driver's join100 child was still inside rep 1 when the
+    # parent killed it at budget+90s, forfeiting the whole group. At
+    # deadline+60 the watchdog cancels all in-flight jobs instead:
+    # the write action raises, the loop stops cleanly, every
+    # already-flushed rep survives, and the child exits rc 0 well
+    # before the parent's kill (now a backstop for true JVM hangs
+    # only). 60 s of grace is deliberate: the FIRST pass of the rep
+    # loop lands rep-1 of every micro in the group, and cutting the
+    # last of those off early would erase a row to save seconds.
+    import threading  # noqa: PLC0415
+
+    cancelled = threading.Event()
+
+    def _watchdog() -> None:
+        while not cancelled.is_set():
+            left = deadline + 60 - time.monotonic()
+            if left <= 0:
+                break
+            cancelled.wait(min(left, 5.0))
+        if not cancelled.is_set():
+            cancelled.set()
+            print(
+                f"[bench:{group}] watchdog: cancelling in-flight jobs "
+                f"at deadline+60",
+                file=sys.stderr,
+            )
+            try:
+                spark.sparkContext.cancelAllJobs()
+            except Exception:  # noqa: BLE001
+                pass
+
+    wd = threading.Thread(target=_watchdog, daemon=True)
+    wd.start()
 
     out = open(runs_path, "a")
 
@@ -702,7 +812,24 @@ def run_micro_child(group: str, runs_path: str, budget: float) -> None:
     # shuffle-join path (~3 s, untimed) warms them at half scale
     # (20M was measured insufficient: rep-1/min stayed 1.43).
     warm = max(int(50_000_000 * float(os.environ.get("SPARK_GRAFT_MICRO_SCALE", "1.0"))), 100_000)
-    if group == "agg100":
+    # Setup-aware degrade (r14): when session start + pre-touch
+    # already ate a big share of the budget (contended box), skip the
+    # mid-size warm pass — its job is to make rep 1 land near the warm
+    # floor, but on a box that slow the budget buys at most the rep-1
+    # rows, and spending 20-30 s polishing a rep that may not fit is
+    # how the r13 child died rowless. The adaptive rep guards treat a
+    # cold rep 1 exactly like any contention spike.
+    if time.monotonic() - t_child > 0.35 * budget:
+        print(
+            f"[bench:{group}] setup ate "
+            f"{time.monotonic() - t_child:.0f}s of {budget:.0f}s — "
+            "skipping warm pass",
+            file=sys.stderr,
+        )
+        warm = 0
+    if not warm:
+        pass
+    elif group == "agg100":
         # group-appropriate warm pass (r11): the groupby child only
         # needs the aggregate/shuffle path hot — the 50M JOIN warm
         # below costs 20-30 s on a loaded box for pools this group
@@ -745,6 +872,8 @@ def run_micro_child(group: str, runs_path: str, budget: float) -> None:
         # micros a 6th-rep budget the comment only justified for the
         # groupby row.
         for rep in range(MAX_REPS + 1):
+            if cancelled.is_set():
+                break
             for name, df in micros:
                 adaptive = group_adaptive or name == "micro_groupby_agg_100m"
                 name_max_reps = MAX_REPS + 1 if adaptive else MAX_REPS
@@ -756,16 +885,22 @@ def run_micro_child(group: str, runs_path: str, budget: float) -> None:
                 # With a single (possibly still-cold) rep on record the
                 # projection is optimistic (cold/warm ratios of 4-16x
                 # were measured before heap pre-touch): better to risk
-                # ONE bounded overshoot — the parent's child timeout
-                # caps it — than to let a cold rep-1 foreclose the warm
-                # reps that are the micro's actual number.
+                # ONE bounded overshoot — the watchdog caps it — than
+                # to let a cold rep-1 foreclose the warm reps that are
+                # the micro's actual number.
                 # 2-rep minimum (r13, ADVICE r12): rep 1 runs
-                # UNCONDITIONALLY — the r12 +25 s extension still let
-                # a micro whose cold rep projected past deadline+25
-                # land single-rep (the exact r11 failure mode on a
-                # loaded box). A lone cold rep is not a usable number;
-                # every completed rep is fsync-flushed and the
-                # parent's +90 s child grace absorbs the overrun.
+                # unconditionally — UNLESS it would be cancelled
+                # mid-flight anyway (r14: projected past the
+                # watchdog's deadline+60; attempting it then is pure
+                # wall spend that the light group needs). A lone cold
+                # rep is not a usable number on a quiet box, but it IS
+                # the row's existence on a drowning one.
+                if cancelled.is_set():
+                    break
+                if rep == 1 and r and (
+                    time.monotonic() + min(r) > deadline + 45
+                ):
+                    continue
                 if rep > 1:
                     proj = min(r)
                     if time.monotonic() + proj > deadline:
@@ -775,10 +910,17 @@ def run_micro_child(group: str, runs_path: str, budget: float) -> None:
                 ):
                     continue
                 t0 = time.perf_counter()
-                if callable(df):
-                    df()  # imperative micro (table-format cycle)
-                else:
-                    df.write.format("noop").mode("overwrite").save()
+                try:
+                    if callable(df):
+                        df()  # imperative micro (table-format cycle)
+                    else:
+                        df.write.format("noop").mode("overwrite").save()
+                except Exception:
+                    if cancelled.is_set():
+                        # watchdog cancelled the in-flight job: stop
+                        # cleanly with everything already flushed
+                        break
+                    raise
                 t = time.perf_counter() - t0
                 r.append(t)
                 emit_run(name, t)
@@ -795,8 +937,19 @@ def run_micro_child(group: str, runs_path: str, budget: float) -> None:
                     # builds land on top of the uncollected prior
                     # ones. One explicit collection per rep, OUTSIDE
                     # the timed window, keeps the sequence flat.
+                    # r14: timed to stderr — the gc runs outside the
+                    # timed window but INSIDE the child's wall budget,
+                    # so its cost must be visible in the artifact's
+                    # stderr tee when diagnosing a squeezed sequence.
+                    g0 = time.perf_counter()
                     spark.sparkContext._jvm.System.gc()
+                    print(
+                        f"[bench:{group}] rep gc "
+                        f"{time.perf_counter() - g0:.1f}s",
+                        file=sys.stderr,
+                    )
     finally:
+        cancelled.set()  # retire the watchdog
         try:
             if group == "bucketed":
                 for t in ("bench_ba", "bench_bb"):
@@ -1050,6 +1203,7 @@ def main() -> None:
         state["notes"].append(f"warmup done {time.monotonic() - t_start:.0f}s")
         for name in HEADLINE:
             try:
+                _clear_engine_caches(spark)
                 t0 = time.perf_counter()
                 df = registry[name].fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
@@ -1120,10 +1274,11 @@ def main() -> None:
                     stderr=errf,
                     start_new_session=True,
                 )
-                proc.wait(timeout=child_budget + 90)  # grace: session
-                # start/stop + one in-flight cold rep; a working
-                # child self-limits via its own deadline, this
-                # only reaps a hung one
+                proc.wait(timeout=child_budget + 120)  # backstop for a
+                # truly hung JVM only (r14): a live child now
+                # self-cancels in-flight jobs at its deadline+60 and
+                # exits cleanly, so this timeout firing means the
+                # JVM stopped responding — reap the process group
             if proc.returncode != 0:
                 state["notes"].append(f"{group}: child rc {proc.returncode}")
                 state["notes"].append(

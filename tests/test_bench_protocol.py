@@ -121,56 +121,57 @@ def test_group_budget_marquee_floors_always_hold():
 
 
 def test_group_budget_skip_threshold():
+    """Only the CONTEXT groups (duckdb controls) and agg100 — which
+    run first, so a blown wall at their turn means a pathological
+    headline phase — may still be skipped outright."""
     assert group_budget(0, "duckdb", 44.9) is None
-    assert group_budget(3, "light", 10.0) is None
+    assert group_budget(1, "agg100", 30.0) is None
 
 
-def test_group_budget_controls_yield_to_bucketed_reserve():
-    """With plenty of wall the controls take their weighted share or
-    floor; when the wall shrinks the reserve caps them so bucketed's
-    floor still fits — but never below duckdb's own floor."""
-    # plentiful: floor wins over the small weighted share
-    assert group_budget(0, "duckdb", 420.0) == 105.0
-    # the reserve cap can only LOWER a budget, never raise one: at
-    # every remaining, duckdb <= max(remaining - reserve, floor)
+def test_group_budget_floors_fit_cap():
+    """r14 (VERDICT r13 #1): no group's grant may eat the wall the
+    later groups' floors need — both r13 driver runs reached the
+    light group with <= 3s remaining and dropped its five headline
+    rows. The cap never cuts a group below its OWN floor."""
     for remaining in (150.0, 250.0, 420.0, 800.0):
-        b = group_budget(0, "duckdb", remaining)
-        cap = max(remaining - (GROUP_FLOOR["bucketed"] + 15), 105.0)
-        assert b <= cap, (remaining, b, cap)
-    # desperately squeezed: duckdb's own floor is the last word
-    assert group_budget(0, "duckdb", 120.0) == 105.0
+        for gi, group in enumerate(GROUP_ORDER):
+            b = group_budget(gi, group, remaining)
+            later_floors = sum(
+                GROUP_FLOOR.get(g, 60.0) for g in GROUP_ORDER[gi + 1:]
+            )
+            cap = max(remaining - later_floors, GROUP_FLOOR.get(group, 60.0))
+            assert b <= cap, (group, remaining, b, cap)
+    # concrete r13-8core replay: at duckdb's turn 417s remained and
+    # the old policy granted floors summing past the wall; now every
+    # later floor still fits after duckdb's grant (or duckdb is at
+    # its own floor, the only allowed exception)
+    b = group_budget(0, "duckdb", 417.0)
+    assert b == GROUP_FLOOR["duckdb"]
 
 
-def test_group_budget_join100_exempt_from_reserve():
-    """join100 must never be capped below its weighted share by the
-    bucketed reserve (the r11 lesson): at the remaining where the r11
-    loaded run squeezed it to 88s, the policy now yields >= floor."""
+def test_group_budget_join100_keeps_floor_under_cap():
+    """The r11 lesson stands under the generalized cap: join100 is
+    never granted below its floor while launched normally."""
     gi = GROUP_ORDER.index("join100")
     for remaining in (150, 224, 300):
         b = group_budget(gi, "join100", float(remaining))
-        later = sum(
-            __import__("bench").GROUP_WEIGHT[g] for g in GROUP_ORDER[gi:]
-        )
-        weighted = remaining * __import__("bench").GROUP_WEIGHT["join100"] / later - 10
-        assert b >= min(max(weighted, 105.0), remaining - 15) or b == 105.0
+        assert b >= GROUP_FLOOR["join100"], (remaining, b)
 
 
-def test_group_budget_replays_r11_smoke_notes():
-    """The recorded r11 smoke run (400s budget): duckdb launched with
-    ~326s remaining and got its 105s floor (reserve cap not binding
-    below the floor)."""
-    assert group_budget(0, "duckdb", 326.0) == 105.0
+def test_group_budget_headline_groups_never_skipped():
+    """r11 gave bucketed a rescue; r14 extends it to join100 and
+    light after the r13 driver run dropped both join100 rows and all
+    five light rows. A blown wall yields a reduced budget, never a
+    skip, for any group carrying headline rows that a skip would
+    erase from the artifact."""
+    from bench import GROUP_RESCUE
 
-
-def test_group_budget_bucketed_never_skipped():
-    """r11: a blown wall must not erase the marquee bucketed row —
-    below the skip threshold every other group skips, bucketed gets
-    the reduced rescue budget."""
-    gi = GROUP_ORDER.index("bucketed")
-    assert group_budget(gi, "bucketed", -10.0) == 90.0
-    assert group_budget(gi, "bucketed", 44.0) == 90.0
-    # above the threshold the normal floor applies
-    assert group_budget(gi, "bucketed", 200.0) >= GROUP_FLOOR["bucketed"]
+    for group in ("join100", "bucketed", "light"):
+        gi = GROUP_ORDER.index(group)
+        assert group_budget(gi, group, -10.0) == GROUP_RESCUE[group]
+        assert group_budget(gi, group, 44.0) == GROUP_RESCUE[group]
+        # above the threshold the normal floor applies
+        assert group_budget(gi, group, 200.0) >= GROUP_FLOOR.get(group, 60.0)
 
 
 def test_stderr_tail_caps_and_flattens(tmp_path):
