@@ -216,35 +216,78 @@ def ancestor_closure(
     simply have no row, or a self-edge which is ignored).
 
     The recursive-CTE class (WITH RECURSIVE ancestry walks) Spark SQL
-    lacks, built by POINTER DOUBLING: start with distance-1 pairs and
-    repeatedly compose the closure with itself — after r rounds the
-    closure holds all ancestors within distance 2^r, so a depth-d
-    hierarchy converges in ceil(log2 d) distributed join rounds, NOT
-    d sequential steps (a 30-level bill-of-materials takes 5 rounds).
-    Each round is one equi-join + distinct; per-round localCheckpoint
-    truncates lineage exactly as connected_components does.
-    Convergence (count fixpoint) is schedule-independent, so the
-    result is oracle-checkable against a recursive CTE.
+    lacks, built by POINTER DOUBLING: after r rounds the closure holds
+    all ancestors within distance 2^r, so a depth-d hierarchy
+    converges in ceil(log2 d) distributed join rounds, NOT d
+    sequential steps (a 30-level bill-of-materials takes 5 rounds).
+
+    r14 (VERDICT r13 #6, guide §2.4 "don't recompute what you already
+    have"): frontier-only doubling. The old form re-derived the WHOLE
+    closure every round (cl' = distinct(cl union cl-compose-cl), then
+    checkpointed and counted all of it — O(|closure|) distinct +
+    materialization + count per round, the dominant cost at sf1). In
+    a functional forest the ancestor at any EXACT distance is unique,
+    so composing ``jump`` (pairs at distance exactly 2^r) with the
+    accumulated closure (distances 1..2^r) yields every pair at
+    distance 2^r+1..2^(r+1) EXACTLY ONCE: no distinct is needed, the
+    increment is disjoint from the closure so the union is free, and
+    only the NEW pairs are checkpointed and counted per round. Total
+    bytes materialized across the whole call drop from
+    |closure| x rounds to |closure|; the convergence count runs on
+    the increment (VERDICT's "count on the increment"), and the
+    final confirm round is a count over the next jump slice rather
+    than a full-closure fixpoint scan.
+
+    Single-emission REQUIRES the functional-forest contract the
+    docstring always declared (at most one parent row per node, no
+    cycles — "ancestor" semantics); it is now enforced loudly with
+    one |E|-row aggregate on the distance-1 relation instead of
+    silently emitting duplicate pairs on a multi-parent DAG.
+    Convergence is schedule-independent, so the result remains
+    oracle-checkable against a recursive CTE.
     """
-    cl = (
+    base = (
         edges.select(F.col(node).alias("node"), F.col(parent).alias("anc"))
         .filter(F.col("node") != F.col("anc"))
         .distinct()
         .localCheckpoint()
     )
-    n = cl.count()
-    for _ in range(max_rounds):
-        hop = (
-            cl.alias("a")
-            .join(cl.alias("b"), F.col("a.anc") == F.col("b.node"))
-            .select(F.col("a.node").alias("node"), F.col("b.anc").alias("anc"))
+    if not base.groupBy("node").count().filter(F.col("count") > 1).isEmpty():
+        raise ValueError(
+            "ancestor_closure requires a functional forest: some node "
+            "has more than one distinct parent row"
         )
-        grown = cl.unionByName(hop).distinct().localCheckpoint()
-        m = grown.count()
-        if m == n:
+    cl = base.withColumn("d", F.lit(1).cast("long"))
+    jump = cl  # pairs at distance exactly 2^r (r = 0 here)
+    for r in range(max_rounds):
+        # rename-then-join instead of alias(): jump and cl are the
+        # same object in round 0 and share checkpointed lineage after,
+        # and dataframe aliases over a self-referential plan trip the
+        # analyzer's attribute dedup
+        ja = jump.select(
+            F.col("node").alias("jnode"), F.col("anc").alias("janc")
+        )
+        cb = cl.select(
+            F.col("node").alias("cnode"),
+            F.col("anc").alias("canc"),
+            F.col("d").alias("cd"),
+        )
+        new = (
+            ja.join(cb, F.col("janc") == F.col("cnode"))
+            .select(
+                F.col("jnode").alias("node"),
+                F.col("canc").alias("anc"),
+                (F.lit(2**r).cast("long") + F.col("cd")).alias("d"),
+            )
+            .localCheckpoint()
+        )
+        cl = cl.unionByName(new)  # disjoint by construction
+        jump = new.filter(F.col("d") == 2 ** (r + 1))
+        # jump empty => every chain is shorter than 2^(r+1), and new
+        # pairs beyond it cannot exist; counts only the increment
+        if jump.count() == 0:
             break
-        cl, n = grown, m
-    return cl
+    return cl.select("node", "anc")
 
 
 def pagerank_int(
