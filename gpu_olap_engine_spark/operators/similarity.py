@@ -221,6 +221,14 @@ def bucketed_topk(
     )
 
 
+def _qident(name: str) -> str:
+    """Backtick-quoted SQL identifier with embedded backticks escaped
+    (ADVICE r13 #1): every fragment call site that interpolates a
+    column name goes through here so a pathological name breaks
+    nothing (it would previously terminate the quoting early)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _dlit(x: float) -> str:
     """Exact SQL double literal. repr() emits the shortest decimal
     that round-trips to the identical double, and the SQL lexer's
@@ -252,19 +260,20 @@ def _sq_l2_sql(vec_sql: str, centroid: list[float]) -> str:
     )
 
 
-def _sq_l2(vec: Column, centroid: list[float]) -> Column:
-    """Squared L2 distance between a vector column and one centroid
-    literal (expression-only, JVM-side). The double-cast per element
-    is what makes the value — and thus cluster assignment —
-    deterministic cross-run; both IVF paths must share it.
-
-    r13: the centroid literal is parsed server-side (_arr_sql) — one
-    py4j call instead of one per element."""
-    arr = F.expr(_arr_sql([float(x) for x in centroid]))
-    return F.aggregate(
-        F.zip_with(vec, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _dot_sql(vec_sql: str, plane_sql: str) -> str:
+    """SQL fragment: quantized dot product (SCALE units, emitted as
+    double) between a vector expression and a plane expression —
+    op-for-op the scaled_dot/_fold_scaled pipeline (double casts,
+    IEEE multiply, per-term NaN -> NULL guard, floor to int64,
+    exact integer fold from 0, final double cast), so the value is
+    bit-identical on every input. Parity pinned by
+    tests/test_similarity_kernels.py::test_lsh_signature_parity."""
+    return (
+        f"CAST(aggregate(transform(zip_with({vec_sql}, {plane_sql}, "
+        "(x_, y_) -> cast(x_ as double) * cast(y_ as double)), "
+        "p_ -> CASE WHEN NOT isnan(p_) THEN "
+        f"cast(floor(p_ * {_dlit(SCALE)}) as bigint) END), "
+        "cast(0 as bigint), (a_, t_) -> a_ + t_) AS DOUBLE)"
     )
 
 
@@ -338,7 +347,13 @@ def kmeans_centroids(
     # (exact integer sums).
     from gpu_olap_engine_spark.queries.tables import spread
 
-    work = spread(corpus)
+    # r14 (ADVICE r13 #3, pq_codebooks precedent): persist the spread
+    # working relation for the iteration loop — each of the `iters`
+    # assignment jobs consumed the source scan AND the round-robin
+    # repartition again; one materialization serves them all.
+    # Unpersisted before return; values are partitioning-independent
+    # (exact integer sums), so caching cannot change the result.
+    work = spread(corpus.select(vec_col)).persist()
     sum_cols = [
         F.expr(
             f"sum(cast(floor(cast(element_at(v, {i + 1}) as double)"
@@ -346,23 +361,32 @@ def kmeans_centroids(
         ).alias(f"s{i}")
         for i in range(dim)
     ]
-    for _ in range(iters):
-        assigned = work.select(
-            F.col(vec_col).alias("v"),
-            _nearest_centroid(f"`{vec_col}`", centroids).alias("c"),
-        )
-        sums = assigned.groupBy("c").agg(F.count("*").alias("n"), *sum_cols)
-        rows = {r["c"]: r for r in sums.collect()}
-        # float(s) first: mirrors the oracle's CAST(s AS DOUBLE)/1e6/n
-        # op-for-op, so the cross-engine bit-match holds even when the
-        # int64 sums exceed 2^53 (int/int division would round the
-        # exact rational instead and silently diverge there).
-        centroids = [
-            [float(rows[c][f"s{i}"]) / q / rows[c]["n"] for i in range(dim)]
-            if c in rows
-            else centroids[c]  # empty cluster keeps its centroid
-            for c in range(len(centroids))
-        ]
+    try:
+        for _ in range(iters):
+            assigned = work.select(
+                F.col(vec_col).alias("v"),
+                _nearest_centroid(_qident(vec_col), centroids).alias("c"),
+            )
+            sums = assigned.groupBy("c").agg(
+                F.count("*").alias("n"), *sum_cols
+            )
+            rows = {r["c"]: r for r in sums.collect()}
+            # float(s) first: mirrors the oracle's CAST(s AS DOUBLE)
+            # /1e6/n op-for-op, so the cross-engine bit-match holds
+            # even when the int64 sums exceed 2^53 (int/int division
+            # would round the exact rational instead and silently
+            # diverge there).
+            centroids = [
+                [
+                    float(rows[c][f"s{i}"]) / q / rows[c]["n"]
+                    for i in range(dim)
+                ]
+                if c in rows
+                else centroids[c]  # empty cluster keeps its centroid
+                for c in range(len(centroids))
+            ]
+    finally:
+        work.unpersist()
     return centroids
 
 
@@ -391,7 +415,7 @@ def kmeans_ivf_topk(
     c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        _nearest_centroid(f"`{vec_col}`", cents).alias("cluster"),
+        _nearest_centroid(_qident(vec_col), cents).alias("cluster"),
     )
     # query probes: distributed — centroids (k x dim scalars) embed as
     # literals, each query row computes all k distances JVM-side, sorts
@@ -402,7 +426,7 @@ def kmeans_ivf_topk(
         F.col(vec_col).cast("array<double>").alias("q_vec"),
         F.explode(
             F.slice(
-                F.array_sort(_centroid_dists(f"`{vec_col}`", cents)), 1, nprobe
+                F.array_sort(_centroid_dists(_qident(vec_col), cents)), 1, nprobe
             )
         ).alias("probe"),
     ).select("query_id", "q_vec", F.col("probe.ci").alias("cluster"))
@@ -441,6 +465,37 @@ def hyperplane_tables(n_tables: int, n_planes: int, dim: int) -> list[list[list[
         ]
         for t in range(n_tables)
     ]
+
+
+def _lsh_sigs(vec_sql: str, planes: list[list[list[float]]]) -> Column:
+    """Array of (table, bucket) signature structs as ONE parsed SQL
+    expression (r14, VERDICT r13 #4 — the same collapse
+    _centroid_dists got in r13): a transform over the literal
+    [table][plane][dim] array replaces the n_tables x n_planes
+    per-plane `when` Column trees (24 separate zip_with/aggregate
+    folds at the defaults) that the analyzer had to type-check as one
+    giant expression per signature. Arithmetic is op-for-op the old
+    loop: bit p = CASE WHEN scaled_dot(vec, plane) > 0 THEN 2^p ELSE
+    0 END (NULL dot -> ELSE 0, exactly as when().otherwise(0)), bits
+    left-folded in ascending p from a bigint 0 — parity pinned by
+    tests/test_similarity_kernels.py::test_lsh_signature_parity."""
+    tarr = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(_arr_sql(p) for p in table) + ")"
+            for table in planes
+        )
+        + ")"
+    )
+    return F.expr(
+        f"transform({tarr}, (tp_, ti_) -> struct("
+        "cast(ti_ as bigint) as t, "
+        f"aggregate(transform(tp_, (pl_, pi_) -> "
+        f"CASE WHEN {_dot_sql(vec_sql, 'pl_')} > 0D "
+        "THEN shiftleft(cast(1 as bigint), pi_) "
+        "ELSE cast(0 as bigint) END), "
+        "cast(0 as bigint), (ba_, bb_) -> ba_ + bb_) as bucket))"
+    )
 
 
 def scaled_sq_dist(a: Column, b: Column) -> Column:
@@ -488,21 +543,13 @@ def hyperplane_lsh_pairs(
     vecs = spread(corpus).select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
     )
-    sigs = []
-    for t in range(n_tables):
-        bucket = F.lit(0).cast("long")
-        for p in range(n_planes):
-            # r13: server-side-parsed plane literal (one py4j call per
-            # plane instead of one per element; identical doubles)
-            plane = F.expr(_arr_sql(planes[t][p]))
-            bit = F.when(
-                scaled_dot(F.col("vec"), plane) > 0, F.lit(2**p)
-            ).otherwise(F.lit(0))
-            bucket = bucket + bit.cast("long")
-        sigs.append(
-            F.struct(F.lit(t).cast("long").alias("t"), bucket.alias("bucket"))
-        )
-    keyed = vecs.select("vid", F.explode(F.array(*sigs)).alias("sig")).select(
+    # r14 (VERDICT r13 #4): the whole signature array is ONE parsed
+    # SQL expression — see _lsh_sigs for the arithmetic-parity
+    # argument; the r13 form still built n_tables x n_planes `when`
+    # Column trees driver-side
+    keyed = vecs.select(
+        "vid", F.explode(_lsh_sigs("`vec`", planes)).alias("sig")
+    ).select(
         "vid", F.col("sig.t").alias("t"), F.col("sig.bucket").alias("bucket")
     )
     ka = keyed.select(F.col("vid").alias("id_a"), "t", "bucket")
@@ -646,7 +693,7 @@ def pq_adc_topk(
         F.col(id_col).alias("neighbor_id"),
         *[
             _nearest_centroid(
-                f"slice(`{vec_col}`, {j * sub + 1}, {sub})", books[j]
+                f"slice({_qident(vec_col)}, {j * sub + 1}, {sub})", books[j]
             ).alias(f"c{j}")
             for j in range(m)
         ],
@@ -664,7 +711,7 @@ def pq_adc_topk(
                 "array("
                 + ",".join(
                     _sq_l2_sql(
-                        f"slice(`{vec_col}`, {j * sub + 1}, {sub})", c
+                        f"slice({_qident(vec_col)}, {j * sub + 1}, {sub})", c
                     )
                     for c in books[j]
                 )
@@ -1423,7 +1470,7 @@ def semdedup(
     m = spread(corpus).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
-        _nearest_centroid(f"`{vec_col}`", cents).alias("cluster"),
+        _nearest_centroid(_qident(vec_col), cents).alias("cluster"),
     )
     keyed = m.select(
         F.col("vec_id").alias("vid"),

@@ -141,6 +141,59 @@ def test_compact_exprs_on_ties_and_negatives(spark):
     assert by_id[1] == 0 and by_id[2] == 0
 
 
+def _old_lsh_sigs(vec, planes):
+    """Pre-r14 per-plane Column-built LSH signatures (the spec): bit
+    p of table t = when(scaled_dot(vec, plane_tp) > 0, 2^p) else 0,
+    left-folded ascending from a bigint 0."""
+    sigs = []
+    for t, table in enumerate(planes):
+        bucket = F.lit(0).cast("long")
+        for p, plane in enumerate(table):
+            arr = F.array(*[F.lit(float(x)) for x in plane])
+            bit = F.when(S.scaled_dot(vec, arr) > 0, F.lit(2**p)).otherwise(
+                F.lit(0)
+            )
+            bucket = bucket + bit.cast("long")
+        sigs.append(
+            F.struct(F.lit(t).cast("long").alias("t"), bucket.alias("bucket"))
+        )
+    return F.array(*sigs)
+
+
+def test_lsh_signature_parity(spark, emb):
+    """r14 one-expression LSH signature array == the old per-plane
+    Column loop, row-for-row on the real fixture AND on a degenerate
+    corpus (NaN elements -> NULL dot -> bit 0 in both forms; zero and
+    negative vectors)."""
+    dim = len(emb.select("embedding").first()[0])
+    planes = S.hyperplane_tables(3, 8, dim)
+    rows = emb.select(
+        "vec_id",
+        _old_lsh_sigs(F.col("embedding"), planes).alias("old_s"),
+        S._lsh_sigs("`embedding`", planes).alias("new_s"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert [tuple(s) for s in r["old_s"]] == [tuple(s) for s in r["new_s"]]
+
+    data = [
+        (1, [0.0, 0.0, 0.0]),
+        (2, [-1.0, -2.0, 3.5]),
+        (3, [float("nan"), 1.0, 2.0]),
+        (4, [1e-9, -1e9, 2.5]),
+        (5, [float("inf"), 1.0, -1.0]),
+    ]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    planes3 = S.hyperplane_tables(2, 4, 3)
+    rows = df.select(
+        "vec_id",
+        _old_lsh_sigs(F.col("embedding"), planes3).alias("old_s"),
+        S._lsh_sigs("`embedding`", planes3).alias("new_s"),
+    ).collect()
+    for r in rows:
+        assert [tuple(s) for s in r["old_s"]] == [tuple(s) for s in r["new_s"]]
+
+
 def test_sq_l2_sql_matches_column_form(spark, emb):
     """_sq_l2_sql (used by the hoisted ADC LUTs) == the Column-built
     _sq_l2 on sliced fixture vectors."""
