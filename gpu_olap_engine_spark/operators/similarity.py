@@ -1157,27 +1157,45 @@ def gram_cross_pairs(
     (id_big, id_small, cosine) under every mode."""
     gated = "mlo" in keyed_big.columns and "mlo" in keyed_small.columns
     kcols = ["mlo", "mhi"] if gated else []
-    sizes = keyed_big.groupBy("bkey").agg(F.count("*").alias("bsz"))
+    # r14 (guide §2.4/§4, same fix as _blocked_groups): bucket sizes
+    # were a separate aggregate over keyed_big broadcast-joined back
+    # into BOTH sides — keyed_big (the corpus derive, a Python
+    # mapInPandas pass) executed twice per query. Union the two sides
+    # first and take the big-row count per bkey from ONE window over
+    # the union; each input now evaluates exactly once. A bucket with
+    # no big rows gets bsz=0 -> nch=1 -> its small rows form a
+    # small-only group that verify() already answers with `empty` —
+    # the same no-pairs outcome the old inner join produced by
+    # dropping those rows, so the emitted pair set is unchanged.
+    from pyspark.sql import Window
+
+    sides = (
+        keyed_big.select(
+            "bkey", "vid", "qvec", *kcols, F.lit(0).alias("side")
+        )
+    ).unionByName(
+        keyed_small.select(
+            "bkey", "vid", "qvec", *kcols, F.lit(1).alias("side")
+        )
+    )
+    bsz = F.sum(
+        F.when(F.col("side") == 0, F.lit(1)).otherwise(F.lit(0))
+    ).over(Window.partitionBy("bkey"))
     nch = (
         F.when(F.col("bsz") <= max_bucket, F.lit(1))
         .otherwise(F.ceil(F.col("bsz") / chunk))
         .cast("int")
     )
-    big = (
-        keyed_big.join(F.broadcast(sizes), "bkey")
+    chunks = F.when(
+        F.col("side") == 0,
+        F.array(F.pmod(F.xxhash64(F.col("vid")), F.col("nch")).cast("int")),
+    ).otherwise(F.sequence(F.lit(0), F.col("nch") - 1))
+    both = (
+        sides.withColumn("bsz", bsz)
+        .withColumn("nch", nch)
         .select(
-            "bkey", "vid", "qvec", *kcols,
-            F.pmod(F.xxhash64(F.col("vid")), nch).cast("int").alias("ci"),
-            F.lit(0).alias("side"),
-        )
-    )
-    small = (
-        keyed_small.join(F.broadcast(sizes), "bkey")  # inner: buckets
-        # with no big rows can hold no cross pairs
-        .select(
-            "bkey", "vid", "qvec", *kcols,
-            F.explode(F.sequence(F.lit(0), nch - 1)).alias("ci"),
-            F.lit(1).alias("side"),
+            "bkey", "vid", "qvec", *kcols, "side",
+            F.explode(chunks).alias("ci"),
         )
     )
 
@@ -1227,7 +1245,7 @@ def gram_cross_pairs(
         return pd.concat(out, ignore_index=True) if out else empty
 
     result = (
-        big.unionByName(small)
+        both
         .groupBy("bkey", "ci")
         .applyInPandas(verify, "id_big long, id_small long, cosine double")
     )
@@ -1396,14 +1414,27 @@ def _blocked_groups(
     (xxhash64(vid) — deterministic) and each row replicates into the
     nchunks groups (min(ck, o), max(ck, o)); a pair lands in exactly
     one group (its two chunk ids), so no pair is verified twice within
-    a bucket and per-group rows are ~2*chunk in expectation. The
-    bucket-size relation is tiny (|distinct bkey| <= 2 * vector dims)
-    so it broadcasts. A `keys` column (the minimal-shared-key gate's
-    input) rides along when present."""
+    a bucket and per-group rows are ~2*chunk in expectation. A `keys`
+    column (the minimal-shared-key gate's input) rides along when
+    present.
+
+    r14 (guide §2.4/§4 — profiled in scripts/r14_prof_neardup.py):
+    bucket sizes come from a COUNT window over bkey, not a separate
+    aggregate broadcast-joined back. The old shape consumed `keyed`
+    twice, and `keyed` is the operator's expensive relation — a
+    Python mapInPandas derive (near-dup) or a k-means assignment scan
+    (semdedup), so the whole Python/assignment pass executed twice
+    per query. The window's bkey exchange + sort moves bytes the
+    grouped shuffle was already moving once; the second derive pass,
+    the size aggregate and the broadcast build all disappear. bsz is
+    the same integer per row, so nch/ck/group membership — and the
+    emitted pair set — are unchanged."""
     cols = ["bkey", "vid", "qvec"] + (
         ["mlo", "mhi"] if "mlo" in keyed.columns else []
     )
-    sizes = keyed.groupBy("bkey").agg(F.count("*").alias("bsz"))
+    from pyspark.sql import Window
+
+    bsz = F.count("*").over(Window.partitionBy("bkey"))
     nch = (
         F.when(F.col("bsz") <= max_bucket, F.lit(1))
         .otherwise(F.ceil(F.col("bsz") / chunk))
@@ -1417,7 +1448,7 @@ def _blocked_groups(
         ),
     )
     return (
-        keyed.join(F.broadcast(sizes), "bkey")
+        keyed.withColumn("bsz", bsz)
         .withColumn("nch", nch)
         .withColumn("ck", ck)
         .select(*cols, "ck", F.explode(groups).alias("g"))

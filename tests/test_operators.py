@@ -1139,6 +1139,50 @@ def test_gram_cross_pairs_matches_symmetric_filter(spark, tmp_path):
     assert len(want) > 10  # the planted hot bucket has real cross pairs
 
 
+def test_gram_cross_pairs_small_only_bucket_empty(spark, tmp_path):
+    """r14 (_blocked_groups/gram_cross window rewrite): a blocking
+    bucket that exists ONLY on the small side used to vanish through
+    the inner join to the big side's size relation; the single-pass
+    union+window form instead gives it bsz=0 -> nch=1 and a
+    small-only group that verify() must answer with zero rows — same
+    pair set, no error, and no pair may involve the orphan vectors."""
+    import numpy as np
+
+    from gpu_olap_engine_spark.operators.similarity import (
+        _near_dup_keyed,
+        gram_cross_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    n, dim = 40, 8
+    vecs = rng.uniform(-0.3, 0.3, size=(n, dim))
+    vecs[:, 0] = 1.0  # big + most small vectors: bucket = dim 0
+    # two orphan small vectors dominated by dim 1 (their own bucket;
+    # near-identical so a same-bucket pair WOULD form if big-big or
+    # small-small pairs ever leaked into the cross verify)
+    vecs[n - 2] = np.array([0.01, 1.0, 0.2, 0.2, 0.2, 0.2, 0.2, 0.2])
+    vecs[n - 1] = np.array([0.01, 1.0, 0.2, 0.2, 0.2, 0.2, 0.2, 0.21])
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    path = str(tmp_path / "orphan.parquet")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+
+    keyed = _near_dup_keyed(df, "vec_id", "embedding", 1)
+    # small side = the two orphans plus every 7th vector; big = rest
+    small_ids = {n - 2, n - 1} | {i for i in range(n) if i % 7 == 0}
+    small = keyed.filter(F.col("vid").isin([int(i) for i in small_ids]))
+    big = keyed.filter(~F.col("vid").isin([int(i) for i in small_ids]))
+    got = gram_cross_pairs(
+        big, small, threshold=0.8, max_bucket=32, chunk=16, block_rows=7
+    ).collect()
+    ids_in_pairs = {r["id_small"] for r in got}
+    assert n - 2 not in ids_in_pairs and n - 1 not in ids_in_pairs
+    # and the dim-0 bucket still yields real cross pairs
+    assert len(got) > 0
+
+
 def test_near_dup_mask_gate_unique_emission_and_dim_guard(spark, tmp_path):
     """r11: (a) with the minimal-shared-key gate there is NO terminal
     distinct, so the raw applyInPandas output itself must already be
