@@ -1218,10 +1218,21 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
+    # r14 (guide §3.2): the closing join's stream side is the WEDGE
+    # set (sum of squared out-degrees — 49M rows at sf0.1, growing
+    # super-linearly with |E|) while its build side is the edge list
+    # itself (1.2M rows). SortMergeJoin sorted the quadratic side;
+    # the hint pins a shuffled-hash build on the edge side, so wedges
+    # stream unsorted. Scale-sane: the per-task hash build is
+    # |E|/shuffle-partitions and AQE skew-splitting works under SHJ;
+    # sorting the wedge set is never the right side of that trade.
+    # Paired A/B 6.11 -> 4.67 s min (5/5 reps), identical rows
+    # (scripts/r14_ab_q141_shj.py); hinting the wedge join too was
+    # measured WORSE (5.05 vs 4.73 — its inputs are the cheap side).
     tri = (
         ab.join(bc, F.col("ab.b") == F.col("bc.a"))
         .join(
-            ac,
+            ac.hint("SHUFFLE_HASH"),
             (F.col("ab.a") == F.col("ac.a")) & (F.col("bc.b") == F.col("ac.b")),
         )
         .select(
