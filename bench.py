@@ -384,6 +384,11 @@ def _clear_engine_caches(spark) -> None:
             for df in list(rc.values()):
                 df.unpersist()
             rc.clear()
+        from gpu_olap_engine_spark.operators import similarity as S  # noqa: PLC0415
+
+        for df in list(S._KEYED_CACHE.values()):
+            df.unpersist()
+        S._KEYED_CACHE.clear()
         spark.catalog.clearCache()
     except Exception:  # noqa: BLE001
         pass  # cache hygiene must never kill the bench

@@ -221,6 +221,48 @@ def bucketed_topk(
     )
 
 
+_KEYED_CACHE: dict = {}
+_KEYED_CACHE_MAX = 8
+
+import threading as _threading  # noqa: E402
+
+_KEYED_LOCK = _threading.Lock()
+
+
+def _keyed_persisted(df: DataFrame) -> DataFrame:
+    """Persist-and-memoize a keyed relation that the gram blocking
+    consumes more than once (bucket-size aggregate + join back).
+
+    The keyed relation is the operator's expensive stage — an Arrow
+    mapInPandas derive (near-dup, decontaminate) or a k-means
+    assignment scan (semdedup) — and without materialization each
+    consumer re-executes the whole pass (measured: the operator's L1
+    wall was 2x the derive, scripts/r14_prof_neardup.py). A COUNT
+    window over bkey was A/B'd as the one-pass alternative and
+    REJECTED for scale: it shuffles the full relation on bare bkey,
+    whose cardinality the near-dup key domain caps at 128 — a hard
+    parallelism ceiling at 100 TB (the q72-fusion lesson). The
+    persist keeps the derive single-evaluation while every shuffle
+    stays on the scalable (bkey, chunk) group keys.
+
+    Same pattern, bounds and bench hygiene as dedup._SHINGLE_CACHE:
+    memoized per semantic plan hash, capped with unpersist eviction,
+    cleared by bench.py between timed rows so no row inherits
+    another's build."""
+    try:
+        plan_key = df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # internal API moved — degrade to per-object
+        plan_key = id(df)
+    with _KEYED_LOCK:
+        cached = _KEYED_CACHE.get(plan_key)
+        if cached is None:
+            cached = df.persist()
+            if len(_KEYED_CACHE) >= _KEYED_CACHE_MAX:
+                _KEYED_CACHE.pop(next(iter(_KEYED_CACHE))).unpersist()
+            _KEYED_CACHE[plan_key] = cached
+        return cached
+
+
 def _qident(name: str) -> str:
     """Backtick-quoted SQL identifier with embedded backticks escaped
     (ADVICE r13 #1): every fragment call site that interpolates a
@@ -1157,47 +1199,41 @@ def gram_cross_pairs(
     (id_big, id_small, cosine) under every mode."""
     gated = "mlo" in keyed_big.columns and "mlo" in keyed_small.columns
     kcols = ["mlo", "mhi"] if gated else []
-    # r14 (guide §2.4/§4, same fix as _blocked_groups): bucket sizes
-    # were a separate aggregate over keyed_big broadcast-joined back
-    # into BOTH sides — keyed_big (the corpus derive, a Python
-    # mapInPandas pass) executed twice per query. Union the two sides
-    # first and take the big-row count per bkey from ONE window over
-    # the union; each input now evaluates exactly once. A bucket with
-    # no big rows gets bsz=0 -> nch=1 -> its small rows form a
-    # small-only group that verify() already answers with `empty` —
-    # the same no-pairs outcome the old inner join produced by
-    # dropping those rows, so the emitted pair set is unchanged.
-    from pyspark.sql import Window
-
-    sides = (
-        keyed_big.select(
-            "bkey", "vid", "qvec", *kcols, F.lit(0).alias("side")
-        )
-    ).unionByName(
-        keyed_small.select(
-            "bkey", "vid", "qvec", *kcols, F.lit(1).alias("side")
-        )
-    )
-    bsz = F.sum(
-        F.when(F.col("side") == 0, F.lit(1)).otherwise(F.lit(0))
-    ).over(Window.partitionBy("bkey"))
+    # r14 (guide §2.4/§4, same fix as _blocked_groups): both sides are
+    # persisted+memoized — the old shape evaluated keyed_big (the
+    # corpus derive, a Python mapInPandas pass) twice (size aggregate
+    # + join back) and, when big/small are filters of one shared
+    # keyed relation as in sim_decontaminate, the derive ran three
+    # times. With the persist each side materializes once; sizes
+    # aggregates map-side and broadcasts (|distinct bkey| <= 128).
+    # A union+window one-pass form was A/B-equal locally but REJECTED
+    # for the bare-bkey shuffle's <=128-way parallelism cap at scale.
+    keyed_big = _keyed_persisted(keyed_big)
+    keyed_small = _keyed_persisted(keyed_small)
+    sizes = keyed_big.groupBy("bkey").agg(F.count("*").alias("bsz"))
     nch = (
         F.when(F.col("bsz") <= max_bucket, F.lit(1))
         .otherwise(F.ceil(F.col("bsz") / chunk))
         .cast("int")
     )
-    chunks = F.when(
-        F.col("side") == 0,
-        F.array(F.pmod(F.xxhash64(F.col("vid")), F.col("nch")).cast("int")),
-    ).otherwise(F.sequence(F.lit(0), F.col("nch") - 1))
-    both = (
-        sides.withColumn("bsz", bsz)
-        .withColumn("nch", nch)
+    big = (
+        keyed_big.join(F.broadcast(sizes), "bkey")
         .select(
-            "bkey", "vid", "qvec", *kcols, "side",
-            F.explode(chunks).alias("ci"),
+            "bkey", "vid", "qvec", *kcols,
+            F.pmod(F.xxhash64(F.col("vid")), nch).cast("int").alias("ci"),
+            F.lit(0).alias("side"),
         )
     )
+    small = (
+        keyed_small.join(F.broadcast(sizes), "bkey")  # inner: buckets
+        # with no big rows can hold no cross pairs
+        .select(
+            "bkey", "vid", "qvec", *kcols,
+            F.explode(F.sequence(F.lit(0), nch - 1)).alias("ci"),
+            F.lit(1).alias("side"),
+        )
+    )
+    both = big.unionByName(small)
 
     empty = pd.DataFrame(
         {"id_big": pd.Series([], dtype="int64"),
@@ -1414,27 +1450,28 @@ def _blocked_groups(
     (xxhash64(vid) — deterministic) and each row replicates into the
     nchunks groups (min(ck, o), max(ck, o)); a pair lands in exactly
     one group (its two chunk ids), so no pair is verified twice within
-    a bucket and per-group rows are ~2*chunk in expectation. A `keys`
-    column (the minimal-shared-key gate's input) rides along when
-    present.
+    a bucket and per-group rows are ~2*chunk in expectation. The
+    bucket-size relation is tiny (|distinct bkey| <= 2 * vector dims)
+    so it broadcasts. A `keys` column (the minimal-shared-key gate's
+    input) rides along when present.
 
     r14 (guide §2.4/§4 — profiled in scripts/r14_prof_neardup.py):
-    bucket sizes come from a COUNT window over bkey, not a separate
-    aggregate broadcast-joined back. The old shape consumed `keyed`
-    twice, and `keyed` is the operator's expensive relation — a
-    Python mapInPandas derive (near-dup) or a k-means assignment scan
-    (semdedup), so the whole Python/assignment pass executed twice
-    per query. The window's bkey exchange + sort moves bytes the
-    grouped shuffle was already moving once; the second derive pass,
-    the size aggregate and the broadcast build all disappear. bsz is
-    the same integer per row, so nch/ck/group membership — and the
-    emitted pair set — are unchanged."""
+    `keyed` is persisted+memoized (_keyed_persisted). The old shape
+    consumed it twice — bucket-size aggregate + the join back — and
+    `keyed` is the operator's expensive relation (a Python
+    mapInPandas derive for near-dup/decontaminate, a k-means
+    assignment scan for semdedup), so the whole Python/assignment
+    pass executed twice per query. With the persist both consumers
+    read ONE materialization, and every shuffle stays on scalable
+    keys (sizes aggregates map-side; rows move only on the exploded
+    (bkey, gi, gj) group keys). A COUNT-window alternative was
+    A/B-equal locally but REJECTED: it shuffles the corpus on bare
+    bkey — a <=128-way parallelism ceiling at 100 TB."""
     cols = ["bkey", "vid", "qvec"] + (
         ["mlo", "mhi"] if "mlo" in keyed.columns else []
     )
-    from pyspark.sql import Window
-
-    bsz = F.count("*").over(Window.partitionBy("bkey"))
+    keyed = _keyed_persisted(keyed)
+    sizes = keyed.groupBy("bkey").agg(F.count("*").alias("bsz"))
     nch = (
         F.when(F.col("bsz") <= max_bucket, F.lit(1))
         .otherwise(F.ceil(F.col("bsz") / chunk))
@@ -1448,7 +1485,7 @@ def _blocked_groups(
         ),
     )
     return (
-        keyed.withColumn("bsz", bsz)
+        keyed.join(F.broadcast(sizes), "bkey")
         .withColumn("nch", nch)
         .withColumn("ck", ck)
         .select(*cols, "ck", F.explode(groups).alias("g"))

@@ -1140,12 +1140,12 @@ def test_gram_cross_pairs_matches_symmetric_filter(spark, tmp_path):
 
 
 def test_gram_cross_pairs_small_only_bucket_empty(spark, tmp_path):
-    """r14 (_blocked_groups/gram_cross window rewrite): a blocking
-    bucket that exists ONLY on the small side used to vanish through
-    the inner join to the big side's size relation; the single-pass
-    union+window form instead gives it bsz=0 -> nch=1 and a
-    small-only group that verify() must answer with zero rows — same
-    pair set, no error, and no pair may involve the orphan vectors."""
+    """r14 (gram_cross single-evaluation rework): a blocking bucket
+    that exists ONLY on the small side must contribute NO pairs and
+    no error, whatever mechanism drops it (the size-relation inner
+    join in the persisted form; a bsz=0 small-only group answered
+    with `empty` in the windowed form that was also evaluated this
+    round) — and no pair may involve the orphan vectors."""
     import numpy as np
 
     from gpu_olap_engine_spark.operators.similarity import (
