@@ -192,3 +192,22 @@ def test_stderr_tail_caps_and_flattens(tmp_path):
     capped = _stderr_tail(str(long), lines=30, chars=100)
     assert len(capped) <= 100 and "THE-ERROR" in capped
     assert _stderr_tail(str(tmp_path / "absent.log")) == "<stderr unavailable>"
+
+
+def test_watchdog_zero_row_deferral_predicate():
+    """r14 run-4 failure: a load spike made setup + rep-1 outrun the
+    watchdog's deadline+60 and the cancel erased the whole join100
+    group (rc 0, zero rows). The watchdog may take the early (+60)
+    cancel ONLY when every expected micro row already has a flushed
+    rep; a missing row — or micros not built yet — defers to +100."""
+    from bench import rows_all_landed
+
+    # micros not built yet (e.g. bucketed writes still running)
+    assert not rows_all_landed([], set())
+    # rows missing -> defer
+    assert not rows_all_landed(["smj", "shj"], set())
+    assert not rows_all_landed(["smj", "shj"], {"smj"})
+    # every expected row flushed -> early cancel allowed
+    assert rows_all_landed(["smj", "shj"], {"smj", "shj"})
+    # extra landed names (stale state) must not block the cancel
+    assert rows_all_landed(["smj"], {"smj", "shj"})
